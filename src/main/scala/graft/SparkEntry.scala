@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory (one entry per
+  * implemented operator family from SURVEY.md §2 plus the LLM-pipeline
+  * extensions); `oracleSql` carries the DuckDB-equivalent SQL for the
+  * driver's hash-compare correctness gate. Column names and rounding are
+  * kept identical between the Spark plan and the oracle SQL by
+  * construction (both live side-by-side in each graft.queries.* object).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Kept on the star schema only (no ns-timestamp tables) so it runs on
+    * any externally-built session without extra confs. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+  }
+
+  private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+    )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get the driver's weaker
+    * rows-only check. */
+  def oracleSql: Map[String, String] =
+    groups.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-pinned loaders for the driver testdata under
+  * `/root/testdata/sf{0.001,0.01,0.1}` — tables region, nation, customer,
+  * supplier, part, orders, lineitem, events, documents, embeddings
+  * (see TESTDATA.md).
+  *
+  * Loaders go through `spark.read.parquet` with the file's own schema
+  * (parquet is self-describing; we do NOT infer from data) and normalize
+  * the one irregular table: `events` carries parquet TIMESTAMP(NANOS),
+  * unreadable by Spark's converter, so it is read as a raw nanosecond long
+  * (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession) and rebuilt
+  * here into a proper micros TimestampType plus the exact ns long.
+  *
+  * Scale note: at 100 TB these reads become partitioned-directory scans;
+  * nothing here materializes or collects — every loader returns a lazy
+  * DataFrame whose filters/projections push into the parquet scan.
+  */
+object Tables {
+
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val allTables: Seq[String] =
+    starTables ++ Seq("events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" => events(spark, dir)
+    case _        => spark.read.parquet(path(dir, name))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events` with: `ts_ns` (exact nanosecond epoch, LongType), `ts`
+    * (TimestampType, truncated to micros), `ts_sec` (epoch seconds,
+    * LongType) — the three granularities different operators want. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+  }
+}
