@@ -24,6 +24,7 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.OlhoVivo.queries, graft.queries.OlhoVivo.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

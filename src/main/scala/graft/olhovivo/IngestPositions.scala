@@ -1,0 +1,70 @@
+package graft.olhovivo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP2 — flatten raw Olho Vivo JSON snapshots into the flat `posicoes`
+  * table (reference: etl-olho-vivo-ingestao-posicoes.py:20–75).
+  *
+  * Spark-first shape (SURVEY.md §3 EP2): schema-enforced JSON scan →
+  * Generate(explode l) → Generate(explode vs) → Project(renames + E1
+  * timestamp parse). The whole plan is narrow — zero exchanges — so it
+  * scales linearly with input files: at 100 TB the scan parallelizes
+  * per file-split and nothing ever gathers.
+  *
+  * Per-file error isolation (reference F2, ingestao:41–65): PERMISSIVE
+  * JSON parsing routes each corrupt document into `_corrupt_record`;
+  * those rows are dropped here (a corrupt poll is logged-and-skipped in
+  * the reference, never fatal).
+  */
+object IngestPositions {
+
+  /** Read one day's raw snapshots (Hive-partitioned landing zone
+    * `posicoes/year=Y/month=M/day=D/hour=H/...json`, get-bus-data.py:65;
+    * Spark prunes partitions natively on those keys). `multiLine` because
+    * each poll is a single pretty-printable JSON document per file. */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawSnapshot)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true")
+      .json(path)
+
+  /** The two-level unnest + rename + timestamp parse (reference F1+E1,
+    * ingestao:48–62). Built-in `Explode` generators only — stays inside
+    * whole-stage codegen. */
+  def flatten(raw: DataFrame): DataFrame =
+    raw
+      .filter(col("_corrupt_record").isNull && col("l").isNotNull)
+      .select(explode(col("l")).as("ln"))
+      .select(
+        col("ln.c").as("letreiro"),
+        col("ln.cl").as("codigo_linha"),
+        col("ln.sl").as("sentido_linha"),
+        col("ln.lt0").as("destino_linha"),
+        col("ln.lt1").as("origem_linha"),
+        explode(col("ln.vs")).as("v"))
+      .select(
+        col("letreiro"), col("codigo_linha"), col("sentido_linha"),
+        col("destino_linha"), col("origem_linha"),
+        col("v.p").as("prefixo_veiculo"),
+        col("v.a").as("acessibilidade"),
+        // E1 (ingestao:58): ISO-8601 'Z' instant → Unix seconds; session
+        // TZ is pinned UTC (parity trap ① in SURVEY.md §2.2).
+        unix_timestamp(to_timestamp(col("v.ta"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+          .as("timestamp"),
+        col("v.py").as("py"),
+        col("v.px").as("px"))
+
+  /** Full EP2: raw day → flat parquet. Output partitioned by event date
+    * (the reference's manual `raw/YYYY-MM/pos-YYYY-MM-DD.parquet` scheme,
+    * ingestao:31, expressed as real Hive partitioning so downstream reads
+    * prune). */
+  def run(spark: SparkSession, rawPath: String, outPath: String): Unit =
+    flatten(readRaw(spark, rawPath))
+      .withColumn("data", to_date(timestamp_seconds(col("timestamp"))))
+      .write.mode("overwrite")
+      .partitionBy("data")
+      .parquet(outPath)
+}
