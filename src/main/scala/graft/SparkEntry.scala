@@ -25,6 +25,9 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.OlhoVivo.queries, graft.queries.OlhoVivo.oracles),
+      (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
+      (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
+      (graft.queries.VectorOps.queries, graft.queries.VectorOps.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB): signatures (minhash, simhash, fingerprints)
+  * are pure per-row expressions — map-only, no shuffle, no UDFs, all
+  * inside codegen. The only shuffles are the candidate-generation
+  * equi-joins on (band, hash) / shingles, which is the canonical
+  * LSH trick: it turns an O(n²) similarity join into hash-partitioned
+  * buckets. Stop-shingle removal (document-frequency cap) bounds bucket
+  * skew the same way stop-words bound posting lists in search engines.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical (minimum) id per identical key. The returned
+    * frame maps every group to its canonical id and multiplicity —
+    * a groupBy with partial aggregation, the cheapest possible dedup. */
+  def exactCanonical(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (space-joined), as an array column; documents
+    * with fewer than n tokens get an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Fixed affine permutation parameters (a odd, b arbitrary; mod 2^31-1
+    * via Portable.affine). Deterministic so the DuckDB oracle can embed
+    * the same constants. */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (2L * i * 104729L + 1L, i * 7919L))
+
+  /** MinHash signature as an array<long> of length k — computed entirely
+    * per-row (transform + array_min per permutation), zero shuffle.
+    * Empty shingle set → null entries (callers filter). */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
+    val hashed = transform(shingles(text, shingleN), s => Portable.h60(s))
+    array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(hashed, h => Portable.affine(h, a, b)))
+    }: _*)
+  }
+
+  /** Staged minhash: adds `out` (array<long> signature of length k) via
+    * three narrow projections — tokens, shingle hashes, signature.
+    *
+    * Why staged: subtrees captured inside higher-order-function lambdas
+    * are re-evaluated per array element AND per permutation (no common-
+    * subexpression elimination across lambdas), so the single-Column form
+    * re-tokenizes and re-hashes the document k× per shingle. Binding each
+    * step to a column makes the inner references attribute reads: one
+    * tokenize + one md5 per shingle per row, total. Same semantics. */
+  def withMinhashSignature(df: DataFrame, textCol: Column, k: Int,
+                           shingleN: Int, out: String): DataFrame = {
+    val toks = "__mh_toks"
+    val shh = "__mh_shh"
+    df.withColumn(toks, TextAnalysis.tokens(textCol))
+      .withColumn(shh,
+        when(size(col(toks)) < shingleN, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col(toks)) - shingleN),
+            i => Portable.h60(array_join(slice(col(toks), i + 1, lit(shingleN)), " ")))))
+      .withColumn(out, array(minhashParams(k).map { case (a, b) =>
+        array_min(transform(col(shh), h => Portable.affine(h, a, b)))
+      }: _*))
+      .drop(toks, shh)
+  }
+
+  /** LSH band keys from a signature: bands of `rowsPerBand` adjacent
+    * signature entries combined into one 63-bit key. Explode these and
+    * equi-join on (band_index, band_hash) for candidate pairs. */
+  def lshBands(signature: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    val nBands = k / rowsPerBand
+    transform(sequence(lit(0), lit(nBands - 1)), b => {
+      (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
+        acc * Portable.MersenneP + element_at(signature, b * rowsPerBand + r + 1)
+      }
+    })
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Per-token 60-bit hashes (precomputed once per row; simhash folds
+    * over this). */
+  private def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => Portable.h60(t))
+
+  /** SimHash over the low `bits` bits of the token hashes: bit b of the
+    * result is 1 iff Σ_tokens (2·((h>>b)&1) − 1) > 0. Pure per-row
+    * expression; `bits` ≤ 62 keeps everything in signed-long math for
+    * DuckDB parity. */
+  def simhash(text: Column, bits: Int): Column = {
+    require(bits <= 62, "stay in signed-long math for DuckDB parity")
+    val th = tokenHashes(text)
+    (0 until bits).map { b =>
+      // literal shift per bit keeps everything in exact integer math
+      val bitSum = aggregate(th, lit(0L), (acc, h) =>
+        acc + (shiftrightunsigned(h, b) % 2) * 2 - 1)
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Staged simhash (same rationale as withMinhashSignature: hash each
+    * token once, then fold the column per bit). */
+  def withSimhash(df: DataFrame, textCol: Column, bits: Int, out: String): DataFrame = {
+    require(bits <= 62, "stay in signed-long math for DuckDB parity")
+    val th = "__sh_th"
+    df.withColumn(th, transform(TextAnalysis.tokens(textCol), t => Portable.h60(t)))
+      .withColumn(out, (0 until bits).map { b =>
+        val bitSum = aggregate(col(th), lit(0L), (acc, h) =>
+          acc + (shiftrightunsigned(h, b) % 2) * 2 - 1)
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _))
+      .drop(th)
+  }
+
+  /** Hamming distance between two simhash values (xor + bit_count). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------------- n-gram Jaccard join
+
+  /** Exact n-gram Jaccard similarity join: candidate pairs share ≥1
+    * shingle (after a document-frequency cap `maxShingleDf` removes
+    * stop-shingles — the skew bound), then |∩| / |∪| from distinct
+    * shingle counts. Returns pairs (id_a < id_b) with jaccard ≥ minJ. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: Column,
+                  shingleN: Int = 3, maxShingleDf: Long = 50,
+                  minJ: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(textCol, shingleN))).as("sh"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = filtered.toDF("id_a", "sh")
+    val b = filtered.toDF("id_b", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+  }
+}

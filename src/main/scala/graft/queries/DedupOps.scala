@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Portable
+
+/** Deduplication operator coverage over `documents`: exact canonical
+  * dedup, MinHash signatures, LSH band candidates, exact n-gram Jaccard
+  * join, SimHash + banded Hamming near-dup pairs. Oracle SQL embeds the
+  * SAME constants (affine params, band layout, bit widths) generated
+  * from the library code.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8            // minhash permutations
+  private val RowsPerBand = 2  // → 4 bands
+  private val ShingleN = 3
+  private val SimBits = 24
+  private val P = Portable.MersenneP
+
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** doc_id + distinct 3-gram shingles, shared oracle prefix. */
+  private val shingleCte: String =
+    s"""WITH toks_t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh_t AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) < $ShingleN THEN []
+       |         ELSE list_transform(range(1, len(toks) - ${ShingleN - 2}),
+       |                i -> array_to_string(toks[i:i+${ShingleN - 1}], ' '))
+       |    END AS sh
+       |  FROM toks_t)
+       |""".stripMargin
+
+  // ------------------------------------------------------------ q40 exact
+
+  def q40DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(Tables.documents(s, dir), "doc_id",
+      array_join(slice(graft.text.TextAnalysis.tokens(col("text")), 1, 3), " "))
+
+  val q40Sql: String = shingleCte +
+    """SELECT array_to_string(toks[1:3], ' ') AS dedup_key,
+      |  min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM toks_t GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- q41 minhash
+
+  /** posexplode_outer, not posexplode: InferFiltersFromGenerate would
+    * otherwise synthesize `size(sig) > 0` and predicate pushdown inlines
+    * the whole signature expression into an interpreted Filter — a ~70×
+    * slowdown for a predicate that can never drop a row (signatures are
+    * always length-k arrays). Same semantics: null entries are filtered
+    * on the generated column, which cannot be pushed below the Generate. */
+  def q41MinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSignature(Tables.documents(s, dir), col("text"), K, ShingleN, "sig")
+      .select(col("doc_id"), posexplode_outer(col("sig")).as(Seq("perm", "mh")))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), col("perm").cast("long").as("perm"), col("mh"))
+
+  val q41Sql: String = {
+    val perms = Dedup.minhashParams(K).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    shingleCte +
+      s"""SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+         |  list_min(list_transform(sh,
+         |    s -> (a * (${h60Sql("s")} % $P) + b) % $P)) AS mh
+         |FROM sh_t CROSS JOIN (VALUES $perms) AS perms(perm, a, b)
+         |WHERE len(sh) > 0""".stripMargin
+  }
+
+  // ------------------------------------------------------ q42 LSH bands
+
+  def q42LshCandidates(s: SparkSession, dir: String): DataFrame = {
+    // Cheap pushable pre-filter (≥ ShingleN tokens ⟺ non-null signature);
+    // filtering on element_at(sig, 1) would inline the signature into an
+    // interpreted scan Filter (see q41 note).
+    val docs = Tables.documents(s, dir)
+      .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
+    val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
+      .select(col("doc_id"), col("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode_outer(Dedup.lshBands(col("sig"), K, RowsPerBand)).as(Seq("band", "bh")))
+    val a = bands.toDF("id_a", "band", "bh")
+    val b = bands.toDF("id_b", "band", "bh")
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  val q42Sql: String = {
+    val perms = Dedup.minhashParams(K).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val bandArms = (0 until K / RowsPerBand).map { bi =>
+      val terms = (0 until RowsPerBand).map(r => bi * RowsPerBand + r)
+      // Horner over the band's signature entries, exactly like lshBands
+      val expr = terms.foldLeft("0::BIGINT") { (acc, idx) =>
+        s"(($acc) * $P + sig[${idx + 1}])"
+      }
+      s"SELECT doc_id, $bi AS band, $expr AS bh FROM sig_t"
+    }.mkString("\nUNION ALL\n")
+    shingleCte.dropRight(1) + "," +
+      s"""
+         |mh_t AS (
+         |  SELECT doc_id, perm,
+         |    list_min(list_transform(sh,
+         |      s -> (a * (${h60Sql("s")} % $P) + b) % $P)) AS mh
+         |  FROM sh_t CROSS JOIN (VALUES $perms) AS perms(perm, a, b)
+         |  WHERE len(sh) > 0),
+         |sig_t AS (
+         |  SELECT doc_id, list(mh ORDER BY perm) AS sig FROM mh_t GROUP BY doc_id),
+         |bands_t AS (
+         |$bandArms)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+         |FROM bands_t a JOIN bands_t b USING (band, bh)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------- q43 jaccard
+
+  def q43Jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", col("text"),
+      ShingleN, maxShingleDf = 50, minJ = 0.2)
+
+  val q43Sql: String = shingleCte.dropRight(1) + "," +
+    """
+      |flat AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(sh)) AS s
+      |  FROM sh_t WHERE len(sh) > 0),
+      |flt AS (
+      |  SELECT id, s FROM (
+      |    SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM flat) t
+      |  WHERE df <= 50),
+      |sizes AS (SELECT id, count(*) AS sz FROM flt GROUP BY id),
+      |inter_t AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |  FROM flt a JOIN flt b USING (s)
+      |  WHERE a.id < b.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |  round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 4) AS jaccard
+      |FROM inter_t
+      |JOIN sizes sa ON id_a = sa.id
+      |JOIN sizes sb ON id_b = sb.id
+      |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 4) >= 0.2""".stripMargin
+
+  // --------------------------------------------------------- q44 simhash
+
+  def q44Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.withSimhash(Tables.documents(s, dir), col("text"), SimBits, "simhash")
+      .select(col("doc_id"), col("simhash"))
+
+  private def simhashSql(col: String = "toks"): String =
+    (0 until SimBits).map { b =>
+      val pow = 1L << b
+      s"""CASE WHEN coalesce(list_sum(list_transform(th,
+         |    h -> ((h // ${pow}) % 2) * 2 - 1)), 0) > 0
+         |  THEN ${1L << b}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString(" + ")
+
+  val q44Sql: String =
+    s"""WITH toks_t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |th_t AS (
+       |  SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS th
+       |  FROM toks_t)
+       |SELECT doc_id, ${simhashSql()} AS simhash FROM th_t""".stripMargin
+
+  // ------------------------------------------- q45 simhash hamming pairs
+
+  /** Banded Hamming near-dup: candidates share one of the three 8-bit
+    * bands of the 24-bit simhash (a hamming-≤2 pair must agree on ≥1
+    * band by pigeonhole), then exact Hamming ≤ 2 filters. */
+  def q45SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.withSimhash(Tables.documents(s, dir), col("text"), SimBits, "simhash")
+      .select(col("doc_id"), col("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode_outer(array(
+        col("simhash") % 256,
+        shiftrightunsigned(col("simhash"), 8) % 256,
+        shiftrightunsigned(col("simhash"), 16) % 256)).as(Seq("band", "bv")))
+    val a = bands.toDF("id_a", "sim_a", "band", "bv")
+    val b = bands.toDF("id_b", "sim_b", "band", "bv")
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct() // dedupe multi-band candidates BEFORE the hamming compute
+      .select(col("id_a"), col("id_b"),
+        Dedup.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
+
+  val q45Sql: String =
+    s"""WITH toks_t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |th_t AS (
+       |  SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS th
+       |  FROM toks_t),
+       |sig_t AS (SELECT doc_id, ${simhashSql()} AS simhash FROM th_t),
+       |bands_t AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash % 256 AS bv FROM sig_t
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig_t
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig_t)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM bands_t a JOIN bands_t b USING (band, bv)
+       |WHERE a.doc_id < b.doc_id
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact"     -> q40DedupExact,
+    "q41_minhash_sig"     -> q41MinhashSig,
+    "q42_lsh_candidates"  -> q42LshCandidates,
+    "q43_jaccard_join"    -> q43Jaccard,
+    "q44_simhash"         -> q44Simhash,
+    "q45_simhash_pairs"   -> q45SimhashPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact"     -> q40Sql,
+    "q41_minhash_sig"     -> q41Sql,
+    "q42_lsh_candidates"  -> q42Sql,
+    "q43_jaccard_join"    -> q43Sql,
+    "q44_simhash"         -> q44Sql,
+    "q45_simhash_pairs"   -> q45Sql,
+  )
+}

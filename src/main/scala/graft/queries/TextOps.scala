@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Text-analysis operator coverage over `documents`: token statistics,
+  * heuristic language ID, quality scoring, fingerprinting. All per-row
+  * map-only expressions (no shuffle except the tiny fingerprint window).
+  * Oracle SQL is generated from the same constants the library uses.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared oracle fragment: tokenized documents. */
+  private val toksCte: String =
+    """WITH toks_t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |""".stripMargin
+
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  def q30TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.typeCount(col("text")).cast("long").as("n_types"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est"))
+
+  val q30Sql: String = toksCte +
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_types,
+      |  CAST(length(text) AS BIGINT) AS n_chars_text,
+      |  CAST(coalesce(list_sum(list_transform(toks,
+      |    t -> CAST(ceil(length(t)::DOUBLE / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_est
+      |FROM toks_t""".stripMargin
+
+  def q31LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.stopwordHits(col("text"), "en").cast("long").as("en_hits"),
+      TextAnalysis.stopwordHits(col("text"), "es").cast("long").as("es_hits"),
+      TextAnalysis.stopwordHits(col("text"), "de").cast("long").as("de_hits"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val q31Sql: String = {
+    def hits(lang: String): String = {
+      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(toks, [$words]))"
+    }
+    toksCte +
+      s"""SELECT doc_id, ${hits("en")} AS en_hits, ${hits("es")} AS es_hits,
+         |  ${hits("de")} AS de_hits,
+         |  CASE WHEN greatest(${hits("en")}, ${hits("es")}, ${hits("de")}) = 0 THEN 'und'
+         |       WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("de")} THEN 'en'
+         |       WHEN ${hits("es")} >= ${hits("de")} THEN 'es'
+         |       ELSE 'de' END AS lang_pred
+         |FROM toks_t""".stripMargin
+  }
+
+  def q32Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.punctCount(col("text")).cast("long").as("punct_cnt"),
+      TextAnalysis.anyStopwordHits(col("text")).cast("long").as("stop_hits"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val q32Sql: String = {
+    val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    toksCte +
+      s"""SELECT doc_id, n_tokens, punct_cnt, stop_hits,
+         |  round(0.5::DOUBLE * (stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0::DOUBLE))
+         |      + 0.3::DOUBLE * least(n_tokens::DOUBLE / 20.0::DOUBLE, 1.0::DOUBLE)
+         |      + 0.2::DOUBLE * (1.0::DOUBLE - punct_cnt::DOUBLE /
+         |           greatest(length(text)::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+         |FROM (
+         |  SELECT doc_id, text,
+         |    len(toks) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+         |    CAST(len(list_filter(toks, t -> t IN ($all))) AS BIGINT) AS stop_hits
+         |  FROM toks_t) t""".stripMargin
+  }
+
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(w))
+  }
+
+  val q33Sql: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""SELECT doc_id, ${h60Sql(norm)} AS fp,
+       |  count(*) OVER (PARTITION BY ${h60Sql(norm)}) AS n_same
+       |FROM documents""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_token_stats" -> q30TokenStats,
+    "q31_lang_id"     -> q31LangId,
+    "q32_quality"     -> q32Quality,
+    "q33_fingerprint" -> q33Fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Sql,
+    "q31_lang_id"     -> q31Sql,
+    "q32_quality"     -> q32Sql,
+    "q33_fingerprint" -> q33Sql,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Similarity
+
+/** Similarity-search operator coverage over `embeddings`
+  * (array<float>, dim 64): brute-force cosine top-k (exact baseline)
+  * and sign-LSH bucketed near-dup pairs (the scale path). The oracle
+  * embeds the identical hyperplane literals the library generates.
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val Planes = 8
+  private val TopK = 5
+  private val NQueries = 20
+  private val MinCos = 0.3
+
+  /** dot(a,b) as a sequential double fold — SQL mirror of
+    * Similarity.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"d -> $a[d]::DOUBLE * $b[d]::DOUBLE)), 0.0::DOUBLE)::DOUBLE"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"(CASE WHEN $d = 0 THEN 0.0::DOUBLE ELSE ${dotSql(a, b)} / $d END)"
+  }
+
+  def q50AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < NQueries), emb, TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("rcos"))
+  }
+
+  val q50Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |  FROM c CROSS JOIN q WHERE query_id <> corpus_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rcos DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  def q51LshNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), Planes, Dim, MinCos)
+
+  val q51Sql: String = {
+    val planes = Similarity.hyperplanes(Planes, Dim)
+    val sigExpr = planes.zipWithIndex.map { case (plane, j) =>
+      val lit = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("embedding", s"($lit)")} > 0.0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH sig_t AS (
+       |  SELECT vec_id, embedding, $sigExpr AS bucket FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS rcos
+       |FROM sig_t a JOIN sig_t b USING (bucket)
+       |WHERE a.vec_id < b.vec_id
+       |  AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= $MinCos""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_ann_topk"    -> q50AnnTopK,
+    "q51_lsh_neardup" -> q51LshNearDup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_ann_topk"    -> q50Sql,
+    "q51_lsh_neardup" -> q51Sql,
+  )
+}
