@@ -28,6 +28,8 @@ object SparkEntry {
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
       (graft.queries.VectorOps.queries, graft.queries.VectorOps.oracles),
+      (graft.queries.Temporal.queries, graft.queries.Temporal.oracles),
+      (graft.queries.Extras.queries, graft.queries.Extras.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

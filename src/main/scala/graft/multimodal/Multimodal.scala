@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads with a
+  * typed metadata struct, and a batched decode/feature-extract stage.
+  *
+  * The Spark-side plumbing here is real and tested — schema, Encoders,
+  * partition-local batched iteration (the Scala analog of a batched
+  * pandas-UDF `mapInPandas` stage), feature vector shape — while the
+  * codec itself is a STUB (`FakeCodec`): image/audio libraries are not
+  * in this container, so decode is a deterministic fake keyed on content
+  * bytes. Swapping in a real codec touches exactly one function.
+  *
+  * Scale notes: decode is partition-local (map-only, no shuffle); batch
+  * size bounds peak memory per task exactly like `maxRecordsPerBatch`
+  * does for Arrow batches; payloads stay byte arrays end-to-end (no
+  * string conversions of binary data).
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,            // image | audio | video
+      payload: Array[Byte],    // opaque encoded bytes
+      source: String,
+      declared_bytes: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Int,              // image/video; 0 for audio
+      height: Int,
+      duration_ms: Double,     // audio/video; 0 for image
+      feature: Array[Float])   // fixed-dim content embedding
+
+  val FeatureDim = 16
+
+  /** STUB codec — deterministic fake "decode" from content bytes.
+    * ??? -> replace with a real image/audio decoder (e.g. via JNI or a
+    * JVM codec) when available; everything downstream is shape-stable. */
+  object FakeCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+      val pos = math.abs(h)
+      val isImage = r.kind == "image"
+      val isAudio = r.kind == "audio"
+      val feature = Array.tabulate(FeatureDim) { i =>
+        // deterministic pseudo-feature in [-1, 1)
+        val x = pos * (i + 1) * 2654435761L
+        ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+      MediaFeatures(
+        media_id = r.media_id,
+        kind = r.kind,
+        byte_len = r.payload.length,
+        width = if (isAudio) 0 else (pos % 640 + 1).toInt,
+        height = if (isAudio) 0 else (pos % 480 + 1).toInt,
+        duration_ms = if (isImage) 0.0 else (pos % 600000).toDouble,
+        feature = feature)
+    }
+  }
+
+  /** Documents → media records (text bytes stand in for encoded blobs;
+    * deterministic kind assignment). */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("source"),
+      col("n_chars").as("declared_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Batched partition-local decode: groups the partition iterator into
+    * `batchSize` chunks (the Arrow-batch shape a Python `mapInPandas`
+    * stage would see) and decodes chunk-by-chunk. Lazy iterators
+    * throughout — one batch resident per task at a time. */
+  def decodeFeatures(ds: Dataset[MediaRecord], batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode the whole batch in one native call
+        batch.iterator.map(FakeCodec.decode)
+      }
+    }
+  }
+
+  /** Payload sanity used by tests: round-trip the fake payload. */
+  def payloadText(r: MediaRecord): String = new String(r.payload, StandardCharsets.UTF_8)
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Remaining surface coverage: pivot (conditional aggregation), the
+  * reference's string/path functions (K1 scheme), multimodal metadata
+  * extraction over binary payloads, and approximate distinct (rows-only
+  * check — sketches are engine-specific by design).
+  */
+object Extras {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as columns. */
+  def q14Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  val q14Sql: String = {
+    val arms = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $arms
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  /** The reference's K1 path-interpolation surface (get-bus-data.py:65,
+    * ingestao:26,31, velocidades:68–81) as string functions:
+    * date_format/concat/lpad over order dates. */
+  def q15StringPaths(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      concat(lit("raw/"), date_format(col("o_orderdate"), "yyyy-MM"),
+        lit("/pos-"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        lit(".parquet")).as("path"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+      upper(col("o_orderpriority")).as("prio_uc"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"))
+
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |  'raw/' || strftime(o_orderdate, '%Y-%m') || '/pos-' ||
+      |    strftime(o_orderdate, '%Y-%m-%d') || '.parquet' AS path,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+      |  upper(o_orderpriority) AS prio_uc,
+      |  substr(o_orderpriority, 1, 1) AS prio_code
+      |FROM orders""".stripMargin
+
+  /** Multimodal metadata extraction: documents as opaque binary payloads
+    * (text bytes stand in for image/audio blobs) with typed metadata —
+    * byte length, content hash, and STUB-decoded dimensions (the real
+    * codec would run in graft.multimodal.Multimodal.decodeFeatures;
+    * this column form keeps the metadata math oracle-checkable). */
+  def q60MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val h = Portable.h60(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      length(col("text").cast("binary")).cast("long").as("byte_len"),
+      h.as("content_hash"),
+      (h % 640 + 1).cast("int").as("width"),
+      (h % 480 + 1).cast("int").as("height"))
+  }
+
+  val q60Sql: String = {
+    val h = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  $h AS content_hash,
+       |  CAST($h % 640 + 1 AS INTEGER) AS width,
+       |  CAST($h % 480 + 1 AS INTEGER) AS height
+       |FROM documents""".stripMargin
+  }
+
+  /** Approximate distinct (HLL++): engine-specific sketch, so declared
+    * WITHOUT an oracle — the driver records the weaker rows-only check.
+    * The exact countDistinct rides along as an internal sanity column. */
+  def q90ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+
+  val queries: Map[String, Q] = Map(
+    "q14_pivot"           -> q14Pivot,
+    "q15_string_paths"    -> q15StringPaths,
+    "q60_multimodal_meta" -> q60MultimodalMeta,
+    "q90_approx_distinct" -> q90ApproxDistinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_pivot"           -> q14Sql,
+    "q15_string_paths"    -> q15Sql,
+    "q60_multimodal_meta" -> q60Sql,
+    // q90: intentionally no oracle (approximate sketch)
+  )
+}

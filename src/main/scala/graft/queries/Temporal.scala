@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+
+/** Temporal operator coverage over `events`: sessionization
+  * (gaps-and-islands), as-of join (union+carry-forward), and bucketized
+  * range join — the three operators the reference's sort+shift hints at
+  * but never generalizes (SURVEY.md §2.3).
+  */
+object Temporal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eCte =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+      |         epoch_ns(ts) AS ts_ns, event_type, value
+      |  FROM events)
+      |""".stripMargin
+
+  def q70Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(
+      Tables.events(s, dir), "user_id", "ts_sec", 1800, "value",
+      orderTiebreak = Seq(col("event_id")))
+
+  val q70Sql: String = eCte +
+    """, f AS (
+      |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
+      |                   OR ts_sec - lag(ts_sec) OVER w > 1800
+      |                 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      |sess AS (
+      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events, min(ts_sec) AS start_time, max(ts_sec) AS end_time,
+      |  round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Each error event matched to the user's latest prior (≤, within 1h)
+    * purchase event. ns timestamps are unique per user → deterministic. */
+  def q71AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    AsOfJoin.asofJoin(errors, purchases, "user_id", "ts_ns", "ts_ns",
+        rightCols = Seq("event_id", "ts_ns"),
+        toleranceSec = Some(3600L * 1000000000L), joinType = "inner")
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        expr("(ts_ns - asof_ts_ns) div 1000000000").as("gap_sec"))
+  }
+
+  val q71Sql: String = eCte +
+    """SELECT l.event_id, l.user_id, r.event_id AS asof_event_id,
+      |  (l.ts_ns - r.ts_ns) // 1000000000 AS gap_sec
+      |FROM (SELECT * FROM e WHERE event_type = 'error') l
+      |ASOF JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns
+      |WHERE l.ts_ns - r.ts_ns <= 3600000000000""".stripMargin
+
+  /** For every event: how many events follow it on the same user within
+    * 600 s (bucketized range self-join, zeros kept). */
+  def q72RangeCount(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.countFollowing(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_sec")),
+      "user_id", "ts_sec", "event_id", 600L)
+
+  val q72Sql: String = eCte +
+    """SELECT a.event_id, a.user_id, a.ts_sec,
+      |  count(b.event_id) AS n_following
+      |FROM e a LEFT JOIN e b
+      |  ON a.user_id = b.user_id
+      | AND b.ts_sec > a.ts_sec AND b.ts_sec <= a.ts_sec + 600
+      |GROUP BY a.event_id, a.user_id, a.ts_sec""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_sessionize"  -> q70Sessionize,
+    "q71_asof_join"   -> q71AsofJoin,
+    "q72_range_count" -> q72RangeCount,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q70_sessionize"  -> q70Sql,
+    "q71_asof_join"   -> q71Sql,
+    "q72_range_count" -> q72Sql,
+  )
+}

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+import graft.similarity.Similarity
+
+/** Semantics of the dedup + similarity primitives on constructed
+  * documents with known relationships. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "completely different words appear in this one"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "ab")                                            // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("shingles: count, content, short-doc empty") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).length == 7) // 9 tokens → 7 trigrams
+    assert(sh(0L).head == "the quick brown")
+    assert(sh(4L).isEmpty)
+  }
+
+  test("minhash: identical docs → identical signatures; near-dups agree on most perms") {
+    val sig = Dedup.withMinhashSignature(docs, $"text", 8, 3, "sig")
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(3L), "exact dups must collide on every permutation")
+    val agree01 = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02, s"near-dup agreement $agree01 must beat unrelated $agree02")
+  }
+
+  test("jaccardJoin finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", $"text", 3, 50, 0.2)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0, "exact dup → jaccard 1.0")
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.4)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("simhash: exact dups equal, near-dups closer in hamming than unrelated") {
+    val sh = Dedup.withSimhash(docs, $"text", 24, "sh")
+      .select($"doc_id", $"sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("exactCanonical groups exact duplicates to the min id") {
+    val canon = Dedup.exactCanonical(docs, "doc_id", $"text")
+      .collect().map(r => r.getAs[String]("dedup_key") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(canon("the quick brown fox jumps over the lazy dog") == (0L, 2L))
+    assert(canon.size == 4)
+  }
+
+  test("cosine: orthogonal 0, identical 1, sign-LSH buckets stable") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((0L, 1L)) == 0.0)
+    assert(math.abs(c((0L, 2L)) - 1.0) < 1e-12)
+    val sig = vecs.select($"vec_id",
+      Similarity.signLshSignature($"embedding", 8, 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(2L), "colinear vectors share every hyperplane side")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** Unit semantics for the temporal operators: as-of boundaries (≤, ties,
+  * tolerance), range-join bucket edges, session gap boundaries. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: picks latest ≤, honors tolerance, left vs inner") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "u", 9L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, "u", 100L), (11L, "u", 50L), (12L, "u", 201L))
+      .toDF("rid", "k", "t")
+    val joined = AsOfJoin.asofJoin(left, right, "k", "t", "t",
+      rightCols = Seq("rid"), toleranceSec = Some(100L), joinType = "left")
+      .select($"id", $"asof_rid").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(joined(1L).contains(10L)) // equal ts matches (asof is ≤)
+    assert(joined(2L).contains(12L)) // latest of {100, 50, 201}
+    assert(joined(3L).isEmpty)       // nothing ≤ 9
+    val inner = AsOfJoin.asofJoin(left, right, "k", "t", "t",
+      rightCols = Seq("rid"), toleranceSec = Some(3L), joinType = "inner")
+    // tolerance 3: only id=1 (gap 0) within; id=2's gap is 4
+    assert(inner.select($"id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("selfRangeJoin: strict lower, inclusive upper, bucket boundary crossing") {
+    val df = Seq((1L, "u", 0L), (2L, "u", 600L), (3L, "u", 601L), (4L, "u", 1199L))
+      .toDF("id", "k", "t")
+    val pairs = RangeJoin.selfRangeJoin(df, "k", "t", "id", 600L)
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2): 600 ≤ 0+600 inclusive ✓; (1,3): 601 > 600 ✗;
+    // (2,3): 601 > 600 strict-lower ✓ (crosses bucket boundary);
+    // (2,4): 1199 ≤ 1200 ✓; (3,4): ✓
+    assert(pairs == Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)), s"got $pairs")
+  }
+
+  test("countFollowing keeps zero rows") {
+    val df = Seq((1L, "u", 0L), (2L, "u", 10000L)).toDF("id", "k", "t")
+    val got = RangeJoin.countFollowing(df, "k", "t", "id", 600L)
+      .select($"id", $"n_following").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("sessionize: gap == timeout stays in session, gap+1 starts new one") {
+    val df = Seq((1L, "u", 0L, 1.0), (2L, "u", 1800L, 1.0), (3L, "u", 3601L, 1.0),
+      (4L, "v", 0L, 2.0)).toDF("id", "k", "t", "v")
+    val sess = Sessionize.withSessionId(df, "k", "t", 1800L, Seq($"id"))
+      .select($"id", $"session_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(1L) == 0L && sess(2L) == 0L) // gap exactly 1800 → same session
+    assert(sess(3L) == 1L)                    // 1801 → new session
+    assert(sess(4L) == 0L)                    // other key independent
+    val stats = Sessionize.sessionStats(df, "k", "t", 1800L, "v", Seq($"id"))
+    assert(stats.count() == 3)
+  }
+}
