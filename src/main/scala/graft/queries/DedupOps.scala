@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, MinHashAggregator}
 import graft.functions.Portable
 
 /** Deduplication operator coverage over `documents`: exact canonical
@@ -221,6 +221,44 @@ object DedupOps {
        |WHERE a.doc_id < b.doc_id
        |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
 
+  // ----------------------------------- q46 corpus sketch (Aggregator)
+
+  /** Group-level minhash union via the typed MinHashAggregator (partial
+    * element-wise mins map-side; k longs per group over the wire): one
+    * corpus signature per document source. */
+  def q46CorpusSketch(s: SparkSession, dir: String): DataFrame = {
+    val sketch = udaf(new MinHashAggregator(K),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val docs = Tables.documents(s, dir)
+      .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
+    Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
+      .groupBy(col("source"))
+      .agg(sketch(col("sig")).as("corpus_sig"), count(lit(1)).as("n_docs"))
+  }
+
+  val q46Sql: String = {
+    val perms = Dedup.minhashParams(K).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    shingleCte.dropRight(1).replace(
+        "SELECT doc_id, text,", "SELECT doc_id, source, text,")
+      .replace("SELECT doc_id, toks,", "SELECT doc_id, source, toks,") + "," +
+      s"""
+         |mh_t AS (
+         |  SELECT doc_id, source, perm,
+         |    list_min(list_transform(sh,
+         |      s -> (a * (${h60Sql("s")} % $P) + b) % $P)) AS mh
+         |  FROM sh_t CROSS JOIN (VALUES $perms) AS perms(perm, a, b)
+         |  WHERE len(sh) > 0),
+         |grp AS (
+         |  SELECT source, perm, min(mh) AS mh FROM mh_t GROUP BY source, perm),
+         |docs_per_source AS (
+         |  SELECT source, count(DISTINCT doc_id) AS n_docs FROM mh_t GROUP BY source)
+         |SELECT g.source, list(g.mh ORDER BY g.perm) AS corpus_sig, d.n_docs
+         |FROM grp g JOIN docs_per_source d USING (source)
+         |GROUP BY g.source, d.n_docs""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact"     -> q40DedupExact,
     "q41_minhash_sig"     -> q41MinhashSig,
@@ -228,6 +266,7 @@ object DedupOps {
     "q43_jaccard_join"    -> q43Jaccard,
     "q44_simhash"         -> q44Simhash,
     "q45_simhash_pairs"   -> q45SimhashPairs,
+    "q46_corpus_sketch"   -> q46CorpusSketch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +276,6 @@ object DedupOps {
     "q43_jaccard_join"    -> q43Sql,
     "q44_simhash"         -> q44Sql,
     "q45_simhash_pairs"   -> q45Sql,
+    "q46_corpus_sketch"   -> q46Sql,
   )
 }
