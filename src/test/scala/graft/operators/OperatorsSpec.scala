@@ -43,6 +43,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("saltedSumCount == plain groupBy aggregate") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val salted = SkewedAggregate.saltedSumCount(df, Seq("k"),
+        Map("v" -> "sum_v"), "n", saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+  }
+
   test("sessionize: gap == timeout stays in session, gap+1 starts new one") {
     val df = Seq((1L, "u", 0L, 1.0), (2L, "u", 1800L, 1.0), (3L, "u", 3601L, 1.0),
       (4L, "v", 0L, 2.0)).toDF("id", "k", "t", "v")

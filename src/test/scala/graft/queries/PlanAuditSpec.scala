@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.olhovivo.SparkTestBase
+
+/** Plan audits: the physical-plan properties the engine's scale story
+  * depends on, asserted as regressions. "Would this survive a 100×
+  * scale-up" is a property of the plan, not the data — so the plan is
+  * what's tested. (String-level assertions on the printed plan: the
+  * AdaptiveSparkPlanExec wrapper hides pre-AQE exchanges from tree
+  * traversal, but the print shows the initial plan faithfully.)
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countOf(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("q02: filters push into the parquet scan; only needed columns read") {
+    val p = plan(Relational.q02FilterPushdown(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"),
+      s"missing pushed filters:\n$p")
+    // scan column list = 4 projected + the filter column, nothing else
+    // (the ReadSchema print truncates, so assert on the scan's bracket list)
+    assert(p.contains("FileScan parquet [l_orderkey#"), s"no parquet scan:\n$p")
+    for (c <- Seq("l_shipdate", "l_partkey", "l_returnflag", "l_tax"))
+      assert(!p.contains(c), s"scan reads unneeded column $c:\n$p")
+  }
+
+  test("q03: dimension joins broadcast") {
+    val p = plan(Relational.q03JoinRevenue(spark, dir))
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      s"expected ≥2 broadcast joins:\n$p")
+  }
+
+  test("q20 speed hops: one hash exchange (vehicle window), lag×3 fused, no global sort") {
+    val p = plan(OlhoVivo.q20SpeedHops(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle:\n$p")
+    assert(countOf(p, "Window [") == 1, s"lag×3 must fuse into one Window:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
+
+  test("q21 speed agg: ONE shuffle total — the aggregate reuses the window's partitioning") {
+    // EnsureRequirements' subset rule: hashpartitioning(prefixo_veiculo)
+    // from the lag window already satisfies ClusteredDistribution on the
+    // 7 agg keys (prefixo_veiculo ∈ keys) → no second exchange. At 100 TB
+    // this halves the pipeline's shuffle volume.
+    val p = plan(OlhoVivo.q21SpeedAgg(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle (window partitioning reused by agg):\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q05 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q05TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k planned as global sort:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0)
+  }
+
+  test("q30 token stats and q44 simhash: map-only, zero shuffles") {
+    for (q <- Seq(TextOps.q30TokenStats(spark, dir),
+                  DedupOps.queries("q44_simhash")(spark, dir))) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange") == 0, s"signature must not shuffle:\n$p")
+    }
+  }
+
+  test("q01: single exchange with partial aggregation below it") {
+    val p = plan(Relational.q01PricingSummary(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"expected 1 exchange:\n$p")
+    assert(p.contains("partial_"), s"missing partial HashAggregate:\n$p")
+  }
+
+  test("q50 ann top-k: query side broadcast, corpus never shuffled pre-score") {
+    val p = plan(VectorOps.q50AnnTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries must broadcast:\n$p")
+  }
+}
