@@ -71,7 +71,7 @@ object AverageSpeeds {
         val slowOut = slowPoints(clean, conf).select(slowCols.map(col): _*)
         val acessOut = acessiveis(agg).select(acessCols.map(col): _*)
         def write(df: DataFrame, path: String): Long = {
-          df.write.mode("overwrite").option("header", "true").csv(path)
+          graft.sources.IO.writeCsv(df, path)
           df.count()
         }
         Map(

@@ -24,12 +24,7 @@ object IngestPositions {
     * Spark prunes partitions natively on those keys). `multiLine` because
     * each poll is a single pretty-printable JSON document per file. */
   def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(Schemas.rawSnapshot)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("multiLine", "true")
-      .json(path)
+    graft.sources.IO.readJson(spark, Schemas.rawSnapshot, path)
 
   /** The two-level unnest + rename + timestamp parse (reference F1+E1,
     * ingestao:48–62). Built-in `Explode` generators only — stays inside
@@ -62,9 +57,8 @@ object IngestPositions {
     * ingestao:31, expressed as real Hive partitioning so downstream reads
     * prune). */
   def run(spark: SparkSession, rawPath: String, outPath: String): Unit =
-    flatten(readRaw(spark, rawPath))
-      .withColumn("data", to_date(timestamp_seconds(col("timestamp"))))
-      .write.mode("overwrite")
-      .partitionBy("data")
-      .parquet(outPath)
+    graft.sources.IO.writePartitionedParquet(
+      flatten(readRaw(spark, rawPath))
+        .withColumn("data", to_date(timestamp_seconds(col("timestamp")))),
+      outPath, Seq("data"))
 }

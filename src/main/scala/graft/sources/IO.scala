@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-enforced readers and layout-aware writers (reference S3–S8,
+  * SURVEY.md §2.1). Every read declares its schema — never inferSchema —
+  * so missing fields surface as typed nulls instead of type drift
+  * (§1.3), and every write is partitioned for downstream pruning.
+  */
+object IO {
+
+  /** JSON scan with per-document corrupt isolation (reference F2):
+    * PERMISSIVE mode routes broken documents into `_corrupt_record`
+    * (the schema must carry that field). */
+  def readJson(spark: SparkSession, schema: StructType, path: String,
+               multiLine: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", multiLine.toString)
+      .json(path)
+
+  def readParquet(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Hive-partitioned parquet sink (reference S7's manual
+    * `raw/YYYY-MM/pos-YYYY-MM-DD` date keying as real partitioning —
+    * downstream reads prune on the partition columns). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Hive-partitioned JSON landing zone (reference S3's
+    * `posicoes/year=/month=/day=/hour=/` scheme — get-bus-data.py:65
+    * already uses k=v keys, i.e. Hive partitioning by accident). */
+  def writePartitionedJson(df: DataFrame, path: String,
+                           partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).json(path)
+
+  /** Headered CSV sink (reference S8 — the three analytical outputs). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
