@@ -71,13 +71,42 @@ object VectorOps {
        |  AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= $MinCos""".stripMargin
   }
 
+  /** IVF ANN with FULL probe (nProbe = k): the inverted-list machinery
+    * (k-means fit → assignment → probe → in-list exact scoring) end to
+    * end, degraded gracefully to exact search — which is precisely what
+    * makes it oracle-checkable. IvfSpec covers the pruned-probe recall
+    * behavior that has no SQL analog. */
+  def q52IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.similarity.Ivf.fit(emb, k = 8, iters = 3)
+    graft.similarity.Ivf.search(
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      graft.similarity.Ivf.index(emb, model), model, topK = TopK, nProbe = 8)
+  }
+
+  val q52Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |  FROM c CROSS JOIN q WHERE query_id <> corpus_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rcos DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_ann_topk"    -> q50AnnTopK,
     "q51_lsh_neardup" -> q51LshNearDup,
+    "q52_ivf_topk"    -> q52IvfTopK,
   )
 
   val oracles: Map[String, String] = Map(
     "q50_ann_topk"    -> q50Sql,
     "q51_lsh_neardup" -> q51Sql,
+    "q52_ivf_topk"    -> q52Sql,
   )
 }

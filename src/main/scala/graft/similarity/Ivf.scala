@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into k inverted lists; a query probes
+  * only the nProbe nearest lists and scores exactly inside them.
+  *
+  * Scale design: `fit` is a few Spark aggregation passes (collecting
+  * only k×dim centroid doubles to the driver — the model, not data);
+  * `assign` is a per-row codegen expression against centroid literals
+  * (map-only); `search` shuffles only (query × probed-list) pairs —
+  * corpus rows outside probed lists are never scored. nProbe/k is the
+  * recall/cost dial; nProbe = k degrades gracefully to exact search
+  * (proved in the oracle gate: full-probe IVF ≡ brute force).
+  *
+  * Determinism: centroid init = the k lowest vec_ids; Lloyd iterations
+  * are fixed-count; ties in assignment break to the first (lowest)
+  * centroid index — same run-to-run and engine-to-engine.
+  */
+object Ivf {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Squared-L2 distance of an embedding column to one centroid literal
+    * (sequential fold — deterministic). */
+  private def sqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(centroid), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Index (0-based) of the nearest centroid; ties → lowest index. */
+  def assignExpr(vec: Column, model: Model): Column = {
+    val dists = array(model.centroids.map(c => sqDist(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic Lloyd k-means. Empty clusters keep their previous
+    * centroid (stable under any data). */
+  def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    var model = Model(
+      base.orderBy(col("vec_id")).limit(k).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray))
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cid", assignExpr(col("embedding"), model))
+      val sums = assigned
+        .select(col("cid"), posexplode_outer(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = model.centroids.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Corpus with inverted-list assignment (persist/write this once;
+    * queries only touch probed lists). */
+  def index(corpus: DataFrame, model: Model): DataFrame =
+    corpus.withColumn("cid", assignExpr(col("embedding"), model))
+
+  /** Top-k cosine search probing the nProbe nearest lists per query. */
+  def search(queries: DataFrame, indexed: DataFrame, model: Model,
+             topK: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // nProbe nearest centroids per query, as an exploded (query, cid) set
+    val centDists = array(model.centroids.map(c => sqDist(col("qvec"), c)): _*)
+    val probed = q
+      .withColumn("probe", slice(
+        transform(
+          array_sort(
+            zip_with(centDists, sequence(lit(0), lit(model.k - 1)),
+              (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")),
+        1, nProbe))
+      .select(col("query_id"), col("qvec"), explode(col("probe")).as("cid"))
+    val c = indexed.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cvec"), col("cid"))
+    val scored = probed.join(c, Seq("cid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rcos", round(Similarity.cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rcos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("rcos"))
+  }
+}

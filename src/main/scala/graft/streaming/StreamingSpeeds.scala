@@ -66,6 +66,24 @@ object StreamingSpeeds {
     out.result().iterator
   }
 
+  /** Streaming EP2 entry: readStream over the raw JSON landing zone
+    * (same schema + flatten as the batch IngestPositions — one code
+    * path for the transformation), yielding the typed position stream
+    * the stateful EP3 consumes. New files are discovered incrementally;
+    * `maxFilesPerTrigger` bounds micro-batch size. */
+  def positionsFromRawZone(spark: SparkSession, path: String,
+                           maxFilesPerTrigger: Int = 100): Dataset[Position] = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema(graft.olhovivo.Schemas.rawSnapshot)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(path)
+    graft.olhovivo.IngestPositions.flatten(raw)
+      .select(col("prefixo_veiculo"), col("timestamp"), col("py"), col("px"))
+      .as[Position]
+  }
+
   /** positions stream → cleaned hop stream.
     *
     * `evictIdle=true` (production) arms a processing-time timeout that

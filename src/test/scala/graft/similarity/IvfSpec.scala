@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+import graft.Tables
+
+/** IVF semantics: full probe ≡ exact brute force; pruned probe returns
+  * well-formed, monotone results with nontrivial recall. */
+class IvfSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private lazy val queries = emb.filter(col("vec_id") < 15)
+  private lazy val model = Ivf.fit(emb, k = 8, iters = 3)
+  private lazy val indexed = Ivf.index(emb, model).cache()
+
+  private def asPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("full probe (nProbe = k) is exactly brute force") {
+    val ivf = asPairs(Ivf.search(queries, indexed, model, topK = 5, nProbe = model.k))
+    val bf = asPairs(Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("query_id"), col("rank").cast("long"), col("corpus_id")))
+    assert(ivf == bf)
+  }
+
+  test("pruned probe: contiguous ranks, subset semantics, recall > chance floor") {
+    val pruned = Ivf.search(queries, indexed, model, topK = 5, nProbe = 2)
+    val byQuery = pruned.collect().groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    val bf = asPairs(Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("query_id"), col("rank").cast("long"), col("corpus_id")))
+    val prunedSet = pruned.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfSet = bf.keys.map { case (q, _) => q }.toSet // queries present
+    val hits = bf.count { case ((q, _), cid) => prunedSet.contains((q, cid)) }
+    val recall = hits.toDouble / bf.size
+    assert(bfSet.nonEmpty && recall > 0.1,
+      s"recall $recall implausibly low even for 2/8 probing")
+  }
+
+  test("every corpus row lands in exactly one inverted list") {
+    assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
+      col("cid") >= model.k).count() == 0)
+    assert(indexed.count() == emb.count())
+  }
+}

@@ -60,6 +60,30 @@ class StreamingSpeedsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("file-source streaming EP2→EP3: raw JSON zone drives the stateful pipeline") {
+    val dir = scratchDir("stream-raw")
+    def poll(name: String, ts: String, p: String, py: Double): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"""{"hr": "x", "l": [{"c": "L1", "cl": 1, "sl": 1, "lt0": "A", "lt1": "B",
+           | "vs": [{"p": "$p", "a": true, "ta": "$ts", "py": $py, "px": -46.63}]}]}"""
+          .stripMargin)
+    poll("p1.json", "2025-03-06T10:00:00Z", "9001", -23.5500)
+    poll("p2.json", "2025-03-06T10:01:00Z", "9001", -23.5505)
+    val stream = hopsStream(
+      StreamingSpeeds.positionsFromRawZone(spark, dir.toString), SpeedConf())
+    val query = stream.writeStream.format("memory").queryName("file_hops")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val first = spark.table("file_hops").collect()
+      assert(first.length == 1, s"two obs → one hop, got ${first.length}")
+      // a third poll file arrives later → incremental discovery, state carries
+      poll("p3.json", "2025-03-06T10:02:30Z", "9001", -23.5512)
+      query.processAllAvailable()
+      assert(spark.table("file_hops").count() == 2)
+    } finally query.stop()
+  }
+
   test("windowed streaming aggregate produces 30-min per-vehicle sums") {
     val input = MemoryStream[Position](spark)
     val agg = windowedSpeedAgg(hopsStream(input.toDS(), SpeedConf()))
