@@ -84,6 +84,31 @@ object Extras {
        |FROM documents""".stripMargin
   }
 
+  /** The SQL entry path: a TPC-H-Q3-flavor query submitted as SQL text
+    * through spark.sql over registered temp views — proving the engine's
+    * parser/analyzer surface, not just the DataFrame API. The oracle is
+    * the IDENTICAL statement (written in the ANSI subset both engines
+    * parse the same way). */
+  def q16SqlQ3(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q16Sql)
+  }
+
+  val q16Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
   /** Approximate distinct (HLL++): engine-specific sketch, so declared
     * WITHOUT an oracle — the driver records the weaker rows-only check.
     * The exact countDistinct rides along as an internal sanity column. */
@@ -97,6 +122,7 @@ object Extras {
   val queries: Map[String, Q] = Map(
     "q14_pivot"           -> q14Pivot,
     "q15_string_paths"    -> q15StringPaths,
+    "q16_sql_q3"          -> q16SqlQ3,
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
@@ -104,6 +130,7 @@ object Extras {
   val oracles: Map[String, String] = Map(
     "q14_pivot"           -> q14Sql,
     "q15_string_paths"    -> q15Sql,
+    "q16_sql_q3"          -> q16Sql,
     "q60_multimodal_meta" -> q60Sql,
     // q90: intentionally no oracle (approximate sketch)
   )

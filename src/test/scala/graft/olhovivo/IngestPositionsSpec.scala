@@ -64,8 +64,12 @@ class IngestPositionsSpec extends SparkTestBase {
     val back = spark.read.parquet(out)
     assert(back.count() == 3)
     assert(back.columns.contains("data"), "output must be partitioned by event date")
-    // partition pruning works on the written layout
+    // partition pruning works on the written layout — verify in the PLAN
+    // (D1: date-scoped reads must prune, not scan-and-filter)
     val pruned = back.filter(back("data") === "2025-03-06")
     assert(pruned.count() == 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(data"),
+      s"date filter did not reach partition pruning:\n$plan")
   }
 }
