@@ -68,6 +68,7 @@ object Haversine {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
   }
 }
 
