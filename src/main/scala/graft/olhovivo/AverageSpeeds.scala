@@ -25,6 +25,11 @@ object AverageSpeeds {
   private val iso = DateTimeFormatter.ISO_LOCAL_DATE
 
   /** K1 (velocidades:66–81): the reference's date-keyed output paths. */
+  /** The per-row unaggregated speeds output the reference declares but
+    * leaves commented out ("too granular" — velocidades:72,130–131);
+    * kept as an opt-in output per SURVEY.md §1.1. */
+  def hopsPath(base: String, d: LocalDate): String =
+    f"$base/velocidades/${d.getYear}%04d-${d.getMonthValue}%02d/vel-${iso.format(d)}.csv"
   def aggPath(base: String, d: LocalDate): String =
     f"$base/velocidades-agg/${d.getYear}%04d-${d.getMonthValue}%02d/vel-agg-${iso.format(d)}.csv"
   def slowPath(base: String, d: LocalDate): String =
@@ -58,7 +63,8 @@ object AverageSpeeds {
   /** Full job: read (partition-pruned to one event date) → compute →
     * three CSV writes. Returns row counts per output. */
   def run(spark: SparkSession, posicoesPath: String, date: LocalDate,
-          outBase: String, conf: SpeedConf = SpeedConf()): Map[String, Long] = {
+          outBase: String, conf: SpeedConf = SpeedConf(),
+          writePerHop: Boolean = false): Map[String, Long] = {
     val day = spark.read.parquet(posicoesPath)
       .filter(col("data") === lit(iso.format(date)).cast("date"))
       .drop("data") // recomputed from event time in withTimeColumns
@@ -74,10 +80,14 @@ object AverageSpeeds {
           graft.sources.IO.writeCsv(df, path)
           df.count()
         }
-        Map(
+        val base = Map(
           "velocidades_agregadas" -> write(aggOut, aggPath(outBase, date)),
           "lentidao" -> write(slowOut, slowPath(outBase, date)),
           "acessiveis" -> write(acessOut, acessPath(outBase, date)))
+        if (writePerHop)
+          base + ("velocidades" ->
+            write(clean.select(slowCols.map(col): _*), hopsPath(outBase, date)))
+        else base
       } finally agg.unpersist()
     } finally clean.unpersist()
   }

@@ -109,6 +109,37 @@ object Extras {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
 
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + join): customers above their segment's average balance.
+    * One SQL text serves both engines. */
+  def q17ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q17Sql)
+  }
+
+  val q17Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal, round(seg_avg, 2) AS seg_avg
+      |FROM (
+      |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+      |    (SELECT avg(c2.c_acctbal) FROM customer c2
+      |     WHERE c2.c_mktsegment = c.c_mktsegment) AS seg_avg
+      |  FROM customer c) t
+      |WHERE c_acctbal > seg_avg""".stripMargin
+
+  /** IN-subquery with HAVING (plans as a left-semi join on an
+    * aggregated subquery). */
+  def q18InSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q18Sql)
+  }
+
+  val q18Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_nationkey IN (
+      |  SELECT c_nationkey FROM customer
+      |  GROUP BY c_nationkey HAVING count(*) > 5)""".stripMargin
+
   /** Approximate distinct (HLL++): engine-specific sketch, so declared
     * WITHOUT an oracle — the driver records the weaker rows-only check.
     * The exact countDistinct rides along as an internal sanity column. */
@@ -123,6 +154,8 @@ object Extras {
     "q14_pivot"           -> q14Pivot,
     "q15_string_paths"    -> q15StringPaths,
     "q16_sql_q3"          -> q16SqlQ3,
+    "q17_scalar_subquery" -> q17ScalarSubquery,
+    "q18_in_subquery"     -> q18InSubquery,
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
@@ -131,6 +164,8 @@ object Extras {
     "q14_pivot"           -> q14Sql,
     "q15_string_paths"    -> q15Sql,
     "q16_sql_q3"          -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_in_subquery"     -> q18Sql,
     "q60_multimodal_meta" -> q60Sql,
     // q90: intentionally no oracle (approximate sketch)
   )

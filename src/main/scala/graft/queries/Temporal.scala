@@ -79,15 +79,48 @@ object Temporal {
       | AND b.ts_sec > a.ts_sec AND b.ts_sec <= a.ts_sec + 600
       |GROUP BY a.event_id, a.user_id, a.ts_sec""".stripMargin
 
+  /** Spark's built-in session_window (30-min gap) — the declarative
+    * twin of q70's gaps-and-islands; also the shape the streaming
+    * variant aggregates with. Oracle: the same islands, built by hand. */
+  def q73SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("n_events"), col("sum_value"))
+
+  /** Session-window semantics: window extends while gaps < 30 min; the
+    * window CLOSES at last_event + 30min. Start = first event's ts
+    * (micros precision — Spark truncates the ns). Islands form on
+    * strict gap ≥ 1800s in MICROseconds. */
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+      |                 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |sess AS (
+      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q70_sessionize"  -> q70Sessionize,
-    "q71_asof_join"   -> q71AsofJoin,
-    "q72_range_count" -> q72RangeCount,
+    "q70_sessionize"     -> q70Sessionize,
+    "q71_asof_join"      -> q71AsofJoin,
+    "q72_range_count"    -> q72RangeCount,
+    "q73_session_window" -> q73SessionWindow,
   )
 
   val oracles: Map[String, String] = Map(
-    "q70_sessionize"  -> q70Sql,
-    "q71_asof_join"   -> q71Sql,
-    "q72_range_count" -> q72Sql,
+    "q70_sessionize"     -> q70Sql,
+    "q71_asof_join"      -> q71Sql,
+    "q72_range_count"    -> q72Sql,
+    "q73_session_window" -> q73Sql,
   )
 }
