@@ -140,6 +140,40 @@ object Extras {
       |  SELECT c_nationkey FROM customer
       |  GROUP BY c_nationkey HAVING count(*) > 5)""".stripMargin
 
+  /** Salted two-phase aggregation (operators.SkewedAggregate): output
+    * must equal the plain GROUP BY — which IS the oracle. */
+  def q19SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewedAggregate.saltedSumCount(
+      Tables.lineitem(s, dir),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "sum_qty"),
+      countName = "n", saltBuckets = 32)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+
+  val q19Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Deterministic content-hash train/val/test split
+    * (operators.DataSplit): same doc → same split on any cluster/run,
+    * unlike randomSplit. */
+  def q34DataSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataSplit.withSplit(
+      Tables.documents(s, dir), col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  val q34Sql: String = {
+    val h = "('0x' || substr(md5(text), 1, 15))::BIGINT % 10000"
+    s"""SELECT doc_id,
+       |  CASE WHEN $h < 8000 THEN 'train'
+       |       WHEN $h < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   /** Approximate distinct (HLL++): engine-specific sketch, so declared
     * WITHOUT an oracle — the driver records the weaker rows-only check.
     * The exact countDistinct rides along as an internal sanity column. */
@@ -156,6 +190,8 @@ object Extras {
     "q16_sql_q3"          -> q16SqlQ3,
     "q17_scalar_subquery" -> q17ScalarSubquery,
     "q18_in_subquery"     -> q18InSubquery,
+    "q19_salted_agg"      -> q19SaltedAgg,
+    "q34_data_split"      -> q34DataSplit,
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
@@ -166,6 +202,8 @@ object Extras {
     "q16_sql_q3"          -> q16Sql,
     "q17_scalar_subquery" -> q17Sql,
     "q18_in_subquery"     -> q18Sql,
+    "q19_salted_agg"      -> q19Sql,
+    "q34_data_split"      -> q34Sql,
     "q60_multimodal_meta" -> q60Sql,
     // q90: intentionally no oracle (approximate sketch)
   )
