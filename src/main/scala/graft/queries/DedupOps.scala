@@ -25,6 +25,15 @@ object DedupOps {
   private def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** The testdata ships as single-row-group parquet → one input split,
+    * so CPU-heavy per-row signature stages would run single-threaded.
+    * Spread across the cores first (rows unchanged; on a real cluster
+    * multi-file inputs make this a no-op decision). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** doc_id + distinct 3-gram shingles, shared oracle prefix. */
   private val shingleCte: String =
     s"""WITH toks_t AS (
@@ -60,7 +69,7 @@ object DedupOps {
     * always length-k arrays). Same semantics: null entries are filtered
     * on the generated column, which cannot be pushed below the Generate. */
   def q41MinhashSig(s: SparkSession, dir: String): DataFrame =
-    Dedup.withMinhashSignature(Tables.documents(s, dir), col("text"), K, ShingleN, "sig")
+    Dedup.withMinhashSignature(spread(s, Tables.documents(s, dir)), col("text"), K, ShingleN, "sig")
       .select(col("doc_id"), posexplode_outer(col("sig")).as(Seq("perm", "mh")))
       .filter(col("mh").isNotNull)
       .select(col("doc_id"), col("perm").cast("long").as("perm"), col("mh"))
@@ -83,7 +92,7 @@ object DedupOps {
     // Cheap pushable pre-filter (≥ ShingleN tokens ⟺ non-null signature);
     // filtering on element_at(sig, 1) would inline the signature into an
     // interpreted scan Filter (see q41 note).
-    val docs = Tables.documents(s, dir)
+    val docs = spread(s, Tables.documents(s, dir))
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
       .select(col("doc_id"), col("sig"))
@@ -156,7 +165,7 @@ object DedupOps {
   // --------------------------------------------------------- q44 simhash
 
   def q44Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.withSimhash(Tables.documents(s, dir), col("text"), SimBits, "simhash")
+    Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
       .select(col("doc_id"), col("simhash"))
 
   private def simhashSql(col: String = "toks"): String =
@@ -183,7 +192,7 @@ object DedupOps {
     * bands of the 24-bit simhash (a hamming-≤2 pair must agree on ≥1
     * band by pigeonhole), then exact Hamming ≤ 2 filters. */
   def q45SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = Dedup.withSimhash(Tables.documents(s, dir), col("text"), SimBits, "simhash")
+    val sig = Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
       .select(col("doc_id"), col("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode_outer(array(
@@ -229,7 +238,7 @@ object DedupOps {
   def q46CorpusSketch(s: SparkSession, dir: String): DataFrame = {
     val sketch = udaf(new MinHashAggregator(K),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    val docs = Tables.documents(s, dir)
+    val docs = spread(s, Tables.documents(s, dir))
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
       .groupBy(col("source"))
