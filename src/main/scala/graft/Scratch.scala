@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only harness: time a subset of gate queries (args) on a given SF
+  * dir, optionally printing the formatted plan. Not part of the driver
+  * contract. Usage: runMain graft.Scratch <sfDir> [explain] q43 q45 ... */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val explain = args.contains("explain")
+    val names = args.drop(1).filterNot(_ == "explain")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sel = SparkEntry.queries.filter { case (k, _) =>
+      names.isEmpty || names.exists(k.startsWith) }
+    sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      if (explain) { println(s"===== $name plan"); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      // second run to split plan-vs-execute and caching effects
+      val t0b = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t1b = (System.nanoTime() - t0b) / 1e9
+      println(f"$name%-22s run1=$t1%8.2fs run2=$t1b%8.2fs")
+    }
+    spark.stop()
+  }
+}

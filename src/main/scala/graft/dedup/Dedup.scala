@@ -82,15 +82,24 @@ object Dedup {
       .drop(toks, shh)
   }
 
+  /** Band-combine modulus/multiplier: fold step is
+    * `(acc * BandA + entry) % BandM` with acc < BandM < 2^31 and
+    * entry < 2^31, so every intermediate stays under 2^62 — no signed-64
+    * wraparound for ANY rowsPerBand (Spark would wrap silently while
+    * DuckDB BIGINT raises, breaking oracle parity). */
+  val BandM: Long = 2147483629L // largest prime < 2^31 - 1
+  val BandA: Long = Portable.MersenneP
+
   /** LSH band keys from a signature: bands of `rowsPerBand` adjacent
-    * signature entries combined into one 63-bit key. Explode these and
-    * equi-join on (band_index, band_hash) for candidate pairs. */
+    * signature entries combined into one bounded key via a mod-BandM
+    * Horner fold. Explode these and equi-join on
+    * (band_index, band_hash) for candidate pairs. */
   def lshBands(signature: Column, k: Int, rowsPerBand: Int): Column = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
     transform(sequence(lit(0), lit(nBands - 1)), b => {
       (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, r) =>
-        acc * Portable.MersenneP + element_at(signature, b * rowsPerBand + r + 1)
+        (acc * BandA + element_at(signature, b * rowsPerBand + r + 1)) % BandM
       }
     })
   }

@@ -55,10 +55,26 @@ object Portable {
     lit(2.0 * 6371000.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
   }
 
+  /** Exact floor division of a long column by a positive long constant,
+    * in pure integer math (no double rounding, sign-correct for negative
+    * dividends, exact beyond 2^53). `pmod` makes the numerator an exact
+    * non-negative-remainder multiple, so integral `div` truncation IS
+    * floor. DuckDB mirror: `(x - ((x % d) + d) % d) // d`. */
+  def floorDiv(c: Column, d: Long): Column = {
+    require(d > 0, "divisor must be positive")
+    val x = c.cast(LongType)
+    call_function("div", x - pmod(x, lit(d)), lit(d))
+  }
+
   /** 30-minute bucket start, in epoch seconds, from an epoch-seconds
-    * column (reference E2, velocidades:26–31). Pure integer math —
-    * exact on both engines. DuckDB: `(ts_sec // 1800) * 1800`. */
-  def bucket30mStart(tsSec: Column): Column = (tsSec.cast(LongType) / 1800).cast(LongType) * 1800
+    * column (reference E2, velocidades:26–31). Pure integer math — exact
+    * on both engines, floor (not truncate-toward-zero) for pre-epoch
+    * timestamps. DuckDB: `(ts_sec // 1800) * 1800` (positive domain;
+    * portable general form `ts - ((ts % 1800) + 1800) % 1800`). */
+  def bucket30mStart(tsSec: Column): Column = {
+    val x = tsSec.cast(LongType)
+    x - pmod(x, lit(1800L))
+  }
 
   /** The reference's interval label `"HH:mm-HH:mm"` for a 30-minute
     * bucket (velocidades:26–31): label of [start, start+1800).

@@ -69,12 +69,17 @@ object SpeedPipeline {
     *   L1 strict truncate (velocidades:97–98) — only with `limitRows`;
     *   W2 lag ×3 (101–103); P1 drop first observation (106);
     *   E3 tempo (109); P2 stale-gap drop, `tempo == 600` survives (112);
-    *   trap ⑤: `tempo > 0` reproduces pandas' inf-then-dropped net effect
-    *   for zero-elapsed pairs (Spark's null division would otherwise KEEP
-    *   those rows);
     *   E4 haversine (115–118) + E5 round-2 (121); E6 speed (124);
     *   P3 anomaly drop, `== 33` survives (127).
-    */
+    *
+    * Trap ⑤ (zero-elapsed pairs — duplicate timestamps): pandas division
+    * by zero yields `inf` when distancia > 0 (then `inf > 33` drops the
+    * row at P3) but `NaN` when distancia == 0, and `NaN > 33` is False —
+    * the 0-distance/0-time row is KEPT with NaN speed
+    * (velocidades:124,127). Default mode applies the *intended* cleaning
+    * `tempo > 0` (drops all duplicate-timestamp hops — degenerate rows);
+    * strictReference reproduces pandas exactly: explicit ±inf/null speed
+    * and a null-keeping P3. */
   def hops(posicoes: DataFrame, conf: SpeedConf = SpeedConf(),
            orderTiebreak: Seq[Column] = Nil): DataFrame = {
     val limited = conf.limitRows match {
@@ -86,15 +91,24 @@ object SpeedPipeline {
           .limit(n)
       case None => posicoes
     }
-    lagPrevious(withTimeColumns(limited), orderTiebreak)
+    val p2 = lagPrevious(withTimeColumns(limited), orderTiebreak)
       .filter(col("px_anterior").isNotNull)                            // P1
       .withColumn("tempo", col("timestamp") - col("timestamp_anterior")) // E3
-      .filter(col("tempo") <= conf.staleGapSec && col("tempo") > 0)    // P2 + trap ⑤
+      .filter(col("tempo") <= conf.staleGapSec &&                      // P2
+        (if (conf.strictReference) lit(true) else col("tempo") > 0))   // trap ⑤ (default)
       .withColumn("distancia",
         round(Portable.haversineMeters(
           col("py_anterior"), col("px_anterior"), col("py"), col("px")), 2)) // E4+E5
-      .withColumn("velocidade_media", col("distancia") / col("tempo")) // E6
-      .filter(!(col("velocidade_media") > conf.maxSpeedMs))            // P3
+    if (conf.strictReference)
+      p2.withColumn("velocidade_media",                                // E6, pandas-exact
+          when(col("tempo") > 0, col("distancia") / col("tempo"))
+            .when(col("distancia") > 0, lit(Double.PositiveInfinity))
+            .otherwise(lit(null).cast("double")))
+        .filter(col("velocidade_media").isNull ||                      // P3: NaN kept,
+          !(col("velocidade_media") > conf.maxSpeedMs))                // inf dropped
+    else
+      p2.withColumn("velocidade_media", col("distancia") / col("tempo")) // E6
+        .filter(!(col("velocidade_media") > conf.maxSpeedMs))            // P3
   }
 
   /** P4 + J1 (velocidades:134–142): per-observation slow points,

@@ -21,12 +21,16 @@ object RangeJoin {
     * disambiguates. */
   def selfRangeJoin(df: DataFrame, key: String, time: String, idCol: String,
                     horizon: Long): DataFrame = {
+    // Integer FLOOR division (Portable.floorDiv), not double-divide +
+    // cast: truncation toward zero puts negative times in the wrong
+    // bucket (silently missed pairs), and doubles lose exactness past
+    // 2^53 for ns-scale longs.
     val l = df.select(col(key).as("_k"), col(time).as("_lt"), col(idCol).as("_lid"))
       .withColumn("_bucket", explode(array(
-        (col("_lt") / horizon).cast("long"),
-        (col("_lt") / horizon).cast("long") + 1)))
+        graft.functions.Portable.floorDiv(col("_lt"), horizon),
+        graft.functions.Portable.floorDiv(col("_lt"), horizon) + 1)))
     val r = df.select(col(key).as("_k"), col(time).as("_rt"), col(idCol).as("_rid"))
-      .withColumn("_bucket", (col("_rt") / horizon).cast("long"))
+      .withColumn("_bucket", graft.functions.Portable.floorDiv(col("_rt"), horizon))
     l.join(r, Seq("_k", "_bucket"))
       .filter(col("_rt") > col("_lt") && col("_rt") <= col("_lt") + horizon)
       .select(col("_k").as(key), col("_lid").as(s"l_$idCol"),

@@ -33,12 +33,16 @@ object HaversineBoundingBox extends Rule[LogicalPlan] {
   private val tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.havbox")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if f.getTagValue(tag).isEmpty &&
-        cond.exists(isRadiusPredicate) =>
-      val bounds = cond.collect {
-        case p @ LessThanOrEqual(Haversine(lat1, _, lat2, _), r) if isCheap(r) =>
+    case f @ Filter(cond, child) if f.getTagValue(tag).isEmpty => {
+      // Only TOP-LEVEL conjuncts may imply a bound: a radius predicate
+      // under Or / Not / CaseWhen does not constrain the whole filter
+      // (e.g. `haversine <= r OR city = 'X'` admits far rows), so the
+      // condition is split on And and each conjunct matched directly —
+      // no recursive collect.
+      val bounds = splitConjunctivePredicates(cond).collect {
+        case LessThanOrEqual(Haversine(lat1, _, lat2, _), r) if isCheap(r) =>
           latBound(lat1, lat2, r)
-        case p @ LessThan(Haversine(lat1, _, lat2, _), r) if isCheap(r) =>
+        case LessThan(Haversine(lat1, _, lat2, _), r) if isCheap(r) =>
           latBound(lat1, lat2, r)
         case GreaterThanOrEqual(r, Haversine(lat1, _, lat2, _)) if isCheap(r) =>
           latBound(lat1, lat2, r)
@@ -51,12 +55,12 @@ object HaversineBoundingBox extends Rule[LogicalPlan] {
         rewritten.setTagValue(tag, true)
         rewritten
       }
+    }
   }
 
-  private def isRadiusPredicate(e: Expression): Boolean = e match {
-    case LessThanOrEqual(_: Haversine, _) | LessThan(_: Haversine, _) |
-         GreaterThanOrEqual(_, _: Haversine) | GreaterThan(_, _: Haversine) => true
-    case _ => false
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
   }
 
   /** Only rewrite when the radius is cheap to duplicate (literal or

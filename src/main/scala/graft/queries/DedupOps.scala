@@ -111,9 +111,10 @@ object DedupOps {
       .mkString(", ")
     val bandArms = (0 until K / RowsPerBand).map { bi =>
       val terms = (0 until RowsPerBand).map(r => bi * RowsPerBand + r)
-      // Horner over the band's signature entries, exactly like lshBands
+      // mod-BandM Horner over the band's signature entries, exactly
+      // like Dedup.lshBands (bounded — no BIGINT overflow on any layout)
       val expr = terms.foldLeft("0::BIGINT") { (acc, idx) =>
-        s"(($acc) * $P + sig[${idx + 1}])"
+        s"((($acc) * ${Dedup.BandA} + sig[${idx + 1}]) % ${Dedup.BandM})"
       }
       s"SELECT doc_id, $bi AS band, $expr AS bh FROM sig_t"
     }.mkString("\nUNION ALL\n")
@@ -234,7 +235,9 @@ object DedupOps {
 
   /** Group-level minhash union via the typed MinHashAggregator (partial
     * element-wise mins map-side; k longs per group over the wire): one
-    * corpus signature per document source. */
+    * corpus signature per document source. The signature is emitted as a
+    * comma-joined STRING — the driver's comparator sorts rows in pandas,
+    * where an array cell is unhashable and aborts the check. */
   def q46CorpusSketch(s: SparkSession, dir: String): DataFrame = {
     val sketch = udaf(new MinHashAggregator(K),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
@@ -242,7 +245,9 @@ object DedupOps {
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
       .groupBy(col("source"))
-      .agg(sketch(col("sig")).as("corpus_sig"), count(lit(1)).as("n_docs"))
+      .agg(sketch(col("sig")).as("sig_arr"), count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        array_join(col("sig_arr"), ",").as("corpus_sig"), col("n_docs"))
   }
 
   val q46Sql: String = {
@@ -263,7 +268,8 @@ object DedupOps {
          |  SELECT source, perm, min(mh) AS mh FROM mh_t GROUP BY source, perm),
          |docs_per_source AS (
          |  SELECT source, count(DISTINCT doc_id) AS n_docs FROM mh_t GROUP BY source)
-         |SELECT g.source, list(g.mh ORDER BY g.perm) AS corpus_sig, d.n_docs
+         |SELECT g.source,
+         |  array_to_string(list(g.mh ORDER BY g.perm), ',') AS corpus_sig, d.n_docs
          |FROM grp g JOIN docs_per_source d USING (source)
          |GROUP BY g.source, d.n_docs""".stripMargin
   }

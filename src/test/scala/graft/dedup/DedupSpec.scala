@@ -52,6 +52,21 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
   }
 
+  test("lshBands: bounded mod-M fold — no overflow at any band width, dups still collide") {
+    val k = 8
+    for (rowsPerBand <- Seq(1, 2, 4, 8)) {
+      val bands = Dedup.withMinhashSignature(docs, $"text", k, 3, "sig")
+        .filter($"doc_id" =!= 4L) // short doc has a null signature
+        .select($"doc_id", Dedup.lshBands($"sig", k, rowsPerBand).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      bands.values.flatten.foreach { v =>
+        assert(v >= 0 && v < Dedup.BandM,
+          s"band hash $v escaped [0, BandM) at rowsPerBand=$rowsPerBand")
+      }
+      assert(bands(0L) == bands(3L), "exact dups collide on every band")
+    }
+  }
+
   test("exactCanonical groups exact duplicates to the min id") {
     val canon = Dedup.exactCanonical(docs, "doc_id", $"text")
       .collect().map(r => r.getAs[String]("dedup_key") ->

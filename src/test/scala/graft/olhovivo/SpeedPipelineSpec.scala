@@ -75,6 +75,20 @@ class SpeedPipelineSpec extends SparkTestBase {
   // R·Δlat_rad, so meters-per-degree = 2πR/360)
   private def mDeg(m: Double): Double = m / (2 * 6371000.0 * math.Pi / 360.0)
 
+  test("trap 5 strict: 0-time/0-distance kept with null speed (pandas NaN), 0-time/moved dropped (pandas inf)") {
+    val df = pos(
+      ("B", 1000L, -23.5600, -46.6300),
+      ("B", 1000L, -23.5600, -46.6300),  // dup ts, dup position → pandas 0/0 = NaN → KEPT
+      ("C", 1000L, -23.5700, -46.6300),
+      ("C", 1000L, -23.5710, -46.6300))  // dup ts, moved → pandas d/0 = inf > 33 → dropped
+    val strictRows = hops(df, SpeedConf(strictReference = true), orderTiebreak = Seq($"py"))
+      .select($"prefixo_veiculo", $"velocidade_media").collect()
+    assert(strictRows.map(_.getString(0)).toSeq == Seq("B"), "only the 0/0 row survives")
+    assert(strictRows.head.isNullAt(1), "strict-mode 0/0 speed is null (pandas NaN)")
+    // default (intended) mode drops every zero-elapsed hop
+    assert(hops(df, SpeedConf(), orderTiebreak = Seq($"py")).count() == 0)
+  }
+
   test("slow points: velocidade < 1.4 strictly") {
     val df = pos(
       ("A", 0L, -23.55, -46.63),

@@ -36,6 +36,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)), s"got $pairs")
   }
 
+  test("selfRangeJoin: negative times bucket by FLOOR division (no truncate-toward-zero miss)") {
+    // t = -100 and t = +100 are 200 apart: a hit for horizon 600. With
+    // truncating division both land in bucket 0 only by accident of sign;
+    // floor places -100 in bucket -1 whose windows (buckets -1, 0) still
+    // cover +100 — truncation would also claim bucket 0 for -100 but put
+    // its replicas at {0, 1}, missing right rows in bucket -1.
+    val df = Seq((1L, "u", -700L), (2L, "u", -100L), (3L, "u", 100L))
+      .toDF("id", "k", "t")
+    val pairs = RangeJoin.selfRangeJoin(df, "k", "t", "id", 600L)
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2): -100 ≤ -700+600 = -100 inclusive ✓; (1,3): 100 > -100 ✗;
+    // (2,3): 100 ≤ 500 ✓
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"got $pairs")
+  }
+
   test("countFollowing keeps zero rows") {
     val df = Seq((1L, "u", 0L), (2L, "u", 10000L)).toDF("id", "k", "t")
     val got = RangeJoin.countFollowing(df, "k", "t", "id", 600L)

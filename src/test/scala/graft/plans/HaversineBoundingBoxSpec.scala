@@ -73,6 +73,31 @@ class HaversineBoundingBoxSpec extends AnyFunSuite {
     assert(occurrences == 1, s"expected exactly 1 injected bound, got $occurrences:\n$optimized")
   }
 
+  test("disjunctive/negated radius predicates are NOT rewritten (only top-level conjuncts)") {
+    val radius = Haversine.haversineM(col("lat1"), col("lon1"), col("lat2"), col("lon2")) <= 500000.0
+    // OR: the radius branch does not constrain rows satisfying the other
+    // disjunct — injecting a bound would silently drop them.
+    val orDf = pts.filter(radius || col("lon1") > 5.0)
+    assert(!orDf.queryExecution.optimizedPlan.toString.contains("abs((lat1"),
+      "bound must not be injected for a disjunctive radius predicate")
+    val expectedOr = pts.collect().count { r =>
+      Haversine.compute(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) <= 500000.0 ||
+        r.getDouble(1) > 5.0
+    }
+    assert(orDf.count() == expectedOr)
+    // NOT: a negated radius predicate implies the OPPOSITE of the bound.
+    val notDf = pts.filter(!radius)
+    assert(!notDf.queryExecution.optimizedPlan.toString.contains("abs((lat1"))
+    val expectedNot = pts.collect().count { r =>
+      !(Haversine.compute(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) <= 500000.0)
+    }
+    assert(notDf.count() == expectedNot)
+    // conjunct alongside other predicates still fires
+    val andDf = pts.filter(radius && col("lon1") > -100.0)
+    assert(andDf.queryExecution.optimizedPlan.toString.contains("abs((lat1"),
+      "top-level conjunct must still get the bound")
+  }
+
   test("non-radius haversine uses stay untouched") {
     val df = pts.select(
       Haversine.haversineM(col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("d"))
