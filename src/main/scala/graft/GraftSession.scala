@@ -34,14 +34,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     spark
   }
 
   /** Apply the must-have configs to an externally built session (e.g. the
-    * driver's own). Runtime-settable confs only. */
+    * driver's own). Runtime-settable confs + function registration only. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftExtensions.register(spark)
     spark
   }
 }

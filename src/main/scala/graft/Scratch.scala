@@ -19,6 +19,7 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     val sel = SparkEntry.queries.filter { case (k, _) =>
       names.isEmpty || names.exists(k.startsWith) }
     sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>

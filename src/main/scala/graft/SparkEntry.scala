@@ -24,6 +24,7 @@ object SparkEntry {
   private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.Analytics.queries, graft.queries.Analytics.oracles),
       (graft.queries.OlhoVivo.queries, graft.queries.OlhoVivo.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),

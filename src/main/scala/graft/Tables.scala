@@ -43,6 +43,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Spread a narrow scan across the cluster's cores before CPU-heavy
+    * per-row stages. The testdata ships as single-row-group parquet →
+    * one input split, so expression-heavy stages (signatures, cosines)
+    * would otherwise run single-threaded; on a real cluster multi-file
+    * inputs make this a no-op decision (`getNumPartitions` already ≥
+    * parallelism). Rows unchanged. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events` with: `ts_ns` (exact nanosecond epoch, LongType), `ts`
     * (TimestampType, truncated to micros), `ts_sec` (epoch seconds,
     * LongType) — the three granularities different operators want. */

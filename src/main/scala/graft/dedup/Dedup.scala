@@ -159,11 +159,20 @@ object Dedup {
     // downstream pair-join. (A broadcast anti-join against the
     // stop-shingle set was measured 3× slower at sf0.1 — it recomputes
     // the explode on both sides and serializes on the broadcast.)
+    //
+    // persist: this relation is consumed THREE times (sizes + both join
+    // sides); without it each consumer re-tokenizes, re-explodes, and
+    // re-shuffles the corpus. The cache also preserves the window's
+    // hashpartitioning(sh), so the pair self-join needs no further
+    // exchange. At 100 TB this materialization is the standard
+    // "posting list" intermediate — cache-or-write-it is the design,
+    // not a local trick.
     val filtered = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = filtered.toDF("id_a", "sh")
     val b = filtered.toDF("id_b", "sh")

@@ -68,6 +68,7 @@ object Haversine {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
   }
 }
@@ -85,10 +86,24 @@ object GraftExtensions {
       Haversine(exprs(0), exprs(1), exprs(2), exprs(3))
     })
 
+  private[functions] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "dot_product(vec_a, vec_b)")
+      DotProduct(exprs(0), exprs(1))
+    })
+
   /** Register on an already-built session (tests, driver sessions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m",
       exprs => haversineDescriptor._3(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => dotProductDescriptor._3(exprs),
+      "built-in")
+  }
 }

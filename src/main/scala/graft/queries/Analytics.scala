@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Analytic-function coverage beyond the round-1 surface: the full
+  * window-function family (ntile / percent_rank / cume_dist / lead),
+  * exact percentiles, statistical aggregates (corr / covariance /
+  * stddev), argmin/argmax aggregation, and CUBE grouping sets.
+  *
+  * Cross-engine determinism (per queries.Relational): window orderings
+  * carry a unique tiebreak column; double aggregates are rounded on both
+  * engines with margins sized to the co-moment accumulation error
+  * (partition-order-dependent in the last ~1e-9 relative for 600k-row
+  * groups — far inside the rounding).
+  *
+  * Scale notes: every window partitions on a real key (no
+  * whole-relation window except the intentionally-tiny percentile
+  * output); stats/percentile aggregates are single-shuffle partial
+  * aggregations except exact percentile, which is sort-based by nature —
+  * the approx_percentile sketch (q90-style) is the 100 TB path, exact is
+  * the oracle-checkable baseline.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------- q25 window family
+
+  /** ntile/percent_rank/cume_dist/lead over per-segment balance order —
+    * one exchange on the window key serves all four functions. */
+  def q25WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("next_cust", lead(col("c_custkey"), 1).over(w))
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        col("quartile"), col("pct_rank"), col("cume"), col("next_cust"))
+  }
+
+  val q25Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lead(c_custkey, 1) OVER w AS next_cust
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
+  // --------------------------------------------------- q26 percentiles
+
+  /** Exact interpolated percentiles per group (the oracle-checkable
+    * baseline; approx_percentile is the sketch path at scale). */
+  def q26Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
+        count(lit(1)).as("n"))
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------- q27 statistical aggs
+
+  /** corr / covar_samp / stddev_samp — single-pass partial-merge
+    * co-moments on both engines; rounding absorbs the partition-order
+    * accumulation difference. */
+  def q27StatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 3).as("stddev_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  val q27Sql: String =
+    """SELECT l_linestatus,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+      |  round(stddev_samp(l_extendedprice), 3) AS stddev_price,
+      |  round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // ------------------------------------------------- q28 argmin/argmax
+
+  /** max_by/min_by (argmax/argmin) per supplier. max_by over a tied key
+    * is engine-nondeterministic and never oracle-safe — and the synthetic
+    * lineitem DOES carry duplicate (orderkey, linenumber) rows — so the
+    * ordering key is a 60-bit content hash of the full row identity,
+    * unique in practice and computed identically by both engines. */
+  def q28ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    val rowKey = graft.functions.Portable.h60(concat_ws("-",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        max_by(col("l_partkey"), rowKey).as("argmax_partkey"),
+        min_by(col("l_partkey"), rowKey).as("argmin_partkey"),
+        max(rowKey).as("max_row_key"))
+  }
+
+  val q28Sql: String = {
+    val k = "('0x' || substr(md5(l_orderkey || '-' || l_linenumber || '-' || l_partkey), 1, 15))::BIGINT"
+    s"""SELECT l_suppkey,
+       |  arg_max(l_partkey, $k) AS argmax_partkey,
+       |  arg_min(l_partkey, $k) AS argmin_partkey,
+       |  max($k) AS max_row_key
+       |FROM lineitem GROUP BY l_suppkey""".stripMargin
+  }
+
+  // ------------------------------------------------------- q29 cube
+
+  /** CUBE over (priority, status) with the grouping-id bitmask — all
+    * four grouping sets in ONE shuffle (Spark expands the cube into a
+    * single Expand + hash aggregate, not four scans). */
+  def q29Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      // grouping_id() is only resolvable INSIDE the cube's agg list
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_price"))
+
+  val q29Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q25_window_suite" -> q25WindowSuite,
+    "q26_percentiles"  -> q26Percentiles,
+    "q27_stats_agg"    -> q27StatsAgg,
+    "q28_argminmax"    -> q28ArgMinMax,
+    "q29_cube"         -> q29Cube,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_window_suite" -> q25Sql,
+    "q26_percentiles"  -> q26Sql,
+    "q27_stats_agg"    -> q27Sql,
+    "q28_argminmax"    -> q28Sql,
+    "q29_cube"         -> q29Sql,
+  )
+}

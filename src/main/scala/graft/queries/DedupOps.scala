@@ -25,14 +25,10 @@ object DedupOps {
   private def h60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** The testdata ships as single-row-group parquet → one input split,
-    * so CPU-heavy per-row signature stages would run single-threaded.
-    * Spread across the cores first (rows unchanged; on a real cluster
-    * multi-file inputs make this a no-op decision). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Single-split scans → spread before CPU-heavy signature stages
+    * (Tables.spread). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    Tables.spread(s, df)
 
   /** doc_id + distinct 3-gram shingles, shared oracle prefix. */
   private val shingleCte: String =
@@ -96,8 +92,11 @@ object DedupOps {
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
       .select(col("doc_id"), col("sig"))
+    // persist: both self-join sides consume `bands`; uncached, each
+    // side recomputes the full minhash-signature pipeline.
     val bands = sig.select(col("doc_id"),
         posexplode_outer(Dedup.lshBands(col("sig"), K, RowsPerBand)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.toDF("id_a", "band", "bh")
     val b = bands.toDF("id_b", "band", "bh")
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
@@ -139,7 +138,7 @@ object DedupOps {
   // --------------------------------------------------------- q43 jaccard
 
   def q43Jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", col("text"),
+    Dedup.jaccardJoin(spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
       ShingleN, maxShingleDf = 50, minJ = 0.2)
 
   val q43Sql: String = shingleCte.dropRight(1) + "," +
@@ -193,8 +192,11 @@ object DedupOps {
     * bands of the 24-bit simhash (a hamming-≤2 pair must agree on ≥1
     * band by pigeonhole), then exact Hamming ≤ 2 filters. */
   def q45SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // persist: the banded self-join consumes the signature twice; the
+    // 24-bit fold over per-token hashes is the expensive stage.
     val sig = Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
       .select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode_outer(array(
         col("simhash") % 256,

@@ -104,11 +104,54 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per document. Plan shape: explode → (doc, term)
+    * partial-agg tf → term-keyed df agg (vocabulary-sized, tiny next to
+    * the token stream) → broadcast of the 1-row corpus count → ranked
+    * window on doc_id. Ranking is on the ROUNDED score (+ term asc) so
+    * both engines order identically — raw ln() products can differ in
+    * the last ulp exactly at rank boundaries. */
+  def q35Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  val q35Sql: String = toksCte.dropRight(1) + "," +
+    """
+      |tf_t AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t) x
+      |  GROUP BY doc_id, t),
+      |df_t AS (SELECT term, count(*) AS df FROM tf_t GROUP BY term),
+      |n_t AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+      |  FROM tf_t JOIN df_t USING (term) CROSS JOIN n_t),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY tfidf DESC, term ASC) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
     "q33_fingerprint" -> q33Fingerprint,
+    "q35_tfidf"       -> q35Tfidf,
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,5 +159,6 @@ object TextOps {
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,
     "q33_fingerprint" -> q33Sql,
+    "q35_tfidf"       -> q35Sql,
   )
 }

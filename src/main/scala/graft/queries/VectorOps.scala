@@ -33,8 +33,11 @@ object VectorOps {
 
   def q50AnnTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // spread the corpus side: the O(|Q|·|C|) cosine scoring runs on the
+    // corpus partitioning (queries are broadcast), and the testdata scan
+    // is a single split.
     Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") < NQueries), emb, TopK)
+      emb.filter(col("vec_id") < NQueries), Tables.spread(s, emb), TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("corpus_id"), col("rcos"))
   }
@@ -54,7 +57,8 @@ object VectorOps {
        |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
 
   def q51LshNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), Planes, Dim, MinCos)
+    Similarity.lshNearDupPairs(Tables.spread(s, Tables.embeddings(s, dir)),
+      Planes, Dim, MinCos)
 
   val q51Sql: String = {
     val planes = Similarity.hyperplanes(Planes, Dim)
@@ -81,7 +85,8 @@ object VectorOps {
     val model = graft.similarity.Ivf.fit(emb, k = 8, iters = 3)
     graft.similarity.Ivf.search(
       emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
-      graft.similarity.Ivf.index(emb, model), model, topK = TopK, nProbe = 8)
+      graft.similarity.Ivf.index(Tables.spread(s, emb), model), model,
+      topK = TopK, nProbe = 8)
   }
 
   val q52Sql: String =

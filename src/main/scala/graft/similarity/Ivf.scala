@@ -43,9 +43,17 @@ object Ivf {
   }
 
   /** Deterministic Lloyd k-means. Empty clusters keep their previous
-    * centroid (stable under any data). */
+    * centroid (stable under any data).
+    *
+    * The projected corpus is spread (single-split scans would run the
+    * interpreted assignment single-threaded) and persisted for the
+    * duration of the fit — it is consumed `iters + 1` times, and Lloyd
+    * iterations over a re-read corpus are the classic iterative-ML
+    * anti-pattern Spark caching exists for. */
   def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {
-    val base = corpus.select(col("vec_id"), col("embedding"))
+    val base = graft.Tables.spread(corpus.sparkSession,
+        corpus.select(col("vec_id"), col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var model = Model(
       base.orderBy(col("vec_id")).limit(k).collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray))
@@ -60,6 +68,7 @@ object Ivf {
       sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       model = Model(next)
     }
+    base.unpersist(blocking = false)
     model
   }
 

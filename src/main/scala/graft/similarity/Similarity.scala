@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision (element order =
-    * array order on both engines → bit-identical results). */
+  /** Sequential dot product in double precision (element order = array
+    * order on both engines → bit-identical results). Backed by the
+    * native codegen'd DotProduct expression (functions.DotProduct) —
+    * sessions built by GraftSession/Verify/Bench/tests register it; the
+    * interpreted fold `dotFold` below is the registration-free form. */
   def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** The composed higher-order-function form of `dot` — identical
+    * accumulation order and null semantics, no function registration
+    * needed, but interpreted per element (HOFs are CodegenFallback). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -75,8 +84,11 @@ object Similarity {
     * The scale path: bucket count grows with `planes`, so bucket size —
     * and the quadratic term — is tunable. */
   def lshNearDupPairs(df: DataFrame, planes: Int, dim: Int, minCos: Double): DataFrame = {
+    // persist: both self-join sides consume the signature relation;
+    // uncached, each recomputes `planes` interpreted dot products/row.
     val sig = df.select(col("vec_id"), col("embedding"),
       signLshSignature(col("embedding"), planes, dim).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.toDF("id_a", "vec_a", "bucket")
     val b = sig.toDF("id_b", "vec_b", "bucket")
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
