@@ -65,9 +65,32 @@ object Dedup {
     * subexpression elimination across lambdas), so the single-Column form
     * re-tokenizes and re-hashes the document k× per shingle. Binding each
     * step to a column makes the inner references attribute reads: one
-    * tokenize + one md5 per shingle per row, total. Same semantics. */
+    * tokenize + one md5 per shingle per row, total.
+    *
+    * The signature fold itself is the native MinhashSignature expression
+    * (one codegen'd pass, k running minima) rather than k interpreted
+    * `array_min(transform(...))` passes — bit-identical values
+    * (DedupSpec asserts against the fold form below). */
   def withMinhashSignature(df: DataFrame, textCol: Column, k: Int,
-                           shingleN: Int, out: String): DataFrame = {
+                           shingleN: Int, out: String): DataFrame =
+    withShingleHashes(df, textCol, shingleN) { shh =>
+      call_function("minhash_sig", shh, lit(k))
+    }(out)
+
+  /** The composed-builtin form of the signature fold — k interpreted
+    * array_min/transform passes. Registration-free; kept as the
+    * cross-check MinhashSignature is asserted against. */
+  def withMinhashSignatureFold(df: DataFrame, textCol: Column, k: Int,
+                               shingleN: Int, out: String): DataFrame =
+    withShingleHashes(df, textCol, shingleN) { shh =>
+      array(minhashParams(k).map { case (a, b) =>
+        array_min(transform(shh, h => Portable.affine(h, a, b)))
+      }: _*)
+    }(out)
+
+  /** Shared staging: tokens → shingle h60 hashes → `build(hashCol)`. */
+  private def withShingleHashes(df: DataFrame, textCol: Column, shingleN: Int)
+                               (build: Column => Column)(out: String): DataFrame = {
     val toks = "__mh_toks"
     val shh = "__mh_shh"
     df.withColumn(toks, TextAnalysis.tokens(textCol))
@@ -76,9 +99,7 @@ object Dedup {
           .otherwise(transform(
             sequence(lit(0), size(col(toks)) - shingleN),
             i => Portable.h60(array_join(slice(col(toks), i + 1, lit(shingleN)), " ")))))
-      .withColumn(out, array(minhashParams(k).map { case (a, b) =>
-        array_min(transform(col(shh), h => Portable.affine(h, a, b)))
-      }: _*))
+      .withColumn(out, build(col(shh)))
       .drop(toks, shh)
   }
 
@@ -127,8 +148,20 @@ object Dedup {
   }
 
   /** Staged simhash (same rationale as withMinhashSignature: hash each
-    * token once, then fold the column per bit). */
+    * token once). The per-bit fold is the native Simhash expression —
+    * one codegen'd pass accumulating all `bits` counters, vs `bits`
+    * interpreted aggregate() folds (DedupSpec asserts bit-parity against
+    * withSimhashFold). */
   def withSimhash(df: DataFrame, textCol: Column, bits: Int, out: String): DataFrame = {
+    require(bits <= 62, "stay in signed-long math for DuckDB parity")
+    val th = "__sh_th"
+    df.withColumn(th, transform(TextAnalysis.tokens(textCol), t => Portable.h60(t)))
+      .withColumn(out, call_function("simhash64", col(th), lit(bits)))
+      .drop(th)
+  }
+
+  /** Composed-builtin simhash fold (registration-free cross-check). */
+  def withSimhashFold(df: DataFrame, textCol: Column, bits: Int, out: String): DataFrame = {
     require(bits <= 62, "stay in signed-long math for DuckDB parity")
     val th = "__sh_th"
     df.withColumn(th, transform(TextAnalysis.tokens(textCol), t => Portable.h60(t)))

@@ -69,6 +69,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineDescriptor)
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
   }
 }
@@ -95,15 +97,44 @@ object GraftExtensions {
       DotProduct(exprs(0), exprs(1))
     })
 
-  /** Register on an already-built session (tests, driver sessions). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "haversine_m",
-      exprs => haversineDescriptor._3(exprs),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => dotProductDescriptor._3(exprs),
-      "built-in")
+  /** Second argument must be a foldable integral literal (the widths
+    * fix the generated code shape, so they cannot be data-dependent). */
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
+
+  private[functions] val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "minhash_sig(hashes, k)")
+      MinhashSignature(exprs(0), litInt(exprs(1), "k"))
+    })
+
+  private[functions] val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[Simhash].getName, "simhash64"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "simhash64(token_hashes, bits)")
+      Simhash(exprs(0), litInt(exprs(1), "bits"))
+    })
+
+  private val all = Seq(
+    haversineDescriptor, dotProductDescriptor,
+    minhashSigDescriptor, simhashDescriptor)
+
+  /** Register on an already-built session (tests, driver sessions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
 }

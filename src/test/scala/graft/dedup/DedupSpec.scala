@@ -67,6 +67,31 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("native minhash_sig / simhash64 expressions are bit-identical to the fold forms") {
+    // includes the edge docs: short doc (empty shingle array) and a doc
+    // whose token stream exercises every signature entry
+    val mh = Dedup.withMinhashSignature(docs, $"text", 8, 3, "native")
+    val mhBoth = Dedup.withMinhashSignatureFold(mh, $"text", 8, 3, "fold")
+      .select($"doc_id", $"native", $"fold").collect()
+    mhBoth.foreach { r =>
+      assert(r.getSeq[java.lang.Long](1) == r.getSeq[java.lang.Long](2),
+        s"minhash mismatch for doc ${r.getLong(0)}")
+    }
+    val sh = Dedup.withSimhash(docs, $"text", 24, "native")
+    val shBoth = Dedup.withSimhashFold(sh, $"text", 24, "fold")
+      .select($"doc_id", $"native", $"fold").collect()
+    shBoth.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash mismatch for doc ${r.getLong(0)}")
+    }
+    // empty text → empty token array → simhash 0, minhash all-null
+    val edge = Seq((9L, "")).toDF("doc_id", "text")
+    val e = Dedup.withSimhash(
+      Dedup.withMinhashSignature(edge, $"text", 4, 3, "mh"), $"text", 8, "sh")
+      .select($"mh", $"sh").head()
+    assert(e.getSeq[java.lang.Long](0) == Seq(null, null, null, null))
+    assert(e.getLong(1) == 0L)
+  }
+
   test("exactCanonical groups exact duplicates to the min id") {
     val canon = Dedup.exactCanonical(docs, "doc_id", $"text")
       .collect().map(r => r.getAs[String]("dedup_key") ->
