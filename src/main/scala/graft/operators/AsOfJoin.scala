@@ -63,4 +63,51 @@ object AsOfJoin {
       leftCols.map(c => col(s"_lpay.$c").as(c)) ++
         rightCols.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }
+
+  /** The native path: plans the custom AsOfMergeJoinExec (one hash
+    * exchange + sort per side, O(1)-state merge — graft.plans
+    * .AsOfMergeJoin) instead of the union+window rewrite above. Needs
+    * GraftExtensions' strategy on the session. Same semantics; output is
+    * `left.* ++ right.*`, so column names must not collide (rename the
+    * right side first — e.g. prefix `asof_`).
+    *
+    * Time columns must be integral epochs (LongType) on both sides;
+    * `tolerance` is in the same units. */
+  def asofMergeJoin(left: DataFrame, right: DataFrame,
+                    leftKeys: Seq[String], rightKeys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    tolerance: Option[Long] = None,
+                    joinType: String = "left"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.GraftPlanBridge
+    import org.apache.spark.sql.types.LongType
+    require(Seq("left", "inner").contains(joinType), s"unsupported joinType $joinType")
+    require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+      "need matching non-empty key lists")
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"output would carry ambiguous names ${overlap.mkString(", ")} — rename the right side")
+
+    val lPlan = GraftPlanBridge.analyzed(left)
+    val rPlan0 = GraftPlanBridge.analyzed(right)
+    // self-join safety: re-alias the right side when attribute ids collide
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lt = attr(lPlan, leftTime); val rt = attr(rPlan, rightTime)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"time columns must be LongType epochs, got ${lt.dataType}/${rt.dataType}")
+
+    GraftPlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+        lt, rt, tolerance, isInner = joinType == "inner"))
+  }
 }
