@@ -132,10 +132,22 @@ object GraftExtensions {
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor)
 
-  /** Register on an already-built session (tests, driver sessions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (tests, driver sessions):
+    * functions via the registry, the as-of planner strategy via
+    * `spark.experimental.extraStrategies`, and the bounding-box
+    * optimizer rule via `spark.experimental.extraOptimizations` — the
+    * two mutable public seams that work post-construction, so a session
+    * built WITHOUT `.withExtensions(new GraftExtensions)` still plans
+    * AsOfJoinNode and rewrites haversine range predicates. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.HaversineBoundingBox))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.HaversineBoundingBox
+  }
 }

@@ -39,12 +39,19 @@ object AsOfJoin {
       lit(null).cast(right.select(rightCols.map(col): _*).schema.toDDL match {
         case ddl => s"struct<$ddl>"
       }).as("_rpay"))
-    val r = right.select(
-      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_is_left"),
-      lit(null).cast(left.select(leftCols.map(col): _*).schema.toDDL match {
-        case ddl => s"struct<$ddl>"
-      }).as("_lpay"),
-      struct(rightCols.map(col): _*).as("_rpay"))
+    // right rows with null key or null time can never match (SQL join
+    // semantics) — drop them before the union so the carry-forward can't
+    // smuggle their payload into a left row. Left rows with null key/time
+    // then land in partitions/positions where nothing is carried → they
+    // come out unmatched, exactly as a join would leave them.
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_is_left"),
+        lit(null).cast(left.select(leftCols.map(col): _*).schema.toDDL match {
+          case ddl => s"struct<$ddl>"
+        }).as("_lpay"),
+        struct(rightCols.map(col): _*).as("_rpay"))
     // right rows sort before left rows at equal time → a right row at
     // exactly leftTime matches (asof is ≤)
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_is_left"))

@@ -106,7 +106,12 @@ case class AsOfMergeJoinExec(
         val lTimeEval = BindReferences.bindReference(lTime, lOut)
         val rTimeEval = BindReferences.bindReference(rTime, rOut)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-        val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+        // bind against nullability-WIDENED right attrs: on a left join the
+        // null-extension row feeds originally-non-nullable right columns,
+        // and an unwidened BoundReference would skip the null check and
+        // read garbage zeros instead of null
+        val resultProj =
+          UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
         val rightNulls = new GenericInternalRow(rOut.length)
         val joined = new JoinedRow
 

@@ -64,6 +64,26 @@ object Temporal {
       |  ON l.user_id = r.user_id AND l.ts_ns >= r.ts_ns
       |WHERE l.ts_ns - r.ts_ns <= 3600000000000""".stripMargin
 
+  /** q71 through the NATIVE as-of path (plans.AsOfMergeJoinExec — one
+    * hash exchange + sort per side, O(1)-state merge) instead of the
+    * union+window rewrite. Identical semantics, identical oracle. The
+    * strategy is installed by GraftExtensions (builder `.withExtensions`
+    * or `register()`'s experimental-methods seam). */
+  def q74AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("asof_event_id"), col("user_id").as("asof_user_id"),
+        col("ts_ns").as("asof_ts_ns"))
+    AsOfJoin.asofMergeJoin(errors, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("asof_user_id"),
+        leftTime = "ts_ns", rightTime = "asof_ts_ns",
+        tolerance = Some(3600L * 1000000000L), joinType = "inner")
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        expr("(ts_ns - asof_ts_ns) div 1000000000").as("gap_sec"))
+  }
+
   /** For every event: how many events follow it on the same user within
     * 600 s (bucketized range self-join, zeros kept). */
   def q72RangeCount(s: SparkSession, dir: String): DataFrame =
@@ -115,11 +135,13 @@ object Temporal {
     "q71_asof_join"      -> q71AsofJoin,
     "q72_range_count"    -> q72RangeCount,
     "q73_session_window" -> q73SessionWindow,
+    "q74_asof_native"    -> q74AsofNative,
   )
 
   val oracles: Map[String, String] = Map(
     "q70_sessionize"     -> q70Sql,
     "q71_asof_join"      -> q71Sql,
+    "q74_asof_native"    -> q71Sql,
     "q72_range_count"    -> q72Sql,
     "q73_session_window" -> q73Sql,
   )
