@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the last mile of a
+  * dedup pipeline: LSH/simhash emit near-dup PAIRS (q42/q45), but the
+  * deliverable is one canonical document per duplicate CLUSTER.
+  * Components are labeled by their minimum member id.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", 2014 — public
+  * literature; the same scheme GraphFrames uses). Each round every node
+  * u with neighborhood Γ(u) and m = min(Γ(u) ∪ {u}):
+  *   - large-star: reattach u's strictly-larger neighbors to m;
+  *   - small-star: reattach u and its smaller neighbors to m.
+  * Both preserve connectivity; the only fixpoints are star graphs rooted
+  * at each component's minimum, and alternation converges in O(log n)
+  * rounds (a naive min-label flood or one-sided contraction needs
+  * O(diameter) — a 60-node chain already breaks it).
+  *
+  * Exit is PROVEN, not assumed: when the per-node min stops changing,
+  * we additionally verify that every remaining edge connects two nodes
+  * with the same label — a labeling consistent across all edges is
+  * constant per component, and since label(u) ≤ u with the component
+  * minimum labeling itself, that constant is the minimum. Only then do
+  * we return; otherwise iteration continues (maxIter throws rather than
+  * ship partial clusters).
+  *
+  * Scale design (100 TB): everything is joins/aggregations on the edge
+  * relation — no driver-side graph, no collect; rounds touch only the
+  * still-unconverged frontier (star-shaped components stop producing
+  * changes). `localCheckpoint` truncates each round's lineage (iterative
+  * plans otherwise re-execute from the scan); on a real cluster swap for
+  * reliable `checkpoint` against a checkpoint dir — one seam.
+  */
+object ConnectedComponents {
+
+  /** @param vertices one row per node (singletons keep their own id as
+    *                 cluster); @param pairs undirected edges; duplicates
+    *                 and self-loops tolerated. Returns (id, cluster_id). */
+  def components(vertices: DataFrame, idCol: String,
+                 pairs: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 100): DataFrame = {
+    val raw = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    var edges = symmetrize(raw).localCheckpoint()
+
+    // per-node label: min(self, neighbors)
+    def labelsOf(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lab"))
+
+    var labels = labelsOf(edges).localCheckpoint()
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds")
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val newLabels = labelsOf(edges).localCheckpoint()
+      val changed = labels.as("a")
+        .join(newLabels.as("b"), col("a.u") === col("b.u"), "full")
+        .filter(col("a.lab").isNull || col("b.lab").isNull ||
+          col("a.lab") =!= col("b.lab"))
+      if (changed.isEmpty) {
+        // stability reached — verify the labeling is edge-consistent
+        // (the correctness certificate, not a heuristic)
+        val bad = edges
+          .join(newLabels.select(col("u"), col("lab").as("lab_u")), Seq("u"))
+          .join(newLabels.select(col("u").as("v"), col("lab").as("lab_v")), Seq("v"))
+          .filter(col("lab_u") =!= col("lab_v"))
+        done = bad.isEmpty
+      }
+      labels = newLabels
+    }
+    vertices.select(col(idCol).cast("long").as("id")).distinct()
+      .join(labels.select(col("u").as("id"), col("lab")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  /** For each u, m = min(Γ(u) ∪ {u}): edges (v, m) for all v ∈ Γ(u),
+    * v > u. Connectivity: any u with a smaller neighbor keeps an edge
+    * via that neighbor's emission (u > it). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+    val half = e.join(m, Seq("u"))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    symmetrize(half)
+  }
+
+  /** For each u with smaller neighbors N = {v ∈ Γ(u) : v < u},
+    * m = min(N): edges (v, m) for v ∈ N \ {m}, plus (u, m). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val smaller = e.filter(col("v") < col("u"))
+    val m = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val reattach = smaller.join(m, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = m.select(col("u"), col("m").as("v"))
+    symmetrize(reattach.union(self))
+  }
+}

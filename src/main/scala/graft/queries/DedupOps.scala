@@ -212,7 +212,7 @@ object DedupOps {
       .filter(col("hamming") <= 2)
   }
 
-  val q45Sql: String =
+  private val q45Cte: String =
     s"""WITH toks_t AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
@@ -226,12 +226,43 @@ object DedupOps {
        |  UNION ALL
        |  SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig_t
        |  UNION ALL
-       |  SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig_t)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |FROM bands_t a JOIN bands_t b USING (band, bv)
-       |WHERE a.doc_id < b.doc_id
-       |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+       |  SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig_t)""".stripMargin
+
+  private val q45Body: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM bands_t a JOIN bands_t b USING (band, bv)
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+
+  val q45Sql: String = q45Cte + "\n" + q45Body
+
+  // ------------------------------------------ q47 near-dup clustering
+
+  /** The dedup pipeline's deliverable: q45's near-dup pairs collapsed to
+    * clusters by connected components; every document labeled with its
+    * cluster's canonical (minimum) doc_id, singletons included. */
+  def q47DedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.ConnectedComponents.components(
+        Tables.documents(s, dir), "doc_id",
+        q45SimhashPairs(s, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** Oracle: transitive closure by recursive reachability walk over the
+    * symmetric q45 pair graph; cluster id = min reachable doc_id. */
+  val q47Sql: String =
+    q45Cte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      s"""pairs AS (
+         |$q45Body),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |walk AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT w.id, e.dst AS lab FROM walk w JOIN edges e ON e.src = w.lab)
+         |SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id""".stripMargin
 
   // ----------------------------------- q46 corpus sketch (Aggregator)
 
@@ -284,6 +315,7 @@ object DedupOps {
     "q44_simhash"         -> q44Simhash,
     "q45_simhash_pairs"   -> q45SimhashPairs,
     "q46_corpus_sketch"   -> q46CorpusSketch,
+    "q47_dedup_clusters"  -> q47DedupClusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +326,6 @@ object DedupOps {
     "q44_simhash"         -> q44Sql,
     "q45_simhash_pairs"   -> q45Sql,
     "q46_corpus_sketch"   -> q46Sql,
+    "q47_dedup_clusters"  -> q47Sql,
   )
 }
