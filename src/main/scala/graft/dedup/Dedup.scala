@@ -178,28 +178,137 @@ object Dedup {
 
   // -------------------------------------------------- n-gram Jaccard join
 
-  /** Exact n-gram Jaccard similarity join: candidate pairs share ≥1
-    * shingle (after a document-frequency cap `maxShingleDf` removes
-    * stop-shingles — the skew bound), then |∩| / |∪| from distinct
-    * shingle counts. Returns pairs (id_a < id_b) with jaccard ≥ minJ. */
+  /** Hashed distinct-shingle posting lists with the document-frequency
+    * cap applied: (id, h, df) where h = h60(shingle). Shared stage of
+    * the jaccard joins below.
+    *
+    * Shingles are HASHED to 60-bit longs before the join phase — the
+    * same move MinHash makes: posting shuffles carry 8-byte keys
+    * instead of ~n-word strings, and every downstream equi-join and
+    * intersection runs on longs. (Collisions are ~|shingles|²/2⁶¹ —
+    * immaterial for near-dup detection, and the DuckDB oracle applies
+    * the identical hash so the gate stays exact.)
+    *
+    * The df cap rides a count window over the hash partition: ONE
+    * shuffle of the exploded postings, whose hashpartitioning(h) the
+    * pair self-join then reuses. (A broadcast anti-join against the
+    * stop-shingle set was measured 3× slower at sf0.1 — it recomputes
+    * the explode on both sides and serializes on the broadcast.)
+    *
+    * persist: the posting list is consumed by sizes + both join sides;
+    * uncached, each consumer re-tokenizes and re-shuffles the corpus.
+    * At 100 TB this materialization is the standard "posting list"
+    * intermediate — cache-or-write-it is the design, not a local trick. */
+  private def hashedPostings(df: DataFrame, idCol: String, textCol: Column,
+                             shingleN: Int, maxShingleDf: Long): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate would
+    // synthesize `size(hs) > 0` and pushdown inlines the whole
+    // tokenize+hash pipeline into an interpreted Filter (the q41 trap).
+    // Empty-shingle docs surface as null h and are filtered ABOVE the
+    // generate, where the column is a plain attribute.
+    val hs = "__jj_hs"
+    val exploded = withShingleHashes(df, textCol, shingleN) { shh =>
+      array_distinct(shh)
+    }(hs)
+      .select(col(idCol).as("id"), explode_outer(col(hs)).as("h"))
+      .filter(col("h").isNotNull)
+    exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (id_a, id_b, inter, sz_a, sz_b) → jaccard + threshold filter. */
+  private def finishScore(withSizes: DataFrame, minJ: Double): DataFrame =
+    withSizes
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+
+  private def scoreAndFilter(inter: DataFrame, sizes: DataFrame, minJ: Double): DataFrame =
+    finishScore(
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b"),
+      minJ)
+
+  /** N-gram Jaccard similarity join over hashed distinct shingles:
+    * candidate pairs share ≥1 surviving shingle hash (after the df cap
+    * removes stop-shingles — the skew bound), |∩| counted by a
+    * co-occurrence groupBy. Returns pairs (id_a < id_b) with
+    * jaccard ≥ minJ.
+    *
+    * This co-occurrence form is the right default for RECALL-ORIENTED
+    * thresholds (minJ ≲ 0.5), where prefix filtering keeps ≳ half of
+    * every posting list anyway (measured at sf0.1/minJ=0.2: the naive
+    * pair phase beats prefix+intersect 2.7s vs 7.1s). For high
+    * thresholds use [[jaccardJoinPrefix]]. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: Column,
                   shingleN: Int = 3, maxShingleDf: Long = 50,
                   minJ: Double = 0.2): DataFrame = {
+    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf)
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("id").as("id_a"), col("h"))
+    val b = filtered.select(col("id").as("id_b"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    scoreAndFilter(inter, sizes, minJ)
+  }
+
+  /** Jaccard join with PREFIX FILTERING (Bayardo et al. "Scaling Up All
+    * Pairs Similarity Search" / Chaudhuri et al. SSJoin — public
+    * literature): order each document's shingle hashes by global rarity
+    * (df asc), index only the first ⌊(1−minJ)·sz⌋+1 per document for
+    * candidate generation, then score candidates exactly by sorted-array
+    * intersection. Lossless: a pair with J ≥ minJ must share a prefix
+    * element — had the intersection avoided the prefix,
+    * |∩| ≤ sz − p < minJ·sz ⟹ J < minJ. Same output as [[jaccardJoin]].
+    *
+    * Wins when minJ is HIGH (short prefixes → candidate pairs collapse);
+    * at permissive thresholds the co-occurrence form is faster. */
+  def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: Column,
+                        shingleN: Int = 3, maxShingleDf: Long = 50,
+                        minJ: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf)
+    // full sorted hash set + size per doc — exact scoring input (tiny
+    // relative to the corpus: one row per doc; broadcast to score
+    // candidates map-side)
+    val sets = filtered.groupBy(col("id"))
+      .agg(count(lit(1)).as("sz"), sort_array(collect_list(col("h"))).as("arr"))
+    // prefix postings: rarest-first total order (df, h); keep the first
+    // ⌊(1−minJ)·sz⌋+1 hashes per doc. The 1e-9 nudge guards float
+    // under-rounding at exact integers — rounding p DOWN would lose
+    // pairs, rounding up only admits extra candidates.
+    val ranked = filtered
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("rn") <= floor(lit(1.0 - minJ) * col("sz") + lit(1e-9)) + lit(1))
+      .select(col("id"), col("h"))
+    val cand = prefix.toDF("id_a", "h")
+      .join(prefix.toDF("id_b", "h"), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val scored = cand
+      .join(broadcast(sets.toDF("id_a", "sz_a", "arr_a")), "id_a")
+      .join(broadcast(sets.toDF("id_b", "sz_b", "arr_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+    finishScore(scored, minJ)
+  }
+
+  /** The original string-keyed all-co-occurrence form — kept as the
+    * hash-free cross-check both hashed variants are asserted against
+    * in DedupSpec. */
+  def jaccardJoinAllPairs(df: DataFrame, idCol: String, textCol: Column,
+                          shingleN: Int = 3, maxShingleDf: Long = 50,
+                          minJ: Double = 0.2): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(textCol, shingleN))).as("sh"))
-    // document-frequency cap via a count window over the shingle
-    // partition: ONE shuffle of the exploded shingles, reused by the
-    // downstream pair-join. (A broadcast anti-join against the
-    // stop-shingle set was measured 3× slower at sf0.1 — it recomputes
-    // the explode on both sides and serializes on the broadcast.)
-    //
-    // persist: this relation is consumed THREE times (sizes + both join
-    // sides); without it each consumer re-tokenizes, re-explodes, and
-    // re-shuffles the corpus. The cache also preserves the window's
-    // hashpartitioning(sh), so the pair self-join needs no further
-    // exchange. At 100 TB this materialization is the standard
-    // "posting list" intermediate — cache-or-write-it is the design,
-    // not a local trick.
     val filtered = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
@@ -211,13 +320,6 @@ object Dedup {
     val b = filtered.toDF("id_b", "sh")
     val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= minJ)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))
+    scoreAndFilter(inter, sizes, minJ)
   }
 }

@@ -141,10 +141,14 @@ object DedupOps {
     Dedup.jaccardJoin(spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
       ShingleN, maxShingleDf = 50, minJ = 0.2)
 
+  /** Oracle hashes shingles to h60 longs exactly like the operator
+    * (Dedup.hashedPostings) — both engines apply the identical hash, so
+    * the compare stays exact even in the (≈2⁻⁶¹) collision case. */
   val q43Sql: String = shingleCte.dropRight(1) + "," +
-    """
+    s"""
       |flat AS (
-      |  SELECT doc_id AS id, unnest(list_distinct(sh)) AS s
+      |  SELECT doc_id AS id,
+      |    unnest(list_distinct(list_transform(sh, s -> ${h60Sql("s")}))) AS s
       |  FROM sh_t WHERE len(sh) > 0),
       |flt AS (
       |  SELECT id, s FROM (

@@ -44,6 +44,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("hashed co-occurrence ≡ hashed prefix-filtered ≡ string all-pairs on real docs") {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    // multiple thresholds exercise different prefix lengths, including
+    // boundary cases where (1-t)*sz is an exact integer
+    for (t <- Seq(0.2, 0.5, 0.75)) {
+      val cooc = key(Dedup.jaccardJoin(real, "doc_id", col("text"), 3, 50, t))
+      val prefix = key(Dedup.jaccardJoinPrefix(real, "doc_id", col("text"), 3, 50, t))
+      val strings = key(Dedup.jaccardJoinAllPairs(real, "doc_id", col("text"), 3, 50, t))
+      assert(cooc == prefix,
+        s"t=$t: prefix lost ${cooc -- prefix}, extra ${prefix -- cooc}")
+      assert(cooc == strings,
+        s"t=$t: hashed vs string mismatch (collision?): ${cooc -- strings} / ${strings -- cooc}")
+    }
+  }
+
   test("simhash: exact dups equal, near-dups closer in hamming than unrelated") {
     val sh = Dedup.withSimhash(docs, $"text", 24, "sh")
       .select($"doc_id", $"sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
