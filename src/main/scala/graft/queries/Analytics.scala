@@ -73,6 +73,25 @@ object Analytics {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q26's 100 TB path: approx_percentile (GK sketch — partial-merge,
+    * bounded memory per group, no global sort). Declared WITHOUT an
+    * oracle (engine-specific sketch values), q90 convention — the driver
+    * records the rows-only check. The exact percentiles ride along so a
+    * human can eyeball sketch error; accuracy 10000 holds relative rank
+    * error under 1e-4. */
+  def q91ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 4)
+          .as("approx_median_qty"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)), 4)
+          .as("approx_p25_price"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)), 4)
+          .as("approx_p75_price"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("exact_median_qty"),
+        count(lit(1)).as("n"))
+
   // ---------------------------------------------- q27 statistical aggs
 
   /** corr / covar_samp / stddev_samp — single-pass partial-merge
@@ -152,7 +171,9 @@ object Analytics {
     "q27_stats_agg"    -> q27StatsAgg,
     "q28_argminmax"    -> q28ArgMinMax,
     "q29_cube"         -> q29Cube,
+    "q91_approx_percentiles" -> q91ApproxPercentiles,
   )
+  // q91: intentionally no oracle (engine-specific sketch; rows-only)
 
   val oracles: Map[String, String] = Map(
     "q25_window_suite" -> q25Sql,

@@ -14,7 +14,8 @@ class SparkEntrySpec extends graft.olhovivo.SparkTestBase {
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     q.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
     // only deliberate rows-only entries may lack an oracle
-    assert((q -- o) == Set("q90_approx_distinct"), s"unexpected oracle-less: ${q -- o}")
+    assert((q -- o) == Set("q90_approx_distinct", "q91_approx_percentiles",
+      "q75_streaming_hops"), s"unexpected oracle-less: ${q -- o}")
   }
 
   test("all queries analyze against sf0.001 (schema-level contract)") {
