@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cache-lifetime management for operators that persist internal
+  * intermediates (posting lists, LSH signature relations).
+  *
+  * A lazy operator cannot unpersist its own intermediates — they must
+  * outlive the caller's action — so the LIFETIME is the caller's choice:
+  *
+  *   - [[CacheScope.unmanaged]] (operator default): persists stay until
+  *     `spark.catalog.clearCache()` or session end. Right for
+  *     interactive sessions that re-consume the same operator output.
+  *   - [[CacheScope.scoped]] + `materializeAndRelease`: execute the
+  *     plan once into an eager `localCheckpoint` (downstream actions
+  *     read the checkpoint — no recompute), then unpersist every
+  *     intermediate registered in the scope. Nothing is left behind in
+  *     the session CacheManager; the checkpoint's own blocks are
+  *     reclaimed by Spark's ContextCleaner once the returned frame is
+  *     unreferenced. On a multi-executor cluster localCheckpoint trades
+  *     recompute-on-executor-loss for speed — swap for reliable
+  *     `checkpoint` when that matters.
+  *
+  * Every gate query entry uses the scoped form, so a full
+  * `SparkEntry.queries` sweep leaves the CacheManager empty
+  * (CachingSpec asserts this).
+  */
+trait CacheScope {
+  /** Persist an operator-internal intermediate under this scope. */
+  def cache(df: DataFrame): DataFrame
+}
+
+object CacheScope {
+
+  /** Session-lifetime persists; caller manages clearCache(). */
+  val unmanaged: CacheScope = new CacheScope {
+    override def cache(df: DataFrame): DataFrame =
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def scoped(): Scoped = new Scoped
+
+  final class Scoped extends CacheScope {
+    private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    override def cache(df: DataFrame): DataFrame = {
+      frames += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** Run `result` to completion (eager localCheckpoint), release every
+      * cached intermediate, return the materialized frame. */
+    def materializeAndRelease(result: DataFrame): DataFrame = {
+      val out = result.localCheckpoint(true)
+      frames.foreach(_.unpersist(blocking = false))
+      frames.clear()
+      out
+    }
+  }
+}

@@ -200,7 +200,8 @@ object Dedup {
     * At 100 TB this materialization is the standard "posting list"
     * intermediate — cache-or-write-it is the design, not a local trick. */
   private def hashedPostings(df: DataFrame, idCol: String, textCol: Column,
-                             shingleN: Int, maxShingleDf: Long): DataFrame = {
+                             shingleN: Int, maxShingleDf: Long,
+                             scope: graft.CacheScope): DataFrame = {
     // explode_outer, not explode: InferFiltersFromGenerate would
     // synthesize `size(hs) > 0` and pushdown inlines the whole
     // tokenize+hash pipeline into an interpreted Filter (the q41 trap).
@@ -212,11 +213,10 @@ object Dedup {
     }(hs)
       .select(col(idCol).as("id"), explode_outer(col(hs)).as("h"))
       .filter(col("h").isNotNull)
-    exploded
+    scope.cache(exploded
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("df") <= maxShingleDf))
   }
 
   /** (id_a, id_b, inter, sz_a, sz_b) → jaccard + threshold filter. */
@@ -248,8 +248,9 @@ object Dedup {
     * thresholds use [[jaccardJoinPrefix]]. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: Column,
                   shingleN: Int = 3, maxShingleDf: Long = 50,
-                  minJ: Double = 0.2): DataFrame = {
-    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf)
+                  minJ: Double = 0.2,
+                  scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf, scope)
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = filtered.select(col("id").as("id_a"), col("h"))
     val b = filtered.select(col("id").as("id_b"), col("h"))
@@ -271,9 +272,10 @@ object Dedup {
     * at permissive thresholds the co-occurrence form is faster. */
   def jaccardJoinPrefix(df: DataFrame, idCol: String, textCol: Column,
                         shingleN: Int = 3, maxShingleDf: Long = 50,
-                        minJ: Double = 0.2): DataFrame = {
+                        minJ: Double = 0.2,
+                        scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf)
+    val filtered = hashedPostings(df, idCol, textCol, shingleN, maxShingleDf, scope)
     // full sorted hash set + size per doc — exact scoring input (tiny
     // relative to the corpus: one row per doc; broadcast to score
     // candidates map-side)
@@ -306,15 +308,15 @@ object Dedup {
     * in DedupSpec. */
   def jaccardJoinAllPairs(df: DataFrame, idCol: String, textCol: Column,
                           shingleN: Int = 3, maxShingleDf: Long = 50,
-                          minJ: Double = 0.2): DataFrame = {
+                          minJ: Double = 0.2,
+                          scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(textCol, shingleN))).as("sh"))
-    val filtered = sh
+    val filtered = scope.cache(sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
-      .drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .drop("df"))
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = filtered.toDF("id_a", "sh")
     val b = filtered.toDF("id_b", "sh")

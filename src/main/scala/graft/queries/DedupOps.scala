@@ -92,16 +92,18 @@ object DedupOps {
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
       .select(col("doc_id"), col("sig"))
-    // persist: both self-join sides consume `bands`; uncached, each
-    // side recomputes the full minhash-signature pipeline.
-    val bands = sig.select(col("doc_id"),
-        posexplode_outer(Dedup.lshBands(col("sig"), K, RowsPerBand)).as(Seq("band", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache: both self-join sides consume `bands`; uncached, each
+    // side recomputes the full minhash-signature pipeline. Scoped —
+    // released once the result is materialized.
+    val scope = graft.CacheScope.scoped()
+    val bands = scope.cache(sig.select(col("doc_id"),
+        posexplode_outer(Dedup.lshBands(col("sig"), K, RowsPerBand)).as(Seq("band", "bh"))))
     val a = bands.toDF("id_a", "band", "bh")
     val b = bands.toDF("id_b", "band", "bh")
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_bands"))
+    scope.materializeAndRelease(
+      a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_bands")))
   }
 
   val q42Sql: String = {
@@ -137,9 +139,12 @@ object DedupOps {
 
   // --------------------------------------------------------- q43 jaccard
 
-  def q43Jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardJoin(spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
-      ShingleN, maxShingleDf = 50, minJ = 0.2)
+  def q43Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      Dedup.jaccardJoin(spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
+        ShingleN, maxShingleDf = 50, minJ = 0.2, scope = scope))
+  }
 
   /** Oracle hashes shingles to h60 longs exactly like the operator
     * (Dedup.hashedPostings) — both engines apply the identical hash, so
@@ -196,11 +201,13 @@ object DedupOps {
     * bands of the 24-bit simhash (a hamming-≤2 pair must agree on ≥1
     * band by pigeonhole), then exact Hamming ≤ 2 filters. */
   def q45SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // persist: the banded self-join consumes the signature twice; the
-    // 24-bit fold over per-token hashes is the expensive stage.
-    val sig = Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
-      .select(col("doc_id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache: the banded self-join consumes the signature twice; the
+    // 24-bit fold over per-token hashes is the expensive stage. Scoped —
+    // released once the result is materialized.
+    val scope = graft.CacheScope.scoped()
+    val sig = scope.cache(
+      Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
+        .select(col("doc_id"), col("simhash")))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode_outer(array(
         col("simhash") % 256,
@@ -208,12 +215,13 @@ object DedupOps {
         shiftrightunsigned(col("simhash"), 16) % 256)).as(Seq("band", "bv")))
     val a = bands.toDF("id_a", "sim_a", "band", "bv")
     val b = bands.toDF("id_b", "sim_b", "band", "bv")
-    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct() // dedupe multi-band candidates BEFORE the hamming compute
-      .select(col("id_a"), col("id_b"),
-        Dedup.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
-      .filter(col("hamming") <= 2)
+    scope.materializeAndRelease(
+      a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+        .distinct() // dedupe multi-band candidates BEFORE the hamming compute
+        .select(col("id_a"), col("id_b"),
+          Dedup.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+        .filter(col("hamming") <= 2))
   }
 
   private val q45Cte: String =

@@ -56,9 +56,12 @@ object VectorOps {
        |  FROM scored)
        |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
 
-  def q51LshNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.spread(s, Tables.embeddings(s, dir)),
-      Planes, Dim, MinCos)
+  def q51LshNearDup(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      Similarity.lshNearDupPairs(Tables.spread(s, Tables.embeddings(s, dir)),
+        Planes, Dim, MinCos, scope = scope))
+  }
 
   val q51Sql: String = {
     val planes = Similarity.hyperplanes(Planes, Dim)

@@ -83,12 +83,12 @@ object Similarity {
     * signature (equi-join), then exact rounded cosine ≥ minCos filters.
     * The scale path: bucket count grows with `planes`, so bucket size —
     * and the quadratic term — is tunable. */
-  def lshNearDupPairs(df: DataFrame, planes: Int, dim: Int, minCos: Double): DataFrame = {
-    // persist: both self-join sides consume the signature relation;
+  def lshNearDupPairs(df: DataFrame, planes: Int, dim: Int, minCos: Double,
+                      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    // cache: both self-join sides consume the signature relation;
     // uncached, each recomputes `planes` interpreted dot products/row.
-    val sig = df.select(col("vec_id"), col("embedding"),
-      signLshSignature(col("embedding"), planes, dim).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = scope.cache(df.select(col("vec_id"), col("embedding"),
+      signLshSignature(col("embedding"), planes, dim).as("bucket")))
     val a = sig.toDF("id_a", "vec_a", "bucket")
     val b = sig.toDF("id_b", "vec_b", "bucket")
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
