@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   * rounds (a naive min-label flood or one-sided contraction needs
   * O(diameter) — a 60-node chain already breaks it).
   *
-  * Exit is PROVEN, not assumed: when the per-node min stops changing,
-  * we additionally verify that every remaining edge connects two nodes
-  * with the same label — a labeling consistent across all edges is
-  * constant per component, and since label(u) ≤ u with the component
-  * minimum labeling itself, that constant is the minimum. Only then do
-  * we return; otherwise iteration continues (maxIter throws rather than
-  * ship partial clusters).
+  * Exit is PROVEN, not assumed: when the edge count plateaus (stars are
+  * a fixpoint, so the plateau must eventually arrive), we verify that
+  * every remaining edge connects two nodes with the same label — a
+  * labeling consistent across all edges is constant per component, and
+  * since label(u) ≤ u with the component minimum labeling itself, that
+  * constant is the minimum. Only then do we return; otherwise iteration
+  * continues (maxIter throws rather than ship partial clusters).
   *
   * Scale design (100 TB): everything is joins/aggregations on the edge
   * relation — no driver-side graph, no collect; rounds touch only the
@@ -47,42 +47,54 @@ object ConnectedComponents {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     var edges = symmetrize(raw).localCheckpoint()
 
-    // per-node label: min(self, neighbors)
+    // per-node label: min(self, neighbors) — lazy, derived from the
+    // current checkpoint (cheap to recompute; checkpointing it would
+    // cost an extra job per round)
     def labelsOf(e: DataFrame): DataFrame =
       e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lab"))
 
-    var labels = labelsOf(edges).localCheckpoint()
+    /** The correctness certificate: labels are final iff every edge
+      * connects two nodes with the same label (then the labeling is
+      * constant per component, and — since lab(u) ≤ u with the
+      * component minimum labeling itself — that constant is the min). */
+    def isStar(e: DataFrame): Boolean = {
+      val lab = labelsOf(e)
+      e.join(lab.select(col("u"), col("lab").as("lab_u")), Seq("u"))
+        .join(lab.select(col("u").as("v"), col("lab").as("lab_v")), Seq("v"))
+        .filter(col("lab_u") =!= col("lab_v"))
+        .isEmpty
+    }
+
+    var prevCount = edges.count()
     var iter = 0
-    var done = edges.isEmpty
-    while (!done) {
+    var converged = prevCount == 0
+    while (!converged) {
       iter += 1
       if (iter > maxIter)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds")
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val newLabels = labelsOf(edges).localCheckpoint()
-      val changed = labels.as("a")
-        .join(newLabels.as("b"), col("a.u") === col("b.u"), "full")
-        .filter(col("a.lab").isNull || col("b.lab").isNull ||
-          col("a.lab") =!= col("b.lab"))
-      if (changed.isEmpty) {
-        // stability reached — verify the labeling is edge-consistent
-        // (the correctness certificate, not a heuristic)
-        val bad = edges
-          .join(newLabels.select(col("u"), col("lab").as("lab_u")), Seq("u"))
-          .join(newLabels.select(col("u").as("v"), col("lab").as("lab_v")), Seq("v"))
-          .filter(col("lab_u") =!= col("lab_v"))
-        done = bad.isEmpty
-      }
-      labels = newLabels
+      val newEdges = smallStar(largeStar(edges)).localCheckpoint()
+      // count is ~free off the fresh checkpoint and gates the certificate:
+      // star-formation strictly shrinks the edge set until the last
+      // rewiring rounds, so the certificate join runs only near the end
+      val n = newEdges.count()
+      converged = n == 0 || (n == prevCount && isStar(newEdges))
+      edges = newEdges
+      prevCount = n
     }
     vertices.select(col(idCol).cast("long").as("id")).distinct()
-      .join(labels.select(col("u").as("id"), col("lab")), Seq("id"), "left")
+      .join(labelsOf(edges).select(col("u").as("id"), col("lab")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
   }
 
   private def symmetrize(e: DataFrame): DataFrame =
     e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  /** Both directions, duplicates kept — duplicate edges don't change
+    * min-aggregations or connectivity, so the mid-round dedup shuffle
+    * is skipped; smallStar's closing symmetrize dedups once per round. */
+  private def bothWays(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
 
   /** For each u, m = min(Γ(u) ∪ {u}): edges (v, m) for all v ∈ Γ(u),
     * v > u. Connectivity: any u with a smaller neighbor keeps an edge
@@ -92,7 +104,7 @@ object ConnectedComponents {
     val half = e.join(m, Seq("u"))
       .filter(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v"))
-    symmetrize(half)
+    bothWays(half)
   }
 
   /** For each u with smaller neighbors N = {v ∈ Γ(u) : v < u},

@@ -174,6 +174,92 @@ object Extras {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------- q37/q38 corpus sampling
+
+  /** Deterministic stratified sample: first 20 docs per source in
+    * salted-content-hash order (operators.Sampling). */
+  def q37StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("source"), col("text"), col("doc_id"),
+        n = 20, salt = "q37")
+      .select(col("doc_id"), col("source"), col("sample_rank").cast("long").as("sample_rank"))
+
+  val q37Sql: String =
+    """SELECT doc_id, source, rnk AS sample_rank FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY ('0x' || substr(md5(text || 'q37'), 1, 15))::BIGINT, doc_id) AS rnk
+      |  FROM documents) t
+      |WHERE rnk <= 20""".stripMargin
+
+  /** Per-source token budget: docs in salted-hash order until the
+    * running token count passes 2000 (inclusive). */
+  def q38TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.operators.Sampling.tokenBudgetSample(
+        docs, col("source"), col("text"), col("doc_id"), col("n_tokens"),
+        budget = 2000L, salt = "q38")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  val q38Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+      |  SELECT *, sum(n_tokens) OVER (
+      |    PARTITION BY source
+      |    ORDER BY ('0x' || substr(md5(text || 'q38'), 1, 15))::BIGINT, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t) x
+      |WHERE cum_tokens <= 2000""".stripMargin
+
+  // ------------------------------------------------ q48 curation pipeline
+
+  /** End-to-end corpus curation — the composition a training-data
+    * pipeline actually ships: quality gate (≥ 10 tokens) → exact dedup
+    * to the canonical (min-id) doc per identical content → deterministic
+    * train/val/test split. Each stage is an already-gated operator; this
+    * entry pins the COMPOSITION (filters commute with the dedup window,
+    * split stays a pure row function). */
+  def q48Curation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= 10)
+    val canonical = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(Portable.h60(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    graft.operators.DataSplit.withSplit(canonical, col("text"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("n_tokens"), col("split"))
+  }
+
+  val q48Sql: String = {
+    val h = "('0x' || substr(md5(text), 1, 15))::BIGINT % 10000"
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |flt AS (SELECT * FROM t WHERE n_tokens >= 10),
+      |canon AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+      |    ORDER BY doc_id) AS rn
+      |  FROM flt)
+      |SELECT doc_id, n_tokens,
+      |""".stripMargin +
+      s"""  CASE WHEN $h < 8000 THEN 'train'
+         |       WHEN $h < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM canon WHERE rn = 1""".stripMargin
+  }
+
   /** Approximate distinct (HLL++): engine-specific sketch, so declared
     * WITHOUT an oracle — the driver records the weaker rows-only check.
     * The exact countDistinct rides along as an internal sanity column. */
@@ -192,6 +278,9 @@ object Extras {
     "q18_in_subquery"     -> q18InSubquery,
     "q19_salted_agg"      -> q19SaltedAgg,
     "q34_data_split"      -> q34DataSplit,
+    "q37_stratified_sample" -> q37StratifiedSample,
+    "q38_token_budget"    -> q38TokenBudget,
+    "q48_curation"        -> q48Curation,
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
@@ -204,6 +293,9 @@ object Extras {
     "q18_in_subquery"     -> q18Sql,
     "q19_salted_agg"      -> q19Sql,
     "q34_data_split"      -> q34Sql,
+    "q37_stratified_sample" -> q37Sql,
+    "q38_token_budget"    -> q38Sql,
+    "q48_curation"        -> q48Sql,
     "q60_multimodal_meta" -> q60Sql,
     // q90: intentionally no oracle (approximate sketch)
   )

@@ -36,7 +36,7 @@ object StreamingOps {
     // StreamingSpeedsSpec)
     OlhoVivo.posicoesFromEvents(s, dir)
       .select(col("prefixo_veiculo"), col("timestamp"), col("py"), col("px"))
-      .repartition(8, col("prefixo_veiculo"))
+      .repartition(4, col("prefixo_veiculo"))
       .sortWithinPartitions(col("prefixo_veiculo"), col("timestamp"))
       .write.mode("overwrite").json(zone)
     val positions = s.readStream

@@ -146,12 +146,54 @@ object TextOps {
       |  FROM scored)
       |SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // -------------------------------------------------------- q36 BM25
+
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** Okapi BM25 over a literal query (text.Ranking) — corpus stats are
+    * one broadcast row, scoring is map-only. */
+  def q36Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.Ranking.bm25(Tables.documents(s, dir), "doc_id", col("text"),
+      Bm25Terms, Bm25K1, Bm25B)
+
+  /** Mirrors Ranking.bm25 exactly: same per-term summation order, same
+    * double arithmetic shape (::DOUBLE casts — DuckDB decimal literals
+    * would change the arithmetic type). */
+  val q36Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfAggs = Bm25Terms.indices.map(i =>
+      s"sum((tf_$i > 0)::BIGINT) AS df_$i").mkString(", ")
+    val score = Bm25Terms.indices.map { i =>
+      s"""(ln((n_docs::DOUBLE - df_$i::DOUBLE + 0.5::DOUBLE) / (df_$i::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+         | * (tf_$i::DOUBLE * ${Bm25K1 + 1.0}::DOUBLE)
+         | / (tf_$i::DOUBLE + $Bm25K1::DOUBLE * (${1.0 - Bm25B}::DOUBLE + $Bm25B::DOUBLE * dl::DOUBLE / avgdl)))"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val anyMatch = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    toksCte.dropRight(1) + "," +
+      s"""
+         |base AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |    $tfCols
+         |  FROM toks_t),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl, $dfAggs FROM base)
+         |SELECT doc_id, dl, round($score, 4) AS bm25
+         |FROM base CROSS JOIN stats
+         |WHERE $anyMatch""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
     "q33_fingerprint" -> q33Fingerprint,
     "q35_tfidf"       -> q35Tfidf,
+    "q36_bm25"        -> q36Bm25,
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,5 +202,6 @@ object TextOps {
     "q32_quality"     -> q32Sql,
     "q33_fingerprint" -> q33Sql,
     "q35_tfidf"       -> q35Sql,
+    "q36_bm25"        -> q36Sql,
   )
 }
