@@ -86,4 +86,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"queries must broadcast:\n$p")
   }
+
+  test("q36 bm25: corpus stats broadcast; scoring pass has no value shuffle") {
+    val p = plan(TextOps.q36Bm25(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"stats row must broadcast back (cross join):\n$p")
+    // the only exchange is the single-row global aggregate's SinglePartition
+    assert(countOf(p, "Exchange hashpartitioning") == 0 &&
+      countOf(p, "Exchange rangepartitioning") == 0,
+      s"scoring must not shuffle the corpus:\n$p")
+  }
+
+  test("q37/q38 sampling: exactly one hash exchange (the stratum window)") {
+    for (q <- Seq(Extras.queries("q37_stratified_sample")(spark, dir),
+                  Extras.queries("q38_token_budget")(spark, dir))) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") == 1,
+        s"expected exactly 1 shuffle:\n$p")
+      assert(countOf(p, "Exchange rangepartitioning") == 0,
+        s"no global sort allowed:\n$p")
+    }
+  }
+
+  test("jaccard co-occurrence join: pair join reuses the posting-list partitioning") {
+    // postings are shuffled ONCE by hash(h) for the df window; the
+    // self-join on h must reuse that partitioning from the cache — the
+    // only other exchanges key the (id_a, id_b) aggregation and the two
+    // size joins
+    val res = graft.dedup.Dedup.jaccardJoin(
+      graft.Tables.documents(spark, dir), "doc_id",
+      org.apache.spark.sql.functions.col("text"))
+    val p = plan(res)
+    // every InMemoryTableScan prints the cached plan (which contains the
+    // ONE posting-list exchange); any h-exchange beyond those prints
+    // would be a real extra shuffle on top of the cache
+    assert(countOf(p, "Exchange hashpartitioning(h#") ==
+      countOf(p, "InMemoryRelation ["),
+      s"join must add no posting shuffle beyond the cached window's:\n$p")
+    assert(countOf(p, "InMemoryRelation [") > 0, s"posting list not cached:\n$p")
+    spark.catalog.clearCache() // unmanaged-scope persist from the audit
+  }
 }
