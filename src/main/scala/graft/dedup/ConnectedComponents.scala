@@ -102,7 +102,7 @@ object ConnectedComponents {
   private def largeStar(e: DataFrame): DataFrame = {
     val m = e.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
     val half = e.join(m, Seq("u"))
-      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .filter(col("v") > col("u")) // v > u ≥ m, so (v, m) is never a self-loop
       .select(col("v").as("u"), col("m").as("v"))
     bothWays(half)
   }

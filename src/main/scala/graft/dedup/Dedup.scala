@@ -266,7 +266,8 @@ object Dedup {
     * candidate generation, then score candidates exactly by sorted-array
     * intersection. Lossless: a pair with J ≥ minJ must share a prefix
     * element — had the intersection avoided the prefix,
-    * |∩| ≤ sz − p < minJ·sz ⟹ J < minJ. Same output as [[jaccardJoin]].
+    * |∩| ≤ sz − p < t·sz ⟹ J < t (t margined just below minJ to cover
+    * the rounded-filter boundary). Same output as [[jaccardJoin]].
     *
     * Wins when minJ is HIGH (short prefixes → candidate pairs collapse);
     * at permissive thresholds the co-occurrence form is faster. */
@@ -281,24 +282,32 @@ object Dedup {
     // candidates map-side)
     val sets = filtered.groupBy(col("id"))
       .agg(count(lit(1)).as("sz"), sort_array(collect_list(col("h"))).as("arr"))
-    // prefix postings: rarest-first total order (df, h); keep the first
-    // ⌊(1−minJ)·sz⌋+1 hashes per doc. The 1e-9 nudge guards float
+    // prefix postings: rarest-first total order (df, h). The prefix
+    // length is computed for tEff = minJ − 1e-4, NOT minJ: the final
+    // filter compares the ROUNDED jaccard (4 decimals, oracle parity),
+    // which admits true similarities down to minJ − 5e-5 — a prefix
+    // sized for minJ exactly could drop those boundary pairs that the
+    // co-occurrence form returns. The 1e-9 nudge guards float
     // under-rounding at exact integers — rounding p DOWN would lose
     // pairs, rounding up only admits extra candidates.
+    val tEff = minJ - 1e-4
     val ranked = filtered
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked
-      .filter(col("rn") <= floor(lit(1.0 - minJ) * col("sz") + lit(1e-9)) + lit(1))
+      .filter(col("rn") <= floor(lit(1.0 - tEff) * col("sz") + lit(1e-9)) + lit(1))
       .select(col("id"), col("h"))
     val cand = prefix.toDF("id_a", "h")
       .join(prefix.toDF("id_b", "h"), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // no broadcast hint: `sets` carries every document's full hash
+    // array — per-doc rows but corpus-sized payload; let Spark choose
+    // (it shuffles when the relation outgrows the broadcast threshold)
     val scored = cand
-      .join(broadcast(sets.toDF("id_a", "sz_a", "arr_a")), "id_a")
-      .join(broadcast(sets.toDF("id_b", "sz_b", "arr_b")), "id_b")
+      .join(sets.toDF("id_a", "sz_a", "arr_a"), "id_a")
+      .join(sets.toDF("id_b", "sz_b", "arr_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
     finishScore(scored, minJ)
   }

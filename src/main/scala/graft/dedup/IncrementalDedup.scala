@@ -54,10 +54,15 @@ object IncrementalDedup {
   def dedupAgainstStore(newDocs: DataFrame, store: DataFrame,
                         idCol: String, textCol: Column,
                         k: Int = 8, rowsPerBand: Int = 2,
-                        shingleN: Int = 3): DataFrame = {
-    val sigd = Dedup.withMinhashSignature(newDocs, textCol, k, shingleN, "sig")
-      .select(col(idCol).as("doc_id"), fingerprint(textCol).as("fingerprint"),
-        col("sig"))
+                        shingleN: Int = 3,
+                        scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    // cache: the signature relation feeds three branches (exact probe,
+    // band probe, result spine) — uncached, one action computes the
+    // tokenize+hash+minhash pipeline three times
+    val sigd = scope.cache(
+      Dedup.withMinhashSignature(newDocs, textCol, k, shingleN, "sig")
+        .select(col(idCol).as("doc_id"), fingerprint(textCol).as("fingerprint"),
+          col("sig")))
 
     val exact = sigd.join(store.select(col("fingerprint"),
         col("doc_id").as("store_id")), Seq("fingerprint"))

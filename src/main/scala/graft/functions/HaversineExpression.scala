@@ -144,10 +144,19 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
+    // idempotent against BOTH install paths: skip when the strategy/rule
+    // already arrived via .withExtensions (visible in the session's
+    // planner/optimizer), not just via a previous register() call —
+    // otherwise a GraftSession (withExtensions + register) would run
+    // each of them twice per query
     val exp = spark.experimental
-    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
-    if (!exp.extraOptimizations.contains(graft.plans.HaversineBoundingBox))
+    val ruleInstalled =
+      exp.extraOptimizations.contains(graft.plans.HaversineBoundingBox) ||
+        spark.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(graft.plans.HaversineBoundingBox)
+    if (!ruleInstalled)
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.HaversineBoundingBox
   }
 }

@@ -24,8 +24,11 @@ object StreamingOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** One-shot streaming run: positions → JSON landing zone (distributed
-    * write, no driver collect) → readStream (2 files per micro-batch, so
-    * state genuinely carries across batches) → cleaned hops. */
+    * write, no driver collect) → readStream (2 files per micro-batch) →
+    * cleaned hops. Each vehicle's history sits in ONE zone file, so this
+    * entry exercises incremental file discovery and stateful processing
+    * per batch; CROSS-batch state carry-over for a split vehicle is
+    * covered (tie-free) by StreamingSpeedsSpec instead. */
   def q75StreamingHops(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val zone = Files.createTempDirectory("graft_stream_zone").toString
@@ -49,9 +52,19 @@ object StreamingOps {
       .outputMode("append").start()
     try query.processAllAvailable()
     finally query.stop()
-    s.table("q75_hops")
+    // the memory sink holds the results; drop the zone (repeated bench/
+    // gate invocations would otherwise accumulate JSON copies in /tmp)
+    val hops = s.table("q75_hops")
       .select(col("prefixo_veiculo"), col("timestamp"), col("tempo"),
         round(col("distancia"), 2).as("distancia"))
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    hops
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   val queries: Map[String, Q] = Map(

@@ -60,6 +60,7 @@ class DedupSpec extends SparkTestBase {
       assert(cooc == strings,
         s"t=$t: hashed vs string mismatch (collision?): ${cooc -- strings} / ${strings -- cooc}")
     }
+    spark.catalog.clearCache() // unmanaged-scope postings from the three variants
   }
 
   test("simhash: exact dups equal, near-dups closer in hamming than unrelated") {

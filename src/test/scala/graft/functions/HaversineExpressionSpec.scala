@@ -54,4 +54,18 @@ class HaversineExpressionSpec extends SparkTestBase {
       s"haversine projection fell out of codegen:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("register is idempotent across both install paths") {
+    // SparkTestBase builds with .withExtensions AND calls register():
+    // the strategy/rule must not be installed a second time through the
+    // experimental seam, and repeated register() calls must not stack.
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.AsOfJoinStrategy) +
+      (if (spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy)) 1 else 0) <= 2)
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.AsOfJoinStrategy) <= 1,
+      "register() stacked duplicate strategies")
+    assert(spark.experimental.extraOptimizations.count(_ == graft.plans.HaversineBoundingBox) <= 1,
+      "register() stacked duplicate optimizer rules")
+  }
 }

@@ -113,17 +113,21 @@ class PlanAuditSpec extends SparkTestBase {
     // self-join on h must reuse that partitioning from the cache — the
     // only other exchanges key the (id_a, id_b) aggregation and the two
     // size joins
-    val res = graft.dedup.Dedup.jaccardJoin(
-      graft.Tables.documents(spark, dir), "doc_id",
-      org.apache.spark.sql.functions.col("text"))
-    val p = plan(res)
-    // every InMemoryTableScan prints the cached plan (which contains the
-    // ONE posting-list exchange); any h-exchange beyond those prints
-    // would be a real extra shuffle on top of the cache
-    assert(countOf(p, "Exchange hashpartitioning(h#") ==
-      countOf(p, "InMemoryRelation ["),
-      s"join must add no posting shuffle beyond the cached window's:\n$p")
-    assert(countOf(p, "InMemoryRelation [") > 0, s"posting list not cached:\n$p")
-    spark.catalog.clearCache() // unmanaged-scope persist from the audit
+    // earlier suites may have left unmanaged-scope postings cached —
+    // start from a clean CacheManager so the audit sees ITS cache only
+    spark.catalog.clearCache()
+    try {
+      val res = graft.dedup.Dedup.jaccardJoin(
+        graft.Tables.documents(spark, dir), "doc_id",
+        org.apache.spark.sql.functions.col("text"))
+      val p = plan(res)
+      // every InMemoryTableScan prints the cached plan (which contains
+      // the ONE posting-list exchange); any h-exchange beyond those
+      // prints would be a real extra shuffle on top of the cache
+      assert(countOf(p, "Exchange hashpartitioning(h#") ==
+        countOf(p, "InMemoryRelation ["),
+        s"join must add no posting shuffle beyond the cached window's:\n$p")
+      assert(countOf(p, "InMemoryRelation [") > 0, s"posting list not cached:\n$p")
+    } finally spark.catalog.clearCache() // unmanaged-scope persist from the audit
   }
 }
