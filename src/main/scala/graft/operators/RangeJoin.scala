@@ -48,4 +48,43 @@ object RangeJoin {
       .join(pairs, Seq(idCol), "left")
       .withColumn("n_following", coalesce(col("n_following"), lit(0L)))
   }
+
+  /** Interval OVERLAP self-join: distinct pairs (id_a < id_b) on the
+    * same key whose [start, end] intervals intersect
+    * (a.start ≤ b.end ∧ b.start ≤ a.end, inclusive ends).
+    *
+    * Bucketization generalizes the point-range trick: each interval is
+    * replicated to every `bucketWidth`-wide bucket it touches, the join
+    * is EQUI on (key, bucket), then the exact predicate filters and
+    * `distinct` collapses multi-bucket matches. Overlapping intervals
+    * always share the bucket containing any common point, so no pair is
+    * lost. Fan-out per row is len/bucketWidth + 1 — pass a width on the
+    * order of the TYPICAL interval length; `maxLen` is validated so a
+    * silent fan-out explosion (or a width below the longest interval
+    * hiding none — widths are correctness-neutral, only fan-out varies)
+    * surfaces as an error instead of a hung job. */
+  def intervalOverlapJoin(df: DataFrame, key: String, start: String, end: String,
+                          idCol: String, bucketWidth: Long,
+                          maxLen: Long): DataFrame = {
+    require(bucketWidth > 0 && maxLen >= bucketWidth,
+      "need 0 < bucketWidth <= maxLen")
+    val fd = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Portable.floorDiv(c, bucketWidth)
+    // validation lives in the filter so it cannot be pruned away; rows
+    // with end < start are degenerate (overlap with nothing) and drop
+    val validated = df.filter(
+      when(col(end) - col(start) > maxLen,
+        raise_error(concat(lit(s"interval longer than maxLen=$maxLen at $idCol="),
+          col(idCol).cast("string"))).cast("boolean"))
+      .otherwise(col(end) >= col(start)))
+    def side(idAs: String, st: String, en: String) = validated
+      .select(col(key).as("_k"), col(idCol).as(idAs),
+        col(start).as(st), col(end).as(en),
+        explode(sequence(fd(col(start)), fd(col(end)))).as("_bucket"))
+    side("id_a", "_sa", "_ea").join(side("id_b", "_sb", "_eb"), Seq("_k", "_bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_sa") <= col("_eb") && col("_sb") <= col("_ea"))
+      .select(col("_k").as(key), col("id_a"), col("id_b"))
+      .distinct()
+  }
 }

@@ -99,6 +99,29 @@ object Temporal {
       | AND b.ts_sec > a.ts_sec AND b.ts_sec <= a.ts_sec + 600
       |GROUP BY a.event_id, a.user_id, a.ts_sec""".stripMargin
 
+  /** Interval overlap self-join (operators.RangeJoin.intervalOverlapJoin):
+    * deterministic intervals [ts_sec, ts_sec + |⌊value⌋| % 240] per
+    * event; pairs of same-user events whose intervals intersect.
+    * floor-then-cast on both engines (a bare ::BIGINT would ROUND in
+    * DuckDB while Spark casts truncate). */
+  def q76IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(
+      col("event_id").as("eid"), col("user_id"), col("ts_sec").as("s0"),
+      (col("ts_sec") + abs(floor(col("value")).cast("long")) % 240).as("e0"))
+    RangeJoin.intervalOverlapJoin(iv, "user_id", "s0", "e0", "eid",
+      bucketWidth = 240L, maxLen = 240L)
+  }
+
+  val q76Sql: String = eCte +
+    """, iv AS (
+      |  SELECT event_id AS id, user_id, ts_sec AS s,
+      |    ts_sec + abs(CAST(floor(value) AS BIGINT)) % 240 AS e
+      |  FROM e)
+      |SELECT a.user_id, a.id AS id_a, b.id AS id_b
+      |FROM iv a JOIN iv b
+      |  ON a.user_id = b.user_id AND a.id < b.id
+      | AND a.s <= b.e AND b.s <= a.e""".stripMargin
+
   /** Spark's built-in session_window (30-min gap) — the declarative
     * twin of q70's gaps-and-islands; also the shape the streaming
     * variant aggregates with. Oracle: the same islands, built by hand. */
@@ -136,12 +159,14 @@ object Temporal {
     "q72_range_count"    -> q72RangeCount,
     "q73_session_window" -> q73SessionWindow,
     "q74_asof_native"    -> q74AsofNative,
+    "q76_interval_overlap" -> q76IntervalOverlap,
   )
 
   val oracles: Map[String, String] = Map(
     "q70_sessionize"     -> q70Sql,
     "q71_asof_join"      -> q71Sql,
     "q74_asof_native"    -> q71Sql,
+    "q76_interval_overlap" -> q76Sql,
     "q72_range_count"    -> q72Sql,
     "q73_session_window" -> q73Sql,
   )

@@ -51,6 +51,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (2L, 3L)), s"got $pairs")
   }
 
+  test("intervalOverlapJoin: inclusive touch, bucket crossing, degenerate drop, maxLen error") {
+    val iv = Seq(
+      (1L, "u", 0L, 100L),
+      (2L, "u", 100L, 200L),   // touches 1 at exactly 100 → inclusive overlap
+      (3L, "u", 201L, 300L),   // gap of 1 after 2 → no overlap with 2
+      (4L, "u", 50L, 260L),    // spans several buckets; overlaps 1, 2, 3
+      (5L, "u", 400L, 390L),   // degenerate end < start → drops
+      (6L, "v", 0L, 100L)      // other key — never pairs with u
+    ).toDF("id", "k", "s", "e")
+    val got = RangeJoin.intervalOverlapJoin(iv, "k", "s", "e", "id",
+        bucketWidth = 64L, maxLen = 512L)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)), s"got $got")
+
+    val tooLong = Seq((1L, "u", 0L, 1000L)).toDF("id", "k", "s", "e")
+    val err = intercept[Exception] {
+      RangeJoin.intervalOverlapJoin(tooLong, "k", "s", "e", "id", 64L, 512L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("countFollowing keeps zero rows") {
     val df = Seq((1L, "u", 0L), (2L, "u", 10000L)).toDF("id", "k", "t")
     val got = RangeJoin.countFollowing(df, "k", "t", "id", 600L)
