@@ -71,17 +71,18 @@ object TextOps {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       TextAnalysis.punctCount(col("text")).cast("long").as("punct_cnt"),
       TextAnalysis.anyStopwordHits(col("text")).cast("long").as("stop_hits"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+      TextAnalysis.qualityScore(col("text")).as("quality_bp"))
 
+  /** Integer basis points, mirroring qualityScore exactly — `//` on
+    * non-negative BIGINTs is the same floor division as Spark's `div`. */
   val q32Sql: String = {
     val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString(", ")
     toksCte +
       s"""SELECT doc_id, n_tokens, punct_cnt, stop_hits,
-         |  round(0.5::DOUBLE * (stop_hits::DOUBLE / greatest(n_tokens::DOUBLE, 1.0::DOUBLE))
-         |      + 0.3::DOUBLE * least(n_tokens::DOUBLE / 20.0::DOUBLE, 1.0::DOUBLE)
-         |      + 0.2::DOUBLE * (1.0::DOUBLE - punct_cnt::DOUBLE /
-         |           greatest(length(text)::DOUBLE, 1.0::DOUBLE)), 4) AS quality
+         |  (5000 * stop_hits) // greatest(n_tokens, 1)
+         |    + least(150 * n_tokens, 3000)
+         |    + (2000 - (2000 * punct_cnt) // greatest(length(text), 1)) AS quality_bp
          |FROM (
          |  SELECT doc_id, text,
          |    len(toks) AS n_tokens,

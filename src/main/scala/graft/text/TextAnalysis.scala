@@ -69,14 +69,23 @@ object TextAnalysis {
     * token length, penalizes punctuation soup. Weights are arbitrary but
     * fixed; the operator's value is the *shape* (cheap per-row features →
     * one score → filter), which is how corpus filtering runs at scale. */
+  /** Quality score in BASIS POINTS (0..10000), pure integer arithmetic:
+    * 5000·stopRatio + 3000·min(nTok/20, 1) + 2000·(1 − punctRatio),
+    * each ratio floor-divided after scaling. Integer math, not a
+    * rounded double: the weighted ratio of small integers lands exactly
+    * on .5-rounding boundaries (e.g. 0.53375) that Spark (HALF_UP) and
+    * other engines resolve differently — found as a real cross-engine
+    * mismatch at sf0.1. All operands are non-negative, so SQL `div`
+    * (truncating) equals floor division on both engines. */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val safeTok = greatest(nTok, lit(1.0))
-    val stopRatio = anyStopwordHits(text).cast("double") / safeTok
-    val punctRatio = punctCount(text).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
-    val lenScore = least(nTok / 20.0, lit(1.0))
-    round(lit(0.5) * stopRatio + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - punctRatio), 4)
+    val nTok = tokenCount(text).cast("long")
+    val stopBp = call_function("div",
+      anyStopwordHits(text).cast("long") * 5000L, greatest(nTok, lit(1L)))
+    val lenBp = least(nTok * 150L, lit(3000L))
+    val punctBp = lit(2000L) - call_function("div",
+      punctCount(text).cast("long") * 2000L,
+      greatest(length(text).cast("long"), lit(1L)))
+    stopBp + lenBp + punctBp
   }
 
   /** Canonical-text fingerprint: 60-bit md5 of lowercased,
