@@ -319,6 +319,70 @@ object DedupOps {
          |GROUP BY g.source, d.n_docs""".stripMargin
   }
 
+  // --------------------------------------- q49 incremental dedup vs store
+
+  /** Incremental dedup gate: even doc_ids form the signature store, odd
+    * doc_ids are the "new day" probed against it (IncrementalDedup) —
+    * exact dups by fingerprint, near-dup candidates by shared LSH band,
+    * uniques otherwise. */
+  def q49IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = spread(s, Tables.documents(s, dir))
+    val scope = graft.CacheScope.scoped()
+    // cache the store: both probes (fingerprint + bands) consume it; in
+    // production it's a parquet read, here it's a computed relation
+    val store = scope.cache(graft.dedup.IncrementalDedup.signatureStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"), K, ShingleN))
+    scope.materializeAndRelease(
+      graft.dedup.IncrementalDedup.dedupAgainstStore(
+        docs.filter(col("doc_id") % 2 === 1), store, "doc_id", col("text"),
+        K, RowsPerBand, ShingleN, scope))
+  }
+
+  val q49Sql: String = {
+    val perms = Dedup.minhashParams(K).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val bandArms = (0 until K / RowsPerBand).map { bi =>
+      val terms = (0 until RowsPerBand).map(r => bi * RowsPerBand + r)
+      val expr = terms.foldLeft("0::BIGINT") { (acc, idx) =>
+        s"((($acc) * ${Dedup.BandA} + sig[${idx + 1}]) % ${Dedup.BandM})"
+      }
+      s"SELECT doc_id, $bi AS band, $expr AS bh FROM sig_t"
+    }.mkString("\nUNION ALL\n")
+    shingleCte.dropRight(1) + "," +
+      s"""
+         |fp_t AS (SELECT doc_id, ${h60Sql("text")} AS fp FROM documents),
+         |mh_t AS (
+         |  SELECT doc_id, perm,
+         |    list_min(list_transform(sh,
+         |      s -> (a * (${h60Sql("s")} % $P) + b) % $P)) AS mh
+         |  FROM sh_t CROSS JOIN (VALUES $perms) AS perms(perm, a, b)
+         |  WHERE len(sh) > 0),
+         |sig_t AS (
+         |  SELECT doc_id, list(mh ORDER BY perm) AS sig FROM mh_t GROUP BY doc_id),
+         |bands_t AS (
+         |$bandArms),
+         |exact_t AS (
+         |  SELECT n.doc_id, min(st.doc_id) AS exact_id
+         |  FROM fp_t n JOIN fp_t st ON n.fp = st.fp
+         |  WHERE n.doc_id % 2 = 1 AND st.doc_id % 2 = 0
+         |  GROUP BY n.doc_id),
+         |near_t AS (
+         |  SELECT n.doc_id, min(st.doc_id) AS near_id
+         |  FROM bands_t n JOIN bands_t st USING (band, bh)
+         |  WHERE n.doc_id % 2 = 1 AND st.doc_id % 2 = 0
+         |  GROUP BY n.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS status,
+         |  coalesce(e.exact_id, nr.near_id) AS match_id
+         |FROM documents d
+         |LEFT JOIN exact_t e ON d.doc_id = e.doc_id
+         |LEFT JOIN near_t nr ON d.doc_id = nr.doc_id
+         |WHERE d.doc_id % 2 = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact"     -> q40DedupExact,
     "q41_minhash_sig"     -> q41MinhashSig,
@@ -328,6 +392,7 @@ object DedupOps {
     "q45_simhash_pairs"   -> q45SimhashPairs,
     "q46_corpus_sketch"   -> q46CorpusSketch,
     "q47_dedup_clusters"  -> q47DedupClusters,
+    "q49_incremental_dedup" -> q49IncrementalDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,5 +404,6 @@ object DedupOps {
     "q45_simhash_pairs"   -> q45Sql,
     "q46_corpus_sketch"   -> q46Sql,
     "q47_dedup_clusters"  -> q47Sql,
+    "q49_incremental_dedup" -> q49Sql,
   )
 }
