@@ -56,6 +56,46 @@ object VectorOps {
        |  FROM scored)
        |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** Quantized (int8) top-k — q50's memory-scale path. Exact oracle:
+    * floor-based codes are bit-reproducible (see similarity.Quantize),
+    * dots are integer arithmetic, and the dequantized ranking divides
+    * identical doubles on both engines. */
+  def q53QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.similarity.Quantize.quantizedTopK(
+      emb.filter(col("vec_id") < NQueries), Tables.spread(s, emb), TopK)
+  }
+
+  val q53Sql: String =
+    s"""WITH mx AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |    CASE WHEN m = 0 THEN 1.0::DOUBLE ELSE 127.0::DOUBLE / m END AS s,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * (CASE WHEN m = 0 THEN 1.0::DOUBLE
+       |                  ELSE 127.0::DOUBLE / m END) + 0.5::DOUBLE) AS BIGINT)) AS qv
+       |  FROM mx),
+       |q AS (SELECT vec_id AS query_id, s AS sq, qv AS qq FROM qv
+       |      WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, s AS sc, qv AS qc FROM qv),
+       |scored AS (
+       |  SELECT query_id, corpus_id,
+       |    CAST(coalesce(list_sum(list_transform(range(1, len(qq) + 1),
+       |      d -> qq[d] * qc[d])), 0) AS BIGINT) AS qdot,
+       |    sq, sc
+       |  FROM c CROSS JOIN q WHERE query_id <> corpus_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, qdot,
+       |    qdot::DOUBLE / (sq * sc) AS adot_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdot::DOUBLE / (sq * sc) DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, qdot, round(adot_raw, 4) AS adot
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   def q51LshNearDup(s: SparkSession, dir: String): DataFrame = {
     val scope = graft.CacheScope.scoped()
     scope.materializeAndRelease(
@@ -110,11 +150,13 @@ object VectorOps {
     "q50_ann_topk"    -> q50AnnTopK,
     "q51_lsh_neardup" -> q51LshNearDup,
     "q52_ivf_topk"    -> q52IvfTopK,
+    "q53_quantized_topk" -> q53QuantizedTopK,
   )
 
   val oracles: Map[String, String] = Map(
     "q50_ann_topk"    -> q50Sql,
     "q51_lsh_neardup" -> q51Sql,
     "q52_ivf_topk"    -> q52Sql,
+    "q53_quantized_topk" -> q53Sql,
   )
 }
