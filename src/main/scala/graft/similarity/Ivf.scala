@@ -45,14 +45,22 @@ object Ivf {
   /** Deterministic Lloyd k-means. Empty clusters keep their previous
     * centroid (stable under any data).
     *
+    * `fitOneIn` > 1 fits the quantizer on a deterministic 1-in-n slice
+    * of the corpus (vec_id mod n == 0) — the standard production
+    * posture: a coarse quantizer needs a representative sample, not all
+    * 100 TB, and the search stays exact within probed lists regardless
+    * of where the centroids landed (nProbe is the recall dial).
+    *
     * The projected corpus is spread (single-split scans would run the
     * interpreted assignment single-threaded) and persisted for the
     * duration of the fit — it is consumed `iters + 1` times, and Lloyd
     * iterations over a re-read corpus are the classic iterative-ML
     * anti-pattern Spark caching exists for. */
-  def fit(corpus: DataFrame, k: Int, iters: Int = 5): Model = {
-    val base = graft.Tables.spread(corpus.sparkSession,
-        corpus.select(col("vec_id"), col("embedding")))
+  def fit(corpus: DataFrame, k: Int, iters: Int = 5, fitOneIn: Int = 1): Model = {
+    val projected = corpus.select(col("vec_id"), col("embedding"))
+    val sampled = if (fitOneIn <= 1) projected
+      else projected.filter(pmod(col("vec_id"), lit(fitOneIn)) === 0)
+    val base = graft.Tables.spread(corpus.sparkSession, sampled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var model = Model(
       base.orderBy(col("vec_id")).limit(k).collect()

@@ -40,6 +40,17 @@ class IvfSpec extends SparkTestBase {
       s"recall $recall implausibly low even for 2/8 probing")
   }
 
+  test("sampled fit is deterministic and full probe stays exact") {
+    val m1 = Ivf.fit(emb, k = 4, iters = 2, fitOneIn = 4)
+    val m2 = Ivf.fit(emb, k = 4, iters = 2, fitOneIn = 4)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val ivf = asPairs(Ivf.search(queries, Ivf.index(emb, m1), m1,
+      topK = 5, nProbe = m1.k))
+    val bf = asPairs(Similarity.bruteForceTopK(queries, emb, 5)
+      .select(col("query_id"), col("rank").cast("long"), col("corpus_id")))
+    assert(ivf == bf)
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
