@@ -89,7 +89,7 @@ object Dedup {
     }(out)
 
   /** Shared staging: tokens → shingle h60 hashes → `build(hashCol)`. */
-  private def withShingleHashes(df: DataFrame, textCol: Column, shingleN: Int)
+  private[dedup] def withShingleHashes(df: DataFrame, textCol: Column, shingleN: Int)
                                (build: Column => Column)(out: String): DataFrame = {
     val toks = "__mh_toks"
     val shh = "__mh_shh"

@@ -383,7 +383,33 @@ object DedupOps {
          |WHERE d.doc_id % 2 = 1""".stripMargin
   }
 
+  // ------------------------------------------------- q39 decontamination
+
+  /** Benchmark decontamination: corpus docs (doc_id % 41 != 0) sharing
+    * any word 3-gram with the held-out "benchmark" slice
+    * (doc_id % 41 == 0), with the count of distinct shared grams. */
+  def q39Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Decontaminate.overlap(
+      spread(s, docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)),
+      "doc_id", col("text"),
+      docs.filter(pmod(col("doc_id"), lit(41)) === 0), col("text"), ShingleN)
+  }
+
+  val q39Sql: String = shingleCte.dropRight(1) + "," +
+    s"""
+       |g_t AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(sh, s -> ${h60Sql("s")}))) AS g
+       |  FROM sh_t WHERE len(sh) > 0),
+       |bench AS (SELECT DISTINCT g FROM g_t WHERE doc_id % 41 = 0)
+       |SELECT doc_id, count(*) AS hits
+       |FROM g_t JOIN bench USING (g)
+       |WHERE doc_id % 41 <> 0
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_decontaminate"   -> q39Decontaminate,
     "q40_dedup_exact"     -> q40DedupExact,
     "q41_minhash_sig"     -> q41MinhashSig,
     "q42_lsh_candidates"  -> q42LshCandidates,
@@ -396,6 +422,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_decontaminate"   -> q39Sql,
     "q40_dedup_exact"     -> q40Sql,
     "q41_minhash_sig"     -> q41Sql,
     "q42_lsh_candidates"  -> q42Sql,

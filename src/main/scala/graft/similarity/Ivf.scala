@@ -36,9 +36,17 @@ object Ivf {
       }),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Index (0-based) of the nearest centroid; ties → lowest index. */
+  /** Index (0-based) of the nearest centroid; ties → lowest index.
+    *
+    * Scored as ||c||² − 2·x·c (the ||x||² term is constant across
+    * centroids, so the argmin is the L2 nearest): the dot goes through
+    * the native codegen `dot_product` expression, so the per-row corpus
+    * assignment — IVF's only full-corpus pass — stays inside
+    * whole-stage codegen instead of k interpreted HOF folds. */
   def assignExpr(vec: Column, model: Model): Column = {
-    val dists = array(model.centroids.map(c => sqDist(vec, c)): _*)
+    val dists = array(model.centroids.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * Similarity.dot(vec, lit(c))
+    }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
