@@ -188,7 +188,32 @@ object TextOps {
          |WHERE $anyMatch""".stripMargin
   }
 
+  // -------------------------------------------------- q54 repetition
+
+  /** Gopher-style repetition filters over word bigrams: total gram
+    * count, top-gram mass, repeated-gram mass (integer basis points). */
+  def q54Repetition(s: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.metrics(
+        Tables.spread(s, Tables.documents(s, dir)), "doc_id", col("text"), 2)
+      .withColumnRenamed("id", "doc_id")
+
+  val q54Sql: String = toksCte.dropRight(1) + "," +
+    s"""
+       |g_t AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> ${h60Sql("array_to_string(toks[i:i+1], ' ')")})) AS h
+       |  FROM toks_t WHERE len(toks) >= 2),
+       |c_t AS (SELECT doc_id, h, count(*) AS c FROM g_t GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+       |  CAST((10000 * max(c)) // sum(c) AS BIGINT) AS top_ngram_bp,
+       |  CAST((10000 * coalesce(sum(c) FILTER (WHERE c > 1), 0))
+       |    // sum(c) AS BIGINT) AS dup_ngram_bp
+       |FROM c_t GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_repetition"  -> q54Repetition,
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
@@ -198,6 +223,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_repetition"  -> q54Sql,
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,
