@@ -148,8 +148,33 @@ object VectorOps {
        |  FROM scored)
        |SELECT query_id, rank, corpus_id, rcos FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** Per-group mean-pooled centroid (vec_id mod 10 as the group key):
+    * exact fixed-point accumulation makes the parallel mean
+    * order-independent, so the oracle compare is exact. */
+  def q55GroupCentroid(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pooling.meanCentroid(
+      Tables.spread(s, Tables.embeddings(s, dir)),
+      pmod(col("vec_id"), lit(10)), col("embedding"))
+
+  val q55Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id % 10 AS g,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |      d -> {'dim': d - 1,
+      |            'fx': CAST(floor(embedding[d]::DOUBLE * 1000000.0
+      |                             + 0.5::DOUBLE) AS BIGINT)})) AS u
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT g, u.dim AS dim,
+      |    round(CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |      + 0.0::DOUBLE AS m
+      |  FROM e GROUP BY 1, 2)
+      |SELECT g, list(m ORDER BY dim) AS centroid
+      |FROM m GROUP BY g""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_ann_topk"    -> q50AnnTopK,
+    "q55_group_centroid" -> q55GroupCentroid,
     "q51_lsh_neardup" -> q51LshNearDup,
     "q52_ivf_topk"    -> q52IvfTopK,
     "q53_quantized_topk" -> q53QuantizedTopK,
@@ -157,6 +182,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q50_ann_topk"    -> q50Sql,
+    "q55_group_centroid" -> q55Sql,
     "q51_lsh_neardup" -> q51Sql,
     "q52_ivf_topk"    -> q52Sql,
     "q53_quantized_topk" -> q53Sql,

@@ -87,6 +87,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"queries must broadcast:\n$p")
   }
 
+  test("q39 decontamination: benchmark gram set broadcasts; corpus side map-only until the hit count") {
+    val p = plan(DedupOps.q39Decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastExchange"),
+      s"benchmark grams must broadcast:\n$p")
+    // corpus-side exchanges: the benchmark distinct + the final per-doc
+    // count — the corpus (doc, gram) stream itself must NOT shuffle
+    // before the broadcast join
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"unexpected corpus shuffle before the broadcast join:\n$p")
+  }
+
+  test("q53 quantized top-k: query side broadcasts; corpus never shuffled pre-score") {
+    val p = plan(VectorOps.q53QuantizedTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantized queries must broadcast:\n$p")
+  }
+
+  test("q54 repetition: both aggregations have map-side partial merge") {
+    val p = plan(TextOps.q54Repetition(spark, dir))
+    assert(countOf(p, "partial_") >= 2,
+      s"expected partial aggregation below both exchanges:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"repetition needs exactly the (doc,gram) and doc exchanges:\n$p")
+    assert(!p.contains("Sort "), s"no sorts expected:\n$p")
+  }
+
   test("q36 bm25: corpus stats broadcast; scoring pass has no value shuffle") {
     val p = plan(TextOps.q36Bm25(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"),
