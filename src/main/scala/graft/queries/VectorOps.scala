@@ -172,9 +172,30 @@ object VectorOps {
       |SELECT g, list(m ORDER BY dim) AS centroid
       |FROM m GROUP BY g""".stripMargin
 
+  /** L2 normalization — the standard pre-ANN transform (cosine over
+    * unit vectors = dot product). Map-only; norm staged once per row. */
+  def q56L2Normalize(s: SparkSession, dir: String): DataFrame =
+    Similarity.withL2Normalized(
+        Tables.spread(s, Tables.embeddings(s, dir)), col("embedding"),
+        "__n", "unit")
+      .select(col("vec_id"), round(col("__n"), 6).as("norm"), col("unit"))
+
+  val q56Sql: String = {
+    val dotSelf = dotSql("embedding", "embedding")
+    s"""SELECT vec_id,
+       |  round(sqrt($dotSelf), 6) AS norm,
+       |  CASE WHEN sqrt($dotSelf) = 0
+       |    THEN list_transform(embedding, x -> 0.0::DOUBLE)
+       |    ELSE list_transform(embedding,
+       |      x -> round(x::DOUBLE / sqrt($dotSelf), 6) + 0.0::DOUBLE)
+       |  END AS unit
+       |FROM embeddings""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_ann_topk"    -> q50AnnTopK,
     "q55_group_centroid" -> q55GroupCentroid,
+    "q56_l2_normalize" -> q56L2Normalize,
     "q51_lsh_neardup" -> q51LshNearDup,
     "q52_ivf_topk"    -> q52IvfTopK,
     "q53_quantized_topk" -> q53QuantizedTopK,
@@ -183,6 +204,7 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "q50_ann_topk"    -> q50Sql,
     "q55_group_centroid" -> q55Sql,
+    "q56_l2_normalize" -> q56Sql,
     "q51_lsh_neardup" -> q51Sql,
     "q52_ivf_topk"    -> q52Sql,
     "q53_quantized_topk" -> q53Sql,

@@ -35,6 +35,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Adds `normOut` (L2 norm, unrounded) and `vecOut` (unit vector,
+    * elements rounded to 6dp; zero vectors stay all-zero). The norm is
+    * STAGED as its own projection before the per-element lambda —
+    * captured subtrees re-evaluate per array element (no CSE inside
+    * higher-order functions), so an inline norm would cost dim×
+    * dot products per row. The `+ 0.0` collapses IEEE -0.0 from
+    * rounding tiny negative components (engines disagree on its sign).
+    */
+  def withL2Normalized(df: DataFrame, vecCol: Column,
+                       normOut: String, vecOut: String): DataFrame =
+    df.withColumn(normOut, norm(vecCol))
+      .withColumn(vecOut,
+        when(col(normOut) === 0.0, transform(vecCol, _ => lit(0.0)))
+          .otherwise(transform(vecCol,
+            x => round(x.cast("double") / col(normOut), 6) + lit(0.0))))
+
   /** Cosine similarity; 0 for zero vectors (instead of null/NaN). */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
