@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   * codec itself is a STUB (`FakeCodec`): image/audio libraries are not
   * in this container, so decode is a deterministic fake keyed on content
   * bytes. Swapping in a real codec touches exactly one function.
+  * Header-level metadata needs NO codec: [[MediaHeaders]] parses
+  * format/dimensions/sample-rate from fixed-offset header bytes with
+  * codegen'd built-ins.
   *
   * Scale notes: decode is partition-local (map-only, no shuffle); batch
   * size bounds peak memory per task exactly like `maxRecordsPerBatch`
