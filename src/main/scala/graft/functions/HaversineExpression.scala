@@ -71,6 +71,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -128,9 +130,39 @@ object GraftExtensions {
       Simhash(exprs(0), litInt(exprs(1), "bits"))
     })
 
+  /** Spark's own runtime-filter expressions, surfaced as callable
+    * functions (they are registry-internal upstream — only the
+    * InjectRuntimeFilter rule plants them). Callers pass xxhash64(key)
+    * as the hashed child, mirroring the upstream rule. */
+  private[functions] val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        "bloom_filter_agg(xxhash64(key), est_items, num_bits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))
+    })
+
+  private[functions] val bloomMightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "might_contain(bloom, xxhash64(key))")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))
+    })
+
   private val all = Seq(
     haversineDescriptor, dotProductDescriptor,
-    minhashSigDescriptor, simhashDescriptor)
+    minhashSigDescriptor, simhashDescriptor,
+    bloomAggDescriptor, bloomMightContainDescriptor)
 
   /** Register on an already-built session (tests, driver sessions):
     * functions via the registry, the as-of planner strategy via

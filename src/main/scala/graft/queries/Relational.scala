@@ -285,7 +285,35 @@ object Relational {
       |  event_id, round(value, 2) AS value
       |FROM events""".stripMargin
 
+  /** Bloom-pruned semi-join (operators.BloomPrune): lineitem rows of
+    * high-value orders, map-side pruned by a broadcast Bloom filter
+    * before the exact semi-join. Oracle is the plain EXISTS — the
+    * Bloom stage is output-invisible by construction. */
+  def q57BloomSemi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BloomPrune.semiJoin(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0),
+        col("o_orderkey"),
+        // sized for the selective side (~tens of k keys at sf0.1):
+        // a 25 KB filter literal, not the 1 MB default — the filter
+        // bytes are embedded in the plan, so oversizing bloats every
+        // explain/log of the query
+        expectedItems = 200000L, numBits = 200000L)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val q57Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_orderkey = l.l_orderkey
+      |                AND o.o_totalprice > 150000.0)
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_bloom_semi"      -> q57BloomSemi,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_join_revenue"    -> q03JoinRevenue,
@@ -302,6 +330,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_bloom_semi"      -> q57Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_join_revenue"    -> q03Sql,

@@ -113,6 +113,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Sort "), s"no sorts expected:\n$p")
   }
 
+  test("q57 bloom semi: might_contain probes map-side, below the join") {
+    // don't embed the plan in failure messages — the bloom literal
+    // makes the printed tree hundreds of KB
+    val p = plan(Relational.q57BloomSemi(spark, dir))
+    assert(p.contains("might_contain"), "bloom probe missing from plan")
+    // the probe must sit BELOW the semi join (scan side, pre-exchange),
+    // so pruned rows never reach the join's shuffle/broadcast; the
+    // printed tree is top-down, so the probe's first occurrence comes
+    // after the join line
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx >= 0, "no semi join in plan")
+    assert(p.indexOf("might_contain") > joinIdx,
+      "probe should sit below the semi join in the printed tree")
+  }
+
   test("q36 bm25: corpus stats broadcast; scoring pass has no value shuffle") {
     val p = plan(TextOps.q36Bm25(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"),
