@@ -45,4 +45,14 @@ object IO {
   /** Headered CSV sink (reference S8 — the three analytical outputs). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC scan/sink (beyond the reference's formats — completes the
+    * columnar-format surface; ORC ships in spark-sql). Same posture as
+    * parquet: declared schema on read, partitioned writes for pruning. */
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writePartitionedOrc(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).orc(path)
 }
