@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent facade over the operator library — `import graft.syntax._`
+  * and chain pipeline stages off any DataFrame:
+  *
+  * {{{
+  *   docs.dedupExact("doc_id", col("text"))
+  *   docs.decontaminateAgainst(bench, "doc_id", col("text"), n = 3)
+  *   emb.l2Normalized(col("embedding"), "norm", "unit")
+  *   facts.bloomSemiJoin(col("k"), dims, col("dim_k"))
+  * }}}
+  *
+  * Every method delegates 1:1 to the documented object-API operator
+  * (dedup.Dedup, dedup.Decontaminate, similarity.*, operators.*,
+  * text.*) — no logic lives here, so the two surfaces cannot drift.
+  */
+package object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) {
+
+    // ------------------------------------------------------ dedup
+    def dedupExact(idCol: String, key: Column): DataFrame =
+      dedup.Dedup.exactCanonical(df, idCol, key)
+
+    def withMinhashSignature(text: Column, k: Int, shingleN: Int = 3,
+                             out: String = "sig"): DataFrame =
+      dedup.Dedup.withMinhashSignature(df, text, k, shingleN, out)
+
+    def withSimhash(text: Column, bits: Int = 64,
+                    out: String = "simhash"): DataFrame =
+      dedup.Dedup.withSimhash(df, text, bits, out)
+
+    def jaccardJoin(idCol: String, text: Column, shingleN: Int = 3,
+                    maxShingleDf: Long = 50, minJ: Double = 0.2): DataFrame =
+      dedup.Dedup.jaccardJoin(df, idCol, text, shingleN, maxShingleDf, minJ)
+
+    /** Near-dup pairs → (id, cluster_id) by connected components. */
+    def dedupClusters(idCol: String, pairs: DataFrame,
+                      aCol: String, bCol: String): DataFrame =
+      dedup.ConnectedComponents.components(df, idCol, pairs, aCol, bCol)
+
+    def decontaminateAgainst(benchmark: DataFrame, idCol: String,
+                             text: Column, n: Int,
+                             benchText: Column = null): DataFrame =
+      dedup.Decontaminate.overlap(df, idCol, text, benchmark,
+        Option(benchText).getOrElse(text), n)
+
+    // ------------------------------------------------------- text
+    def repetitionMetrics(idCol: String, text: Column, n: Int = 2): DataFrame =
+      graft.text.Repetition.metrics(df, idCol, text, n)
+
+    // ----------------------------------------------------- vectors
+    def l2Normalized(vec: Column, normOut: String, vecOut: String): DataFrame =
+      similarity.Similarity.withL2Normalized(df, vec, normOut, vecOut)
+
+    def quantizedInt8(vecCol: String = "embedding", qCol: String = "qvec",
+                      sCol: String = "qscale"): DataFrame =
+      similarity.Quantize.withInt8(df, vecCol, qCol, sCol)
+
+    def meanCentroid(group: Column, vec: Column): DataFrame =
+      similarity.Pooling.meanCentroid(df, group, vec)
+
+    // --------------------------------------------------- operators
+    def bloomSemiJoin(key: Column, right: DataFrame, rightKey: Column,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 8000000L): DataFrame =
+      operators.BloomPrune.semiJoin(df, key, right, rightKey,
+        expectedItems, numBits)
+
+    def withSplit(key: Column, splits: Seq[(String, Double)]): DataFrame =
+      operators.DataSplit.withSplit(df, key, splits)
+
+    def stratifiedSample(strata: Column, hashKey: Column, tiebreak: Column,
+                         n: Int): DataFrame =
+      operators.Sampling.stratifiedSample(df, strata, hashKey, tiebreak, n)
+  }
+}

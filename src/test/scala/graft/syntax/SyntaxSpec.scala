@@ -1,0 +1,63 @@
+package graft.syntax
+
+import org.apache.spark.sql.functions._
+
+import graft.olhovivo.SparkTestBase
+import graft.Tables
+
+/** The fluent facade must be a pure delegate: every syntax call
+  * produces the same result as the object-API call it wraps. */
+class SyntaxSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("dedup facade delegates: exact, minhash, simhash, jaccard") {
+    val docs = Tables.documents(spark, dir)
+    assert(rows(docs.dedupExact("doc_id", col("text"))) ==
+      rows(graft.dedup.Dedup.exactCanonical(docs, "doc_id", col("text"))))
+    assert(rows(docs.withMinhashSignature(col("text"), k = 4)) ==
+      rows(graft.dedup.Dedup.withMinhashSignature(docs, col("text"), 4, 3, "sig")))
+    assert(rows(docs.withSimhash(col("text"), bits = 16)) ==
+      rows(graft.dedup.Dedup.withSimhash(docs, col("text"), 16, "simhash")))
+  }
+
+  test("decontamination and repetition facades delegate") {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+    assert(rows(corpus.decontaminateAgainst(bench, "doc_id", col("text"), n = 3)) ==
+      rows(graft.dedup.Decontaminate.overlap(
+        corpus, "doc_id", col("text"), bench, col("text"), 3)))
+    assert(rows(docs.repetitionMetrics("doc_id", col("text"))) ==
+      rows(graft.text.Repetition.metrics(docs, "doc_id", col("text"), 2)))
+  }
+
+  test("vector and operator facades delegate") {
+    val emb = Tables.embeddings(spark, dir)
+    assert(rows(emb.quantizedInt8()) ==
+      rows(graft.similarity.Quantize.withInt8(emb)))
+    assert(rows(emb.meanCentroid(pmod(col("vec_id"), lit(5)), col("embedding"))) ==
+      rows(graft.similarity.Pooling.meanCentroid(
+        emb, pmod(col("vec_id"), lit(5)), col("embedding"))))
+    val left = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val right = (1L to 100L).filter(_ % 9 == 0).map(Tuple1(_)).toDF("rk")
+    assert(rows(left.bloomSemiJoin(col("k"), right, col("rk"))) ==
+      rows(graft.operators.BloomPrune.semiJoin(left, col("k"), right, col("rk"))))
+  }
+
+  test("pipeline chains read naturally end to end") {
+    val docs = Tables.documents(spark, dir)
+    // column-preserving stages chain freely (aggregating stages like
+    // dedupExact/repetitionMetrics end a chain by design)
+    val curated = docs
+      .withSimhash(col("text"), bits = 16)
+      .withSplit(col("text"), Seq("train" -> 0.9, "val" -> 0.1))
+    assert(curated.columns.contains("simhash") && curated.columns.contains("split"))
+    assert(curated.filter(col("split").isin("train", "val")).count() ==
+      curated.count() && curated.count() > 0)
+  }
+}
