@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a candidate-pair graph — the last mile of a
@@ -96,6 +96,27 @@ object ConnectedComponents {
     vertices.select(col(idCol).cast("long").as("id")).distinct()
       .join(labelsOf(edges).select(col("u").as("id"), col("lab")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
+  /** The pipeline's last step: given (id, cluster_id) from
+    * [[components]] and the document table, pick ONE survivor per
+    * cluster — the row maximizing `priority` (ties → lowest id, so the
+    * choice is deterministic). Everything is a max_by aggregation with
+    * map-side partial merge; no windows, no sorts.
+    *
+    * Returns (cluster_id, keep_id): anti-join the corpus against the
+    * complement to drop duplicates, or semi-join on keep_id to keep
+    * survivors only. */
+  def keepBest(clusters: DataFrame, docs: DataFrame, idCol: String,
+               priority: Column): DataFrame = {
+    val prio = docs.select(col(idCol).cast("long").as("id"),
+      priority.as("__prio"))
+    clusters.join(prio, Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("id"),
+        // struct orders lexicographically: priority DESC then id ASC
+        // via negated id — max_by picks the highest-priority, lowest-id
+        struct(col("__prio"), (-col("id")).as("neg_id"))).as("keep_id"))
   }
 
   private def symmetrize(e: DataFrame): DataFrame =

@@ -41,6 +41,11 @@ package object syntax {
                       aCol: String, bCol: String): DataFrame =
       dedup.ConnectedComponents.components(df, idCol, pairs, aCol, bCol)
 
+    /** (cluster_id, keep_id): one survivor per cluster by priority
+      * (this df = the (id, cluster_id) clusters frame). */
+    def keepBest(docs: DataFrame, idCol: String, priority: Column): DataFrame =
+      dedup.ConnectedComponents.keepBest(df, docs, idCol, priority)
+
     def decontaminateAgainst(benchmark: DataFrame, idCol: String,
                              text: Column, n: Int,
                              benchText: Column = null): DataFrame =

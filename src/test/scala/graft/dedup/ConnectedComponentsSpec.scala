@@ -44,6 +44,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == vertices.map(_ -> 1L).toMap)
   }
 
+  test("keepBest picks the highest-priority doc per cluster, lowest id on ties") {
+    val vertices = (1L to 6L)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)) // clusters {1,2,3},{4,5},{6}
+    val clusters = ConnectedComponents.components(
+      vertices.toDF("doc_id"), "doc_id", pairs.toDF("a", "b"), "a", "b")
+    // priorities: cluster1 → doc 2 wins (30); cluster4 → tie 10/10 → doc 4
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 10L), (5L, 10L),
+      (6L, 1L)).toDF("doc_id", "quality")
+    val keep = ConnectedComponents.keepBest(clusters, docs, "doc_id", col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 2L, 4L -> 4L, 6L -> 6L), s"got $keep")
+  }
+
   test("random graphs match union-find oracle") {
     val gen = for {
       n     <- Gen.choose(1, 40)

@@ -113,6 +113,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Sort "), s"no sorts expected:\n$p")
   }
 
+  test("q55 centroids: two partial-agg exchanges, no sort operator") {
+    val p = plan(VectorOps.q55GroupCentroid(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"expected only the (g,dim) and (g) exchanges:\n$p")
+    assert(countOf(p, "partial_") >= 1, s"no partial aggregation:\n$p")
+    assert(!p.contains("Sort "),
+      s"array_sort is an expression — no Sort operator expected:\n$p")
+  }
+
+  test("q56 l2 normalize: map-only — no hash shuffle") {
+    val p = plan(VectorOps.q56L2Normalize(spark, dir))
+    // the only allowed exchange is Tables.spread's round-robin
+    // (single-split testdata parallelization) — no data-keyed shuffle
+    assert(countOf(p, "Exchange hashpartitioning") == 0 &&
+      countOf(p, "Exchange rangepartitioning") == 0,
+      s"normalization must not shuffle on data keys:\n$p")
+  }
+
   test("q57 bloom semi: might_contain probes map-side, below the join") {
     // don't embed the plan in failure messages — the bloom literal
     // makes the printed tree hundreds of KB
