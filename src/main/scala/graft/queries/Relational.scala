@@ -312,8 +312,29 @@ object Relational {
       |                AND o.o_totalprice > 150000.0)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Salted fact↔dim join (operators.SaltedJoin): lineitem ⋈ part with
+    * the hot-key spread over 8 salt buckets. The salt is output-
+    * invisible (every fact row joins exactly once), so the oracle is
+    * the plain inner join. */
+  def q58SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedJoin.inner(
+        Tables.lineitem(s, dir), col("l_partkey"),
+        Tables.part(s, dir), col("p_partkey"),
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")),
+        salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q58Sql: String =
+    """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_bloom_semi"      -> q57BloomSemi,
+    "q58_salted_join"     -> q58SaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_join_revenue"    -> q03JoinRevenue,
@@ -331,6 +352,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q57_bloom_semi"      -> q57Sql,
+    "q58_salted_join"     -> q58Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_join_revenue"    -> q03Sql,

@@ -74,6 +74,10 @@ package object syntax {
       operators.BloomPrune.semiJoin(df, key, right, rightKey,
         expectedItems, numBits)
 
+    def saltedJoin(key: Column, dim: DataFrame, dimKey: Column,
+                   saltSource: Column, salts: Int = 8): DataFrame =
+      operators.SaltedJoin.inner(df, key, dim, dimKey, saltSource, salts)
+
     def withSplit(key: Column, splits: Seq[(String, Double)]): DataFrame =
       operators.DataSplit.withSplit(df, key, splits)
 
