@@ -75,7 +75,16 @@ object Bench {
     // the driver's published shape.
     val results = sorted.map { case (name, fn) =>
       val a = timeOnce(name, fn)
-      name -> (if (a < 0) Seq(a) else Seq(a, timeOnce(name, fn)))
+      name -> (if (a < 0) Seq(a)
+      else {
+        val two = Seq(a, timeOnce(name, fn))
+        // shared-VM interference shows as a large spread between the
+        // two attempts; one extra attempt then tightens the min without
+        // paying 3× on the quiet majority
+        if (two.forall(_ >= 0) && two.max > 1.5 * math.max(two.min, 1e-9))
+          two :+ timeOnce(name, fn)
+        else two
+      })
     }
     def best(rs: Seq[Double]): Double = {
       val ok = rs.filter(_ >= 0)
