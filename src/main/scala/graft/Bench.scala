@@ -95,7 +95,18 @@ object Bench {
     val raw = results.map { case (k, rs) => s"\"" + k + "\":[" + rs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(r => best(r._2)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
+    // The driver captures only the tail of stdout and parses the last
+    // line — embedding the raw per-attempt map made that line overlong
+    // and unparseable for two rounds. Publish the compact line LAST and
+    // alone on stdout; the raw attempts (the interference-vs-regression
+    // signal) go to a side file.
+    val runsOut = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "target/bench_runs.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(runsOut))
+      try w.println(s"""{"runs":$raw,"sf":"$sfDir"}""") finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $runsOut: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -150,9 +150,12 @@ object VectorOps {
 
   /** Per-group mean-pooled centroid (vec_id mod 10 as the group key):
     * exact fixed-point accumulation makes the parallel mean
-    * order-independent, so the oracle compare is exact. */
+    * order-independent, so the oracle compare is exact. Emitted as
+    * scalar (g, dim, m) rows — the driver's oracle harness hashes
+    * pandas cells, and array cells are unhashable; the array-assembled
+    * shape stays available as Pooling.meanCentroid (PoolingSpec). */
   def q55GroupCentroid(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.Pooling.meanCentroid(
+    graft.similarity.Pooling.meanCentroidByDim(
       Tables.spread(s, Tables.embeddings(s, dir)),
       pmod(col("vec_id"), lit(10)), col("embedding"))
 
@@ -163,33 +166,42 @@ object VectorOps {
       |      d -> {'dim': d - 1,
       |            'fx': CAST(floor(embedding[d]::DOUBLE * 1000000.0
       |                             + 0.5::DOUBLE) AS BIGINT)})) AS u
-      |  FROM embeddings),
-      |m AS (
-      |  SELECT g, u.dim AS dim,
-      |    round(CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0), 4)
-      |      + 0.0::DOUBLE AS m
-      |  FROM e GROUP BY 1, 2)
-      |SELECT g, list(m ORDER BY dim) AS centroid
-      |FROM m GROUP BY g""".stripMargin
+      |  FROM embeddings)
+      |SELECT g, u.dim AS dim,
+      |  round(CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |    + 0.0::DOUBLE AS m
+      |FROM e GROUP BY 1, 2""".stripMargin
 
   /** L2 normalization — the standard pre-ANN transform (cosine over
-    * unit vectors = dot product). Map-only; norm staged once per row. */
+    * unit vectors = dot product). Map-only; norm staged once per row.
+    * Emitted element-wise as (vec_id, dim, u, norm) scalar rows for the
+    * same unhashable-array reason as q55; the array shape stays
+    * available as Similarity.withL2Normalized (SimilaritySpec). */
   def q56L2Normalize(s: SparkSession, dir: String): DataFrame =
     Similarity.withL2Normalized(
         Tables.spread(s, Tables.embeddings(s, dir)), col("embedding"),
         "__n", "unit")
-      .select(col("vec_id"), round(col("__n"), 6).as("norm"), col("unit"))
+      .select(col("vec_id"), round(col("__n"), 6).as("norm"),
+        // posexplode_outer, not posexplode: `unit` is computed, and
+        // InferFiltersFromGenerate would re-inline the whole transform
+        // into an interpreted Filter (the q41 trap)
+        posexplode_outer(col("unit")).as(Seq("dim", "u")))
+      .filter(col("u").isNotNull)
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("u"), col("norm"))
 
   val q56Sql: String = {
     val dotSelf = dotSql("embedding", "embedding")
-    s"""SELECT vec_id,
-       |  round(sqrt($dotSelf), 6) AS norm,
-       |  CASE WHEN sqrt($dotSelf) = 0
-       |    THEN list_transform(embedding, x -> 0.0::DOUBLE)
-       |    ELSE list_transform(embedding,
-       |      x -> round(x::DOUBLE / sqrt($dotSelf), 6) + 0.0::DOUBLE)
-       |  END AS unit
-       |FROM embeddings""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, round(sqrt($dotSelf), 6) AS norm,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      d -> {'dim': d - 1,
+       |            'val': CASE WHEN sqrt($dotSelf) = 0 THEN 0.0::DOUBLE
+       |                   ELSE round(embedding[d]::DOUBLE
+       |                              / sqrt($dotSelf), 6) + 0.0::DOUBLE
+       |                   END})) AS u
+       |  FROM embeddings)
+       |SELECT vec_id, u.dim AS dim, u.val AS u, norm FROM n""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Pooling {
 
-  /** (groupCol, centroid array<double> rounded to 4dp), dims averaged
-    * independently; rows with null vectors are ignored. */
-  def meanCentroid(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame = {
+  /** Per-dimension mean as scalar rows (g, dim, m) — the exchange
+    * format (and the oracle-checkable shape: one double per row, no
+    * array cells). `dim` is 0-based, long-typed. */
+  def meanCentroidByDim(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame = {
     val fixed = transform(vecCol,
       x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
     // posexplode_outer, not posexplode: the fixed-point array is
@@ -33,14 +34,19 @@ object Pooling {
       .select(col("g"), posexplode_outer(col("__fx")).as(Seq("dim", "fx")))
       .filter(col("fx").isNotNull)
     exploded
-      .groupBy(col("g"), col("dim"))
+      .groupBy(col("g"), col("dim").cast("long").as("dim"))
       .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
       // + 0.0 collapses IEEE negative zero (round(-4e-7, 4) is -0.0 in
       // DuckDB, +0.0 here — adding +0.0 yields +0.0 on both engines)
-      .withColumn("m",
-        round(col("s").cast("double") / (col("n") * lit(1e6)), 4) + lit(0.0))
+      .select(col("g"), col("dim"),
+        (round(col("s").cast("double") / (col("n") * lit(1e6)), 4) + lit(0.0)).as("m"))
+  }
+
+  /** (groupCol, centroid array<double> rounded to 4dp), dims averaged
+    * independently; rows with null vectors are ignored. */
+  def meanCentroid(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame =
+    meanCentroidByDim(df, groupCol, vecCol)
       .groupBy(col("g"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("centroid"))
-  }
 }
