@@ -13,14 +13,15 @@ import org.apache.spark.storage.StorageLevel
   *     `spark.catalog.clearCache()` or session end. Right for
   *     interactive sessions that re-consume the same operator output.
   *   - [[CacheScope.scoped]] + `materializeAndRelease`: execute the
-  *     plan once into an eager `localCheckpoint` (downstream actions
-  *     read the checkpoint — no recompute), then unpersist every
-  *     intermediate registered in the scope. Nothing is left behind in
-  *     the session CacheManager; the checkpoint's own blocks are
+  *     plan once into an eager checkpoint (downstream actions read the
+  *     checkpoint — no recompute), then unpersist every intermediate
+  *     registered in the scope, even on failure. Nothing is left behind
+  *     in the session CacheManager; the checkpoint's own blocks are
   *     reclaimed by Spark's ContextCleaner once the returned frame is
-  *     unreferenced. On a multi-executor cluster localCheckpoint trades
-  *     recompute-on-executor-loss for speed — swap for reliable
-  *     `checkpoint` when that matters.
+  *     unreferenced. Materialization goes through [[Checkpoints.eager]]:
+  *     localCheckpoint by default, reliable `checkpoint` when
+  *     `spark.graft.checkpoint.dir` is set (recompute-on-executor-loss
+  *     vs durability is the caller's conf choice, not a code edit).
   *
   * Every gate query entry uses the scoped form, so a full
   * `SparkEntry.queries` sweep leaves the CacheManager empty
@@ -41,6 +42,7 @@ object CacheScope {
 
   def scoped(): Scoped = new Scoped
 
+  /** Single-threaded use only: one scope belongs to one query build. */
   final class Scoped extends CacheScope {
     private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -49,13 +51,17 @@ object CacheScope {
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-    /** Run `result` to completion (eager localCheckpoint), release every
-      * cached intermediate, return the materialized frame. */
-    def materializeAndRelease(result: DataFrame): DataFrame = {
-      val out = result.localCheckpoint(true)
-      frames.foreach(_.unpersist(blocking = false))
-      frames.clear()
-      out
-    }
+    /** Run `result` to completion (eager checkpoint), release every
+      * cached intermediate, return the materialized frame. Intermediates
+      * are released even when the action throws — a failed query must
+      * not leave session-lifetime persists behind. Uses a reliable
+      * `checkpoint` when [[Checkpoints.dir]] is configured,
+      * `localCheckpoint` otherwise. */
+    def materializeAndRelease(result: DataFrame): DataFrame =
+      try Checkpoints.eager(result)
+      finally {
+        frames.foreach(_.unpersist(blocking = false))
+        frames.clear()
+      }
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Bloom-pruned semi-join — the runtime-filter pattern as a library
   * operator: build a Bloom filter over the (selective) right side's
@@ -22,10 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** The single type BOTH keys are cast to before xxhash64. Hashing the
+    * native types would be a silent-wrong-answer trap: INT-vs-BIGINT
+    * keys are join-coercible (the exact join matches them), but
+    * xxhash64(int) != xxhash64(bigint) for the same value, so the probe
+    * would yield false NEGATIVES and drop matching rows. Integral pairs
+    * hash as long; any numeric pair as double (values equal under the
+    * join's coercion are exactly equal after the cast, so
+    * no-false-negatives is preserved); anything else must match
+    * exactly — coercion there (e.g. string vs int) is dialect-subtle
+    * and the caller should cast explicitly. */
+  // IntegralType/NumericType are sealed inside spark.sql — enumerate
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isNumeric(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case t => isIntegral(t)
+  }
+
+  private[graft] def commonHashType(lt: DataType, rt: DataType): DataType =
+    if (lt == rt) lt
+    else if (isIntegral(lt) && isIntegral(rt)) LongType
+    else if (isNumeric(lt) && isNumeric(rt)) DoubleType
+    else throw new IllegalArgumentException(
+      s"BloomPrune.semiJoin: key types $lt vs $rt have no unambiguous " +
+        "common hash type; cast the join keys explicitly")
+
+  /** Auto-sizing from the right side's (approximate) distinct key
+    * count: 10 bits/item ≈ 1% false-positive rate at the optimal hash
+    * count; floored so tiny dimensions still get a working filter and
+    * capped at 2^28 bits (32 MB) because the finished filter is planted
+    * as a plan literal — past that the broadcast cost eats the shuffle
+    * savings and the caller should size explicitly. */
+  private[graft] def autoBits(distinctItems: Long): Long =
+    math.min(math.max(distinctItems, 64L) * 10L, 1L << 28)
+
   /** Left-semi join of `left` on `leftKey ∈ right.rightKey`, Bloom-
     * pruned before the exact join. `expectedItems`/`numBits` size the
-    * filter (defaults: 1M items at 8 bits/item ≈ 2% false-positive
-    * rate → a ~1 MB filter).
+    * filter; leave them <= 0 (the default) to auto-size from a cheap
+    * `approx_count_distinct` pass over the right side — one extra
+    * aggregate-only job on the SELECTIVE side, paid once, which avoids
+    * the two fixed-size failure modes (a 1 MB literal for a 100-row dim;
+    * a saturated useless filter for a 100M-key dim).
     *
     * The filter AGGREGATION is distributed (partial merge across the
     * right side); only the finished filter binary comes to the driver —
@@ -35,16 +76,25 @@ object BloomPrune {
     * EAGER action on `right`. */
   def semiJoin(left: DataFrame, leftKey: Column,
                right: DataFrame, rightKey: Column,
-               expectedItems: Long = 1000000L,
-               numBits: Long = 8000000L): DataFrame = {
+               expectedItems: Long = -1L,
+               numBits: Long = -1L): DataFrame = {
+    val ht = commonHashType(
+      left.select(leftKey).schema.head.dataType,
+      right.select(rightKey).schema.head.dataType)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(64L,
+        right.agg(approx_count_distinct(rightKey)).head().getLong(0))
+    val bits = if (numBits > 0) numBits else autoBits(items)
     val bf = right.agg(call_function("bloom_filter_agg",
-        xxhash64(rightKey), lit(expectedItems), lit(numBits)).as("bf"))
+        xxhash64(rightKey.cast(ht)), lit(items), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     val keys = right.select(rightKey.as("__bp_k")).distinct()
     if (bf == null) { // empty right side: no filter, nothing matches
       left.join(keys, leftKey === col("__bp_k"), "left_semi")
     } else {
-      left.filter(call_function("might_contain", lit(bf), xxhash64(leftKey)))
+      left.filter(call_function("might_contain",
+          lit(bf), xxhash64(leftKey.cast(ht))))
         .join(keys, leftKey === col("__bp_k"), "left_semi")
     }
   }

@@ -21,6 +21,9 @@ object RangeJoin {
     * disambiguates. */
   def selfRangeJoin(df: DataFrame, key: String, time: String, idCol: String,
                     horizon: Long): DataFrame = {
+    // horizon = 0 would only fail deep in floorDiv at runtime, and a
+    // negative horizon silently returns an empty result
+    require(horizon > 0, "horizon must be positive")
     // Integer FLOOR division (Portable.floorDiv), not double-divide +
     // cast: truncation toward zero puts negative times in the wrong
     // bucket (silently missed pairs), and doubles lose exactness past

@@ -28,6 +28,11 @@ object SaltedJoin {
   def inner(fact: DataFrame, factKey: Column, dim: DataFrame,
             dimKey: Column, saltSource: Column, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn silently REPLACES an existing column; a caller column
+    // named __sj_salt would be overwritten and then dropped from the
+    // output — corrupted data, not an error — so reject it up front
+    require(!fact.columns.contains("__sj_salt") && !dim.columns.contains("__sj_salt"),
+      "SaltedJoin: input already has a __sj_salt column; rename it first")
     val saltedFact = fact.withColumn("__sj_salt",
       pmod(xxhash64(saltSource), lit(salts.toLong)))
     val replicatedDim = dim.withColumn("__sj_salt",

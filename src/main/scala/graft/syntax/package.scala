@@ -69,8 +69,8 @@ package object syntax {
 
     // --------------------------------------------------- operators
     def bloomSemiJoin(key: Column, right: DataFrame, rightKey: Column,
-                      expectedItems: Long = 1000000L,
-                      numBits: Long = 8000000L): DataFrame =
+                      expectedItems: Long = -1L,
+                      numBits: Long = -1L): DataFrame =
       operators.BloomPrune.semiJoin(df, key, right, rightKey,
         expectedItems, numBits)
 

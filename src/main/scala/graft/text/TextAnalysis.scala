@@ -65,11 +65,11 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
-  /** Quality score in [0,1]-ish: rewards stopword density and moderate
-    * token length, penalizes punctuation soup. Weights are arbitrary but
-    * fixed; the operator's value is the *shape* (cheap per-row features →
-    * one score → filter), which is how corpus filtering runs at scale. */
-  /** Quality score in BASIS POINTS (0..10000), pure integer arithmetic:
+  /** Quality score in BASIS POINTS (0..10000) — rewards stopword
+    * density and moderate token length, penalizes punctuation soup;
+    * weights are arbitrary but fixed, since the operator's value is the
+    * *shape* (cheap per-row features → one score → filter), which is
+    * how corpus filtering runs at scale. Pure integer arithmetic:
     * 5000·stopRatio + 3000·min(nTok/20, 1) + 2000·(1 − punctRatio),
     * each ratio floor-divided after scaling. Integer math, not a
     * rounded double: the weighted ratio of small integers lands exactly

@@ -32,4 +32,35 @@ class CachingSpec extends SparkTestBase {
     assert(out.count() == 3)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("intermediates are released even when materialization fails") {
+    import spark.implicits._
+    val scope = CacheScope.scoped()
+    val cached = scope.cache(Seq(1, 2, 3).toDF("x"))
+    intercept[Exception] {
+      scope.materializeAndRelease(
+        cached.selectExpr("assert_true(x > 10) AS y", "x"))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a failed query left session-lifetime persists behind")
+  }
+
+  test("checkpoint dir conf switches materialization to reliable checkpoints") {
+    import spark.implicits._
+    SparkTestBase.sessionConfLock.synchronized {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val scope = CacheScope.scoped()
+      val out = scope.materializeAndRelease(
+        scope.cache(Seq(1, 2, 3).toDF("x")).selectExpr("x * 2 AS y"))
+      assert(out.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6))
+      // the reliable checkpoint actually landed on disk
+      def rddFiles(f: java.io.File): Int =
+        Option(f.listFiles).map(_.map(c =>
+          (if (c.getName.startsWith("rdd-")) 1 else 0) + rddFiles(c)).sum).getOrElse(0)
+      assert(rddFiles(new java.io.File(dir)) > 0, s"no rdd-* dirs under $dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
 }

@@ -57,6 +57,18 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(keep == Map(1L -> 2L, 4L -> 4L, 6L -> 6L), s"got $keep")
   }
 
+  test("converges identically with the durable checkpoint seam enabled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val vertices = (1L to 60L)
+    val pairs = (1L until 60L).map(i => (i + 1, i))
+    val local = run(vertices, pairs)
+    SparkTestBase.sessionConfLock.synchronized {
+      spark.conf.set(graft.Checkpoints.DirKey, dir)
+      try assert(run(vertices, pairs) == local)
+      finally spark.conf.unset(graft.Checkpoints.DirKey)
+    }
+  }
+
   test("random graphs match union-find oracle") {
     val gen = for {
       n     <- Gen.choose(1, 40)

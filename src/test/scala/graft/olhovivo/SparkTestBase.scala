@@ -28,3 +28,10 @@ trait SparkTestBase extends AnyFunSuite {
     Files.createTempDirectory(base, prefix)
   }
 }
+
+object SparkTestBase {
+  /** Suites share ONE SparkSession (getOrCreate) and run in parallel, so
+    * any test that mutates session-global conf (e.g. the durable
+    * checkpoint dir) must hold this lock for the set→use→unset span. */
+  val sessionConfLock: Object = new Object
+}

@@ -72,6 +72,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("selfRangeJoin rejects a non-positive horizon") {
+    val df = Seq((1L, "u", 0L)).toDF("id", "k", "t")
+    intercept[IllegalArgumentException] {
+      RangeJoin.selfRangeJoin(df, "k", "t", "id", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.selfRangeJoin(df, "k", "t", "id", -600L)
+    }
+  }
+
   test("countFollowing keeps zero rows") {
     val df = Seq((1L, "u", 0L), (2L, "u", 10000L)).toDF("id", "k", "t")
     val got = RangeJoin.countFollowing(df, "k", "t", "id", 600L)

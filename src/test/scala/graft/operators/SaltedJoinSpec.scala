@@ -42,4 +42,17 @@ class SaltedJoinSpec extends SparkTestBase {
     assert(p.contains("__sj_salt"), s"salt missing from join keys:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"must not broadcast:\n$p")
   }
+
+  test("a preexisting __sj_salt column is rejected, not silently clobbered") {
+    val fact = Seq((1L, 2L, 9L)).toDF("k", "row_id", "__sj_salt")
+    val dim = Seq((1L, "a")).toDF("dk", "v")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(fact, col("k"), dim, col("dk"), col("row_id"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(dim.select(col("dk").as("k"), col("dk").as("row_id")),
+        col("k"), fact.select(col("k").as("dk"), col("__sj_salt")),
+        col("dk"), col("row_id"), 4)
+    }
+  }
 }
