@@ -260,9 +260,10 @@ object DedupOps {
         q45SimhashPairs(s, dir), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
 
-  /** Oracle: transitive closure by recursive reachability walk over the
-    * symmetric q45 pair graph; cluster id = min reachable doc_id. */
-  val q47Sql: String =
+  /** Transitive closure by recursive reachability walk over the
+    * symmetric q45 pair graph; `clus` = (doc_id, min reachable doc_id).
+    * Shared by the q47 and q59 oracles. */
+  private val q47WalkCtes: String =
     q45Cte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
       s"""pairs AS (
          |$q45Body),
@@ -273,8 +274,48 @@ object DedupOps {
          |walk AS (
          |  SELECT doc_id AS id, doc_id AS lab FROM documents
          |  UNION
-         |  SELECT w.id, e.dst AS lab FROM walk w JOIN edges e ON e.src = w.lab)
-         |SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id""".stripMargin
+         |  SELECT w.id, e.dst AS lab FROM walk w JOIN edges e ON e.src = w.lab),
+         |clus AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
+  val q47Sql: String =
+    q47WalkCtes + "\nSELECT doc_id, cluster_id FROM clus"
+
+  // ------------------------------- q59 end-to-end dedup (survivor pick)
+
+  /** The WHOLE dedup deliverable in one gate entry: near-dup pairs →
+    * connected components → one survivor per cluster (keepBest: highest
+    * text length, ties to the lowest doc_id) → every document labeled
+    * (doc_id, cluster_id, kept). Semi/anti-joining the corpus on `kept`
+    * is then the caller's one-liner. */
+  def q59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = graft.dedup.ConnectedComponents.components(
+      docs, "doc_id", q45SimhashPairs(s, dir), "id_a", "id_b")
+    val keep = graft.dedup.ConnectedComponents.keepBest(
+      clusters, docs, "doc_id", length(col("text")).cast("long"))
+    clusters.select(col("id").as("doc_id"), col("cluster_id"))
+      .join(keep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
+  /** Oracle: the q47 walk plus a windowed arg-max (priority DESC,
+    * doc_id ASC) per cluster. */
+  val q59Sql: String =
+    q47WalkCtes + ",\n" +
+      """prio AS (
+        |  SELECT c.doc_id, c.cluster_id, length(d.text) AS p
+        |  FROM clus c JOIN documents d USING (doc_id)),
+        |keep AS (
+        |  SELECT cluster_id, doc_id AS keep_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY p DESC, doc_id ASC) AS rn
+        |  FROM prio)
+        |SELECT c.doc_id, c.cluster_id, (c.doc_id = k.keep_id) AS kept
+        |FROM clus c
+        |JOIN (SELECT cluster_id, keep_id FROM keep WHERE rn = 1) k
+        |  USING (cluster_id)""".stripMargin
 
   // ----------------------------------- q46 corpus sketch (Aggregator)
 
@@ -419,6 +460,7 @@ object DedupOps {
     "q46_corpus_sketch"   -> q46CorpusSketch,
     "q47_dedup_clusters"  -> q47DedupClusters,
     "q49_incremental_dedup" -> q49IncrementalDedup,
+    "q59_dedup_survivors" -> q59DedupSurvivors,
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +474,6 @@ object DedupOps {
     "q46_corpus_sketch"   -> q46Sql,
     "q47_dedup_clusters"  -> q47Sql,
     "q49_incremental_dedup" -> q49Sql,
+    "q59_dedup_survivors" -> q59Sql,
   )
 }

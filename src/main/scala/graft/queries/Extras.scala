@@ -84,6 +84,61 @@ object Extras {
        |FROM documents""".stripMargin
   }
 
+  /** Media header sniffing end to end: synthesize REAL format headers
+    * (PNG/GIF/WAV magic + dimensions/sample-rate at their true offsets,
+    * built with unhex/lpad byte assembly — all codegen) from document
+    * columns, then parse them back with MediaHeaders.sniff. The oracle
+    * recomputes the EXPECTED metadata arithmetically from doc_id, so a
+    * mis-parse (wrong offset, endianness, magic) shows as a row
+    * mismatch — a true roundtrip check, not rows-only. */
+  def q61MediaSniff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val w = (col("doc_id") % 640 + 1).cast("long")
+    val hgt = (col("doc_id") % 480 + 1).cast("long")
+    val rate = (col("doc_id") % 48000 + 8000).cast("long")
+    def beU32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def swap(hx: Column, bytes: Int) = concat(
+      (1 to bytes).reverse.map(i => substring(hx, i * 2 - 1, 2)): _*)
+    def leU16(c: Column) = unhex(swap(lpad(hex(c), 4, "0"), 2))
+    def leU32(c: Column) = unhex(swap(lpad(hex(c), 8, "0"), 4))
+    // PNG: magic + IHDR length/tag, then BE32 width/height at 17/21
+    val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      beU32(w), beU32(hgt))
+    // GIF89a: magic, then LE16 width/height at 7/9
+    val gif = concat(unhex(lit("474946383961")), leU16(w), leU16(hgt))
+    // WAV: RIFF size WAVEfmt , fmt size, PCM mono, LE32 sample rate at 25
+    val wav = concat(unhex(lit("52494646")), leU32(lit(36L)),
+      unhex(lit("57415645666D7420")), leU32(lit(16L)),
+      unhex(lit("01000100")), leU32(rate))
+    val jpeg = concat(unhex(lit("FFD8FFE0")), col("text").cast("binary"))
+    val payload = when(col("doc_id") % 5 === 0, png)
+      .when(col("doc_id") % 5 === 1, gif)
+      .when(col("doc_id") % 5 === 2, wav)
+      .when(col("doc_id") % 5 === 3, jpeg)
+      .otherwise(col("text").cast("binary")) // prose bytes: no magic
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.multimodal.MediaHeaders.sniff(payload).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.sample_rate").as("sample_rate"))
+  }
+
+  val q61Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'png'
+      |       WHEN doc_id % 5 = 1 THEN 'gif'
+      |       WHEN doc_id % 5 = 2 THEN 'wav'
+      |       WHEN doc_id % 5 = 3 THEN 'jpeg'
+      |       ELSE 'unknown' END AS format,
+      |  CASE WHEN doc_id % 5 IN (0, 1) THEN doc_id % 640 + 1
+      |       ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 5 IN (0, 1) THEN doc_id % 480 + 1
+      |       ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 5 = 2 THEN doc_id % 48000 + 8000
+      |       ELSE 0 END AS sample_rate
+      |FROM documents""".stripMargin
+
   /** The SQL entry path: a TPC-H-Q3-flavor query submitted as SQL text
     * through spark.sql over registered temp views — proving the engine's
     * parser/analyzer surface, not just the DataFrame API. The oracle is
@@ -282,6 +337,7 @@ object Extras {
     "q38_token_budget"    -> q38TokenBudget,
     "q48_curation"        -> q48Curation,
     "q60_multimodal_meta" -> q60MultimodalMeta,
+    "q61_media_sniff"     -> q61MediaSniff,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
 
@@ -297,6 +353,7 @@ object Extras {
     "q38_token_budget"    -> q38Sql,
     "q48_curation"        -> q48Sql,
     "q60_multimodal_meta" -> q60Sql,
+    "q61_media_sniff"     -> q61Sql,
     // q90: intentionally no oracle (approximate sketch)
   )
 }

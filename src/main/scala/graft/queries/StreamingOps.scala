@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.streaming.StreamingSpeeds
 import graft.streaming.StreamingSpeeds.Position
 
@@ -62,6 +63,52 @@ object StreamingOps {
     hops
   }
 
+  /** Streaming exact dedup end to end: every document is written to the
+    * zone TWICE (the duplicate 90 s later — inside the 10-minute
+    * watermark window and inside state lifetime, since the whole event
+    * span is shorter than the watermark delay), streamed back over
+    * multiple micro-batches, and deduped by content fingerprint with
+    * `dropDuplicatesWithinWatermark`. Exactly one row per distinct text
+    * must survive, so the scalar output IS oracle-checkable even though
+    * the execution is streaming: distinct_fingerprints = rows_kept =
+    * count(DISTINCT text). Which representative survives is
+    * batch-order-dependent — the output deliberately aggregates over
+    * that ambiguity (the same trap-② posture as q75). */
+  def q77StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val zone = Files.createTempDirectory("graft_dedup_zone").toString
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val t0 = 1700000000L
+    val base = docs.select(col("doc_id"), col("text"),
+      (lit(t0) + col("doc_id") % 300).as("ets"))
+    val dups = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), (lit(t0) + col("doc_id") % 300 + 90L).as("ets"))
+    base.union(dups).repartition(6).write.mode("overwrite").json(zone)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, ets LONG")
+      .option("maxFilesPerTrigger", "2")
+      .json(zone)
+      .withColumn("event_time", timestamp_seconds(col("ets")))
+    val query = graft.streaming.StreamingDedup
+      .dedupStream(stream, col("text"), "event_time", "10 minutes")
+      .select(col("doc_id"), col("fingerprint"))
+      .writeStream.format("memory").queryName("q77_dedup")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val res = s.table("q77_dedup")
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("distinct_fingerprints"),
+        sum(col("n")).cast("long").as("rows_kept"))
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    res
+  }
+
+  val q77Sql: String =
+    """SELECT count(DISTINCT text) AS distinct_fingerprints,
+      |  count(DISTINCT text) AS rows_kept
+      |FROM documents""".stripMargin
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -69,8 +116,12 @@ object StreamingOps {
 
   val queries: Map[String, Q] = Map(
     "q75_streaming_hops" -> q75StreamingHops,
+    "q77_streaming_dedup" -> q77StreamingDedup,
   )
 
-  /** Intentionally empty: streaming has no DuckDB analog (rows-only). */
-  val oracles: Map[String, String] = Map.empty
+  /** q75 stays rows-only (hop values on same-second ties are
+    * order-ambiguous — trap ②); q77's aggregate shape is exact. */
+  val oracles: Map[String, String] = Map(
+    "q77_streaming_dedup" -> q77Sql,
+  )
 }
