@@ -63,6 +63,84 @@ class DedupSpec extends SparkTestBase {
     spark.catalog.clearCache() // unmanaged-scope postings from the three variants
   }
 
+  test("property: jaccard variants ≡ plain-Scala oracle on exact-boundary corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // independent reimplementation of the jaccardJoin contract: distinct
+    // shingles, df cap over the corpus, round(j, 4) HALF_UP ≥ minJ
+    def oracle(docs: Seq[(Long, String)], cap: Int, minJ: Double): Set[(Long, Long, Double)] = {
+      val raw = docs.map { case (id, t) => id -> shingleSet(t) }
+      val dfc = raw.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val sets = raw.map { case (id, s) => id -> s.filter(dfc(_) <= cap) }
+      (for {
+        Seq((ia, sa), (ib, sb)) <- sets.sortBy(_._1).combinations(2).toSeq
+        inter = (sa & sb).size
+        if inter > 0
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= minJ
+      } yield (ia, ib, j)).toSet
+    }
+    def run(variant: String, docs: Seq[(Long, String)], cap: Int, t: Double) = {
+      val df = docs.toDF("doc_id", "text")
+      val got = variant match {
+        case "cooc"   => Dedup.jaccardJoin(df, "doc_id", col("text"), 3, cap, t)
+        case "prefix" => Dedup.jaccardJoinPrefix(df, "doc_id", col("text"), 3, cap, t)
+        case "string" => Dedup.jaccardJoinAllPairs(df, "doc_id", col("text"), 3, cap, t)
+      }
+      got.select($"id_a", $"id_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+
+    // engineered corpora: k shared trigrams + m unique suffix tokens per
+    // side gives J = k/(k+2m) EXACTLY — one pair sitting ON each
+    // threshold (the tEff prefix margin's worst case, and (1-t)*sz an
+    // exact integer), one pair just below, an exact dup, and a disjoint
+    // pair, all on per-pair vocabularies so nothing interferes
+    def pair(pid: Int, k: Int, m: Int): Seq[(Long, String)] = {
+      val shared = (0 until k + 2).map(i => s"s${pid}_$i")
+      val ua = (0 until m).map(i => s"a${pid}_$i")
+      val ub = (0 until m).map(i => s"b${pid}_$i")
+      Seq((pid * 2L, (shared ++ ua).mkString(" ")),
+        (pid * 2L + 1, (shared ++ ub).mkString(" ")))
+    }
+    val boundary = Map(0.2 -> (2, 4), 0.5 -> (6, 3), 0.8 -> (8, 1), 0.95 -> (38, 1))
+    for ((t, (k, m)) <- boundary) {
+      val docs = pair(0, k, m) ++ pair(1, k - 1, m) ++
+        Seq((100L, (0 until 10).map(i => s"d$i").mkString(" ")),
+          (101L, (0 until 10).map(i => s"d$i").mkString(" ")),
+          (102L, (0 until 10).map(i => s"u$i").mkString(" ")))
+      val exp = oracle(docs, 1000, t)
+      // construction sanity: pair 0 sits exactly on t, pair 1 below it
+      assert(exp.contains((0L, 1L, t)), s"t=$t: expected boundary pair in $exp")
+      assert(!exp.exists(p => p._1 == 2L), s"t=$t: below-boundary pair leaked")
+      for (v <- Seq("cooc", "prefix", "string"))
+        assert(run(v, docs, 1000, t) == exp, s"t=$t variant=$v")
+    }
+
+    // randomized fuzz: tiny vocabulary forces dense accidental overlap;
+    // cap=4 makes the df filter BIND (stop-shingles drop out mid-pair)
+    val gen = for {
+      n    <- Gen.choose(8, 18)
+      docs <- Gen.sequence[Seq[Seq[String]], Seq[String]]((1 to n).map(_ =>
+        Gen.choose(3, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.choose(0, 9).map(i => s"w$i")))))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    for (seed <- 1L to 3L; cap <- Seq(1000, 4); t <- Seq(0.2, 0.5, 0.8, 0.95)) {
+      val docs = gen.pureApply(Gen.Parameters.default, Seed(seed))
+      val exp = oracle(docs, cap, t)
+      for (v <- Seq("cooc", "prefix"))
+        assert(run(v, docs, cap, t) == exp, s"seed=$seed cap=$cap t=$t variant=$v")
+    }
+    spark.catalog.clearCache() // unmanaged-scope postings
+  }
+
   test("simhash: exact dups equal, near-dups closer in hamming than unrelated") {
     val sh = Dedup.withSimhash(docs, $"text", 24, "sh")
       .select($"doc_id", $"sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
