@@ -31,6 +31,7 @@ object SparkEntry {
       (graft.queries.VectorOps.queries, graft.queries.VectorOps.oracles),
       (graft.queries.Temporal.queries, graft.queries.Temporal.oracles),
       (graft.queries.Extras.queries, graft.queries.Extras.oracles),
+      (graft.queries.MultimodalOps.queries, graft.queries.MultimodalOps.oracles),
       (graft.queries.StreamingOps.queries, graft.queries.StreamingOps.oracles),
     )
 

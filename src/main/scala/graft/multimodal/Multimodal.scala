@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched decode/feature-extract stage.
   *
-  * The Spark-side plumbing here is real and tested — schema, Encoders,
-  * partition-local batched iteration (the Scala analog of a batched
-  * pandas-UDF `mapInPandas` stage), feature vector shape — while the
-  * codec itself is a STUB (`FakeCodec`): image/audio libraries are not
-  * in this container, so decode is a deterministic fake keyed on content
-  * bytes. Swapping in a real codec touches exactly one function.
-  * Header-level metadata needs NO codec: [[MediaHeaders]] parses
+  * Decode is REAL for every format the JDK can decode natively
+  * ([[JvmCodec]]: PNG/JPEG/GIF/BMP via javax.imageio, 16-bit PCM WAV
+  * via javax.sound.sampled — no external libraries). Payloads the JVM
+  * has no codec for (video containers, or the prose-byte stand-ins in
+  * `documents`) fall back to the deterministic [[FakeCodec]] so the
+  * pipeline shape stays total; the routing is a per-record magic-byte
+  * sniff, so undecodable payloads never pay a codec attempt.
+  * Header-level metadata needs NO codec at all: [[MediaHeaders]] parses
   * format/dimensions/sample-rate from fixed-offset header bytes with
   * codegen'd built-ins.
   *
@@ -43,9 +44,10 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB codec — deterministic fake "decode" from content bytes.
-    * ??? -> replace with a real image/audio decoder (e.g. via JNI or a
-    * JVM codec) when available; everything downstream is shape-stable. */
+  /** Fallback codec for payloads the JVM cannot decode (video, prose
+    * bytes): a deterministic fake keyed on content bytes, keeping the
+    * decode stage total and shape-stable. Decodable formats never reach
+    * it — [[decode]] routes them to [[JvmCodec]]. */
   object FakeCodec {
     def decode(r: MediaRecord): MediaFeatures = {
       val h = r.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
@@ -83,6 +85,26 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** One record through the right codec: real JVM decode for
+    * image/audio formats the JDK supports, deterministic fake for
+    * everything else (including payloads that carry a known magic but
+    * are truncated/corrupt — decode returns None and the record still
+    * produces a row). */
+  def decode(r: MediaRecord): MediaFeatures =
+    JvmCodec.sniffFormat(r.payload) match {
+      case "png" | "gif" | "jpeg" | "bmp" =>
+        JvmCodec.decodeImage(r.payload, FeatureDim).map { st =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length,
+            st.width, st.height, 0.0, st.feature)
+        }.getOrElse(FakeCodec.decode(r))
+      case "wav" =>
+        JvmCodec.decodeAudio(r.payload, FeatureDim).map { st =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length, 0, 0,
+            st.nFrames * 1000.0 / math.max(st.sampleRate, 1), st.feature)
+        }.getOrElse(FakeCodec.decode(r))
+      case _ => FakeCodec.decode(r)
+    }
+
   /** Batched partition-local decode: groups the partition iterator into
     * `batchSize` chunks (the Arrow-batch shape a Python `mapInPandas`
     * stage would see) and decodes chunk-by-chunk. Lazy iterators
@@ -91,8 +113,9 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would decode the whole batch in one native call
-        batch.iterator.map(FakeCodec.decode)
+        // batch boundary = where a native/vectorized codec would take
+        // the whole chunk in one call
+        batch.iterator.map(decode)
       }
     }
   }

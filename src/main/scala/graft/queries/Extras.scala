@@ -56,9 +56,9 @@ object Extras {
 
   /** Multimodal metadata extraction: documents as opaque binary payloads
     * (text bytes stand in for image/audio blobs) with typed metadata —
-    * byte length, content hash, and STUB-decoded dimensions (the real
-    * codec would run in graft.multimodal.Multimodal.decodeFeatures;
-    * this column form keeps the metadata math oracle-checkable). */
+    * byte length, content hash, and hash-derived dimensions in pure
+    * column math (real decode of real payloads is gated separately:
+    * q62/q63 run graft.multimodal.JvmCodec on synthesized BMP/WAV). */
   def q60MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val h = Portable.h60(col("text"))
     Tables.documents(s, dir).select(
@@ -92,15 +92,10 @@ object Extras {
     * mis-parse (wrong offset, endianness, magic) shows as a row
     * mismatch — a true roundtrip check, not rows-only. */
   def q61MediaSniff(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
+    import graft.functions.Bytes.{beU32, leU16, leU32}
     val w = (col("doc_id") % 640 + 1).cast("long")
     val hgt = (col("doc_id") % 480 + 1).cast("long")
     val rate = (col("doc_id") % 48000 + 8000).cast("long")
-    def beU32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-    def swap(hx: Column, bytes: Int) = concat(
-      (1 to bytes).reverse.map(i => substring(hx, i * 2 - 1, 2)): _*)
-    def leU16(c: Column) = unhex(swap(lpad(hex(c), 4, "0"), 2))
-    def leU32(c: Column) = unhex(swap(lpad(hex(c), 8, "0"), 4))
     // PNG: magic + IHDR length/tag, then BE32 width/height at 17/21
     val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
       beU32(w), beU32(hgt))

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import graft.olhovivo.SparkTestBase
+
+/** The REAL decode path: known pixels/samples written with the JDK's
+  * own encoders must come back exactly through JvmCodec — across
+  * formats (the PNG and BMP encodings of the same image decode to the
+  * same stats), with correct two's complement audio, and None (never a
+  * wrong answer) for garbage. */
+class JvmCodecSpec extends SparkTestBase {
+
+  private def testImage: BufferedImage = {
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_3BYTE_BGR)
+    val pix = Seq(
+      (0, 0, 0x010203), (1, 0, 0x102030), (2, 0, 0xFF0000),
+      (0, 1, 0x00FF00), (1, 1, 0x0000FF), (2, 1, 0x808080))
+    pix.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb) }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  // expected channel sums of testImage
+  private val ExpR = 0x01 + 0x10 + 0xFF + 0x00 + 0x00 + 0x80
+  private val ExpG = 0x02 + 0x20 + 0x00 + 0xFF + 0x00 + 0x80
+  private val ExpB = 0x03 + 0x30 + 0x00 + 0x00 + 0xFF + 0x80
+
+  test("png and bmp encodings of the same pixels decode identically") {
+    for (fmt <- Seq("png", "bmp")) {
+      val st = JvmCodec.decodeImage(encode(testImage, fmt), 16)
+        .getOrElse(fail(s"$fmt did not decode"))
+      assert((st.width, st.height) == (3, 2), fmt)
+      assert((st.sumR, st.sumG, st.sumB) == ((ExpR, ExpG, ExpB)), fmt)
+      assert(st.feature.length == 16 && math.abs(st.feature.sum - 1.0f) < 1e-5,
+        s"$fmt: histogram fractions must sum to 1")
+    }
+  }
+
+  test("sniffFormat recognizes real encoder output and rejects prose") {
+    assert(JvmCodec.sniffFormat(encode(testImage, "png")) == "png")
+    assert(JvmCodec.sniffFormat(encode(testImage, "bmp")) == "bmp")
+    assert(JvmCodec.sniffFormat(encode(testImage, "gif")) == "gif")
+    assert(JvmCodec.sniffFormat(encode(testImage, "jpeg")) == "jpeg")
+    assert(JvmCodec.sniffFormat("plain old text".getBytes) == "unknown")
+  }
+
+  test("wav roundtrip: JDK-written PCM decodes with exact peak and sum") {
+    val samples = Array[Short](100, -100, 2000, -2000, 0, 500)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed, LE
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    val st = JvmCodec.decodeAudio(out.toByteArray, 3)
+      .getOrElse(fail("wav did not decode"))
+    assert(st.sampleRate == 8000 && st.channels == 1)
+    assert(st.nFrames == samples.length)
+    assert(st.peak == 2000L)
+    assert(st.sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    // envelope: middle segment (2000, -2000) has the loudest mean
+    assert(st.feature(1) > st.feature(0) && st.feature(1) > st.feature(2))
+  }
+
+  test("garbage and truncated payloads decode to None, never wrong stats") {
+    assert(JvmCodec.decodeImage("not an image".getBytes, 16).isEmpty)
+    assert(JvmCodec.decodeAudio("not audio at all".getBytes, 16).isEmpty)
+    val png = encode(testImage, "png")
+    assert(JvmCodec.decodeImage(png.take(20), 16).isEmpty, "truncated png")
+    val wavHdrOnly = "RIFF1234WAVE".getBytes
+    assert(JvmCodec.decodeAudio(wavHdrOnly, 16).isEmpty, "truncated wav")
+  }
+
+  test("decodeFeatures routes decodable payloads to the real codec") {
+    import spark.implicits._
+    val png = encode(testImage, "png")
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", png, "t", png.length.toLong),
+      Multimodal.MediaRecord(2L, "video", "prose bytes payload".getBytes, "t", 19L))
+    val feats = Multimodal.decodeFeatures(records.toDS(), batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    // real decode: true dimensions, not the hash-derived fake's
+    assert(feats(1L).width == 3 && feats(1L).height == 2)
+    // undecodable payload: fake fallback keeps the stage total
+    assert(feats(2L).width >= 1 && feats(2L).feature.length == Multimodal.FeatureDim)
+  }
+}

@@ -5,8 +5,9 @@ import graft.Tables
 import Multimodal._
 
 /** Multimodal plumbing: schema, batched partition-local decode, feature
-  * shape, determinism. The codec is a declared stub; the Spark-side
-  * structure is what's under test. */
+  * shape, determinism. Documents carry prose-byte payloads, so decode
+  * routes to the deterministic fallback here; the REAL codec path is
+  * covered by JvmCodecSpec and the q62/q63 gates. */
 class MultimodalSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
