@@ -113,13 +113,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Sort "), s"no sorts expected:\n$p")
   }
 
-  test("q55 centroids: two partial-agg exchanges, no sort operator") {
+  test("q55 centroids: one partial-agg exchange, no sort operator") {
     val p = plan(VectorOps.q55GroupCentroid(spark, dir))
-    assert(countOf(p, "Exchange hashpartitioning") <= 2,
-      s"expected only the (g,dim) and (g) exchanges:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected only the (g,dim) aggregation exchange:\n$p")
     assert(countOf(p, "partial_") >= 1, s"no partial aggregation:\n$p")
-    assert(!p.contains("Sort "),
-      s"array_sort is an expression — no Sort operator expected:\n$p")
+    assert(!p.contains("Sort "), s"no Sort operator expected:\n$p")
+  }
+
+  test("q61/q62/q63 media synthesis + decode: map-only, no data-keyed shuffle") {
+    for (q <- Seq(graft.queries.Extras.q61MediaSniff(spark, dir),
+        graft.queries.MultimodalOps.q62ImageDecode(spark, dir),
+        graft.queries.MultimodalOps.q63AudioDecode(spark, dir))) {
+      val p = plan(q)
+      assert(countOf(p, "Exchange hashpartitioning") == 0 &&
+        countOf(p, "Exchange rangepartitioning") == 0,
+        s"payload synthesis and decode must not shuffle:\n$p")
+    }
   }
 
   test("q56 l2 normalize: map-only — no hash shuffle") {
