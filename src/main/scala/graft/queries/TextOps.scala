@@ -212,8 +212,86 @@ object TextOps {
        |    // sum(c) AS BIGINT) AS dup_ngram_bp
        |FROM c_t GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------- q64 PII redaction
+
+  /** PII masking end to end: PII is SYNTHESIZED onto each document
+    * (email, phone, IP derived from doc_id — the corpus itself carries
+    * none), redacted by the library chain, and match counts recovered
+    * from the redacted string. The oracle builds the identical input
+    * and applies the identical patterns, so a dialect drift in any
+    * regex (or a wrong mask order — IPs partially matching as phones)
+    * fails the gate. Map-only. */
+  def q64PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact bob"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    val red = graft.text.Redact.redactPii(dirty)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      red.as("redacted"),
+      graft.text.Redact.tokenCount(red, graft.text.Redact.EmailToken).as("n_email"),
+      graft.text.Redact.tokenCount(red, graft.text.Redact.IpToken).as("n_ip"),
+      graft.text.Redact.tokenCount(red, graft.text.Redact.PhoneToken).as("n_phone"))
+  }
+
+  val q64Sql: String = {
+    import graft.text.Redact._
+    val dirty = "text || ' contact bob' || doc_id || '@example.com or +1 (555) 010-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    val red = s"regexp_replace(regexp_replace(regexp_replace($dirty, " +
+      s"'$EmailPattern', '$EmailToken', 'g'), " +
+      s"'$Ipv4Pattern', '$IpToken', 'g'), " +
+      s"'$PhonePattern', '$PhoneToken', 'g')"
+    s"""WITH red_t AS (SELECT doc_id, $red AS redacted FROM documents)
+       |SELECT doc_id, redacted,
+       |  (length(redacted) - length(replace(redacted, '$EmailToken', ''))) // ${EmailToken.length} AS n_email,
+       |  (length(redacted) - length(replace(redacted, '$IpToken', ''))) // ${IpToken.length} AS n_ip,
+       |  (length(redacted) - length(replace(redacted, '$PhoneToken', ''))) // ${PhoneToken.length} AS n_phone
+       |FROM red_t""".stripMargin
+  }
+
+  // ----------------------------------- q65 corpus duplicate-line dedup
+
+  private val LineWidth = 2
+  private val LineMaxDf = 20
+
+  /** Corpus-level boilerplate-line removal (text.LineDedup): 2-token
+    * windows stand in for lines (the testdata has no newlines; the
+    * small vocabulary makes short windows genuinely repeat across
+    * documents, like boilerplate does), lines in more than 20 documents
+    * are dropped, documents reassemble from the survivors in order. */
+  def q65LineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.LineDedup.dropDuplicateLines(
+      Tables.spread(s, Tables.documents(s, dir)), "doc_id",
+      graft.text.LineDedup.tokenWindows(col("text"), LineWidth),
+      maxDf = LineMaxDf)
+
+  val q65Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |lines_t AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(tk[(i*$LineWidth+1):(i*$LineWidth+$LineWidth)], ' ') AS line
+       |  FROM toks,
+       |    unnest(range(0, CAST(ceil(len(tk) / $LineWidth.0) AS BIGINT))) AS t(i)),
+       |df_t AS (SELECT line FROM lines_t GROUP BY line
+       |         HAVING count(DISTINCT doc_id) <= $LineMaxDf),
+       |reb AS (
+       |  SELECT doc_id, array_to_string(list(line ORDER BY pos), ' ') AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM lines_t JOIN df_t USING (line) GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |  CAST(ceil(len(t.tk) / $LineWidth.0) AS BIGINT) AS n_lines,
+       |  coalesce(r.n_kept, 0) AS n_kept
+       |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_repetition"  -> q54Repetition,
+    "q64_pii_redact"  -> q64PiiRedact,
+    "q65_line_dedup"  -> q65LineDedup,
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
@@ -224,6 +302,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q54_repetition"  -> q54Sql,
+    "q64_pii_redact"  -> q64Sql,
+    "q65_line_dedup"  -> q65Sql,
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,
