@@ -46,4 +46,24 @@ object Checkpoints {
       case None =>
         df.localCheckpoint(eager = true)
     }
+
+  /** Delete a SUPERSEDED reliable checkpoint's files. Spark only
+    * auto-cleans checkpoints when
+    * spark.cleaner.referenceTracking.cleanCheckpoints is set BEFORE the
+    * context starts (default false), so an iterative operator that
+    * checkpoints every round would otherwise accumulate rounds × |data|
+    * under the checkpoint dir for the life of the job — call this on
+    * round N's frame once round N+1 is materialized. No-op for
+    * localCheckpoint frames (block-based; the ContextCleaner reclaims
+    * them) and for frames that aren't checkpoints at all. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true): Unit
+        }
+      case _ => ()
+    }
 }

@@ -19,15 +19,16 @@ import org.apache.spark.sql.functions._
   * rounds (a naive min-label flood or one-sided contraction needs
   * O(diameter) — a 60-node chain already breaks it).
   *
-  * Exit is PROVEN, not assumed: after every round we verify that every
-  * remaining edge connects two nodes with the same label — a labeling
-  * consistent across all edges is constant per component, and since
-  * label(u) ≤ u with the component minimum labeling itself, that
-  * constant is the minimum. (Star fixpoints guarantee the certificate
-  * eventually holds; it often holds a round before the edge set stops
-  * changing, which is why it isn't gated on a count plateau.) Only then
-  * do we return; otherwise iteration continues (maxIter throws rather
-  * than ship partial clusters).
+  * Exit is PROVEN, not assumed: we verify that every remaining edge
+  * connects two nodes with the same label — a labeling consistent
+  * across all edges is constant per component, and since label(u) ≤ u
+  * with the component minimum labeling itself, that constant is the
+  * minimum. The check runs only on edge-count PLATEAU rounds (a star
+  * forest is a fixpoint of both transforms, so the count always
+  * plateaus once labels are final; while it is still moving the
+  * certificate join is almost always a wasted pass). The certificate
+  * remains the SOLE exit — a plateau alone proves nothing. maxIter
+  * throws rather than ship partial clusters.
   *
   * Scale design (100 TB): everything is joins/aggregations on the edge
   * relation — no driver-side graph, no collect; rounds touch only the
@@ -84,15 +85,14 @@ object ConnectedComponents {
       // SLOWER than checkpointing every round, not faster.
       val newEdges = graft.Checkpoints.eager(smallStar(largeStar(edges)))
       val n = newEdges.count()
-      // The certificate runs only on PLATEAU rounds (edge count
-      // unchanged): while the count is still moving the graph is almost
-      // never a star forest yet, so the two label joins were a wasted
-      // pass per round (~30% of wall time on the q47 corpus). A star
-      // forest is a fixpoint of both transforms, so once the labeling
-      // is final the count plateaus and the certificate — still the
-      // SOLE exit — is reached; correctness is unchanged, only the
-      // rounds on which the check is spent.
+      // certificate on PLATEAU rounds only — see the header contract
       converged = n == 0 || (n == prevCount && isStar(newEdges))
+      // round N's reliable checkpoint is superseded once round N+1 is
+      // materialized: delete it, or a multi-hour job accumulates
+      // rounds × |edges| of files under the checkpoint dir (no-op for
+      // localCheckpoint). The FINAL round's checkpoint stays — the
+      // returned frame reads from it.
+      graft.Checkpoints.release(edges)
       edges = newEdges
       prevCount = n
     }

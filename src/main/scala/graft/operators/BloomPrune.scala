@@ -51,14 +51,24 @@ object BloomPrune {
       s"BloomPrune.semiJoin: key types $lt vs $rt have no unambiguous " +
         "common hash type; cast the join keys explicitly")
 
+  /** Spark's bloom_filter_agg SILENTLY Math.min-clamps its arguments to
+    * spark.sql.optimizer.runtime.bloomFilter.{maxNumBits,maxNumItems}
+    * (defaults 2^26 bits / 4M items) — sizing past those would hand the
+    * caller a saturated filter while claiming ~1% FPR, so the auto-size
+    * caps at the session's own limits instead. */
+  private def confCap(spark: org.apache.spark.sql.SparkSession,
+                      key: String, default: Long): Long =
+    spark.conf.getOption(key).flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(default)
+
   /** Auto-sizing from the right side's (approximate) distinct key
     * count: 10 bits/item ≈ 1% false-positive rate at the optimal hash
     * count; floored so tiny dimensions still get a working filter and
-    * capped at 2^28 bits (32 MB) because the finished filter is planted
-    * as a plan literal — past that the broadcast cost eats the shuffle
-    * savings and the caller should size explicitly. */
-  private[graft] def autoBits(distinctItems: Long): Long =
-    math.min(math.max(distinctItems, 64L) * 10L, 1L << 28)
+    * capped at `maxBits` (the aggregate's own clamp — past it the extra
+    * bits are silently discarded anyway, and the finished filter is a
+    * plan literal, so oversizing only bloats the plan). */
+  private[graft] def autoBits(distinctItems: Long, maxBits: Long = 1L << 26): Long =
+    math.min(math.max(distinctItems, 64L) * 10L, maxBits)
 
   /** Left-semi join of `left` on `leftKey ∈ right.rightKey`, Bloom-
     * pruned before the exact join. `expectedItems`/`numBits` size the
@@ -81,11 +91,23 @@ object BloomPrune {
     val ht = commonHashType(
       left.select(leftKey).schema.head.dataType,
       right.select(rightKey).schema.head.dataType)
-    val items =
+    val spark = right.sparkSession
+    val maxItems = confCap(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits = confCap(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
+    val distinct =
       if (expectedItems > 0) expectedItems
       else math.max(64L,
         right.agg(approx_count_distinct(rightKey)).head().getLong(0))
-    val bits = if (numBits > 0) numBits else autoBits(items)
+    val items = math.min(distinct, maxItems)
+    val bits = if (numBits > 0) numBits else autoBits(distinct, maxBits)
+    if (distinct > maxItems)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BloomPrune: right side has ~$distinct distinct keys but the " +
+          s"session clamps bloom filters to $maxItems items/$maxBits bits — " +
+          "expect a high false-positive rate (the join stays exact); raise " +
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits or skip the probe")
     val bf = right.agg(call_function("bloom_filter_agg",
         xxhash64(rightKey.cast(ht)), lit(items), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)

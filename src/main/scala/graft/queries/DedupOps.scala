@@ -290,8 +290,12 @@ object DedupOps {
     * is then the caller's one-liner. */
   def q59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val clusters = graft.dedup.ConnectedComponents.components(
-      docs, "doc_id", q45SimhashPairs(s, dir), "id_a", "id_b")
+    // materialize: the cluster relation feeds BOTH keepBest and the
+    // final labeling join — unmaterialized, the post-checkpoint
+    // labeling subtree (labelsOf agg + vertex join) would run twice
+    val clusters = graft.Checkpoints.eager(
+      graft.dedup.ConnectedComponents.components(
+        docs, "doc_id", q45SimhashPairs(s, dir), "id_a", "id_b"))
     val keep = graft.dedup.ConnectedComponents.keepBest(
       clusters, docs, "doc_id", length(col("text")).cast("long"))
     clusters.select(col("id").as("doc_id"), col("cluster_id"))

@@ -53,7 +53,9 @@ object MultimodalOps {
       leU32(lit(0L)),                // BI_RGB (uncompressed)
       leU32(lit(16L)),               // image size
       leU32(lit(0L)), leU32(lit(0L)), leU32(lit(0L)), leU32(lit(0L)))
-    Tables.documents(s, dir)
+    // spread: the per-row ImageIO decode is the CPU cost — on the
+    // single-split testdata it would otherwise run in ONE task
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), concat(header, pixelData).as("payload"))
       .as[Payload]
       .mapPartitions(_.map { r =>
@@ -90,7 +92,7 @@ object MultimodalOps {
       leU16(lit(2L)), leU16(lit(16L)), // block align, bits
       unhex(lit("64617461")),        // "data"
       leU32(lit(8L)))                // data size
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), concat(header, data).as("payload"))
       .as[Payload]
       .mapPartitions(_.map { r =>

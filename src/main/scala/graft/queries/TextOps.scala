@@ -263,11 +263,13 @@ object TextOps {
     * small vocabulary makes short windows genuinely repeat across
     * documents, like boilerplate does), lines in more than 20 documents
     * are dropped, documents reassemble from the survivors in order. */
-  def q65LineDedup(s: SparkSession, dir: String): DataFrame =
-    graft.text.LineDedup.dropDuplicateLines(
+  def q65LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(graft.text.LineDedup.dropDuplicateLines(
       Tables.spread(s, Tables.documents(s, dir)), "doc_id",
       graft.text.LineDedup.tokenWindows(col("text"), LineWidth),
-      maxDf = LineMaxDf)
+      maxDf = LineMaxDf, scope = scope))
+  }
 
   val q65Sql: String =
     s"""WITH toks AS (

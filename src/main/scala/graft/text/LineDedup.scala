@@ -26,16 +26,23 @@ object LineDedup {
 
   /** @return one row per input document: (idCol, clean_text, n_lines,
     *         n_kept); documents whose every line was dropped keep an
-    *         empty clean_text. Null/empty line arrays yield n_lines=0. */
+    *         empty clean_text. Null/empty line arrays yield n_lines=0.
+    *
+    *         `scope` caches the exploded+hashed line relation — it
+    *         feeds both the df count and the survivor semi-join, and
+    *         uncached each consumer would re-scan and re-hash the
+    *         corpus (the hashedPostings posture; gate entries release
+    *         through CacheScope.scoped). */
   def dropDuplicateLines(docs: DataFrame, idCol: String, linesCol: Column,
-                         maxDf: Long, delim: String = " "): DataFrame = {
+                         maxDf: Long, delim: String = " ",
+                         scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     require(maxDf > 0, "maxDf must be positive")
     // posexplode_outer: the array is computed — the usual
     // InferFiltersFromGenerate interpreted-Filter trap (q41)
-    val exploded = docs
+    val exploded = scope.cache(docs
       .select(col(idCol).as("__ld_id"), posexplode_outer(linesCol).as(Seq("pos", "line")))
       .filter(col("line").isNotNull)
-      .withColumn("h", graft.functions.Portable.h60(col("line")))
+      .withColumn("h", graft.functions.Portable.h60(col("line"))))
     val dfCounts = exploded.groupBy(col("h"))
       .agg(countDistinct(col("__ld_id")).as("df"))
     val kept = exploded
