@@ -90,9 +90,22 @@ object Bench {
       val ok = rs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    val qs = results.map { case (k, rs) => s"\"" + k + "\":" + best(rs) }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, rs) => s"\"" + k + "\":[" + rs.mkString(",") + "]" }
+    // 3-decimal timings: millisecond granularity is far below shared-VM
+    // run-to-run noise, and full-precision doubles pushed the compact
+    // line past the driver's 2000-char tail-capture window (~2318 chars
+    // at 75 queries — the head, with "metric", was cut off and the line
+    // never parsed). At %.3f the whole line is ~1870 chars with margin.
+    def fmtAt(dec: Int)(d: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+    val fmt = fmtAt(3) _
+    def qsAt(dec: Int): String =
+      results.map { case (k, rs) => s"\"" + k + "\":" + fmtAt(dec)(best(rs)) }
+        .mkString("{", ",", "}")
+    // if the inventory grows enough that 3 decimals would crowd the
+    // capture window again, degrade to 2 (still ~10ms granularity —
+    // far below shared-VM noise) rather than ever exceed it
+    val qs = { val three = qsAt(3); if (three.length <= 1800) three else qsAt(2) }
+    val raw = results.map { case (k, rs) => s"\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(r => best(r._2)).filter(_ >= 0).sum
     // The driver captures only the tail of stdout and parses the last
@@ -106,7 +119,7 @@ object Bench {
       try w.println(s"""{"runs":$raw,"sf":"$sfDir"}""") finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $runsOut: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,7 @@ object OlhoVivo {
       (lit(-23.55) + col("value") / 1000.0).as("py"),
       (lit(-46.63) + col("value") / 1500.0).as("px"))
 
-  private val posCte: String =
+  private[queries] val posCte: String =
     """WITH pos AS (
       |  SELECT event_id,
       |    CAST(user_id AS VARCHAR) AS prefixo_veiculo,

@@ -14,12 +14,13 @@ import graft.streaming.StreamingSpeeds.Position
   * flatMapGroupsWithState → memory sink) over a zone written from the
   * deterministic positions view, then return the collected hop table.
   *
-  * Declared WITHOUT an oracle (rows-only, q90 convention): the driver's
-  * DuckDB compare has no streaming analog, and same-second ties make
-  * individual hop values order-ambiguous (exactly the reference's trap
-  * ② — the row COUNT is stable, values on tie boundaries are not).
-  * Batch-vs-streaming VALUE parity is asserted tie-free in
-  * StreamingSpeedsSpec instead. */
+  * Oracle-checked EXACTLY: the driver's DuckDB compare has no streaming
+  * analog, but running the stream to completion makes the final table a
+  * plain DataFrame — and with the event_id tiebreak (KeyedPosition) the
+  * hop set is deterministic even on same-second ties (the reference's
+  * trap ②), so the batch-dataflow SQL is a valid oracle. Cross-batch
+  * state carry-over for a split vehicle is additionally asserted in
+  * StreamingSpeedsSpec. */
 object StreamingOps {
 
   type Q = (SparkSession, String) => DataFrame
@@ -39,16 +40,21 @@ object StreamingOps {
     // batch ordering for a SPLIT vehicle is exercised — tie-free — in
     // StreamingSpeedsSpec)
     OlhoVivo.posicoesFromEvents(s, dir)
-      .select(col("prefixo_veiculo"), col("timestamp"), col("py"), col("px"))
+      .select(col("prefixo_veiculo"), col("event_id"), col("timestamp"),
+        col("py"), col("px"))
       .repartition(4, col("prefixo_veiculo"))
       .sortWithinPartitions(col("prefixo_veiculo"), col("timestamp"))
       .write.mode("overwrite").json(zone)
     val positions = s.readStream
-      .schema("prefixo_veiculo STRING, timestamp LONG, py DOUBLE, px DOUBLE")
+      .schema("prefixo_veiculo STRING, event_id LONG, timestamp LONG, py DOUBLE, px DOUBLE")
       .option("maxFilesPerTrigger", "2")
       .json(zone)
-      .as[Position]
-    val query = StreamingSpeeds.hopsStream(positions)
+      .as[StreamingSpeeds.KeyedPosition]
+    // event_id tiebreaks same-second observations — the same total
+    // order as the batch window (ORDER BY timestamp, event_id), which
+    // is what makes this entry EXACTLY oracle-checkable rather than
+    // rows-only: the streaming hop set is now deterministic.
+    val query = StreamingSpeeds.hopsStreamKeyed(positions)
       .writeStream.format("memory").queryName("q75_hops")
       .outputMode("append").start()
     try query.processAllAvailable()
@@ -56,12 +62,20 @@ object StreamingOps {
     // the memory sink holds the results; drop the zone (repeated bench/
     // gate invocations would otherwise accumulate JSON copies in /tmp)
     val hops = s.table("q75_hops")
-      .select(col("prefixo_veiculo"), col("timestamp"), col("tempo"),
-        round(col("distancia"), 2).as("distancia"))
+      .select(col("prefixo_veiculo"), col("event_id"), col("timestamp"),
+        col("tempo"), round(col("distancia"), 2).as("distancia"),
+        round(col("velocidade_media"), 4).as("velocidade_media"))
       .localCheckpoint(true)
     deleteRecursively(new java.io.File(zone))
     hops
   }
+
+  /** Same dataflow as q20's oracle (shared posCte), restricted to the
+    * columns the streaming hop carries. */
+  val q75Sql: String = OlhoVivo.posCte +
+    """SELECT prefixo_veiculo, event_id, "timestamp", tempo, distancia,
+      |  round(distancia / tempo, 4) AS velocidade_media
+      |FROM clean""".stripMargin
 
   /** Streaming exact dedup end to end: every document is written to the
     * zone TWICE (the duplicate 90 s later — inside the 10-minute
@@ -119,9 +133,11 @@ object StreamingOps {
     "q77_streaming_dedup" -> q77StreamingDedup,
   )
 
-  /** q75 stays rows-only (hop values on same-second ties are
-    * order-ambiguous — trap ②); q77's aggregate shape is exact. */
+  /** Both streaming entries are exactly oracle-checked: q75 via the
+    * event_id tiebreak (deterministic hop set), q77 via its
+    * batch-order-invariant aggregate shape. */
   val oracles: Map[String, String] = Map(
+    "q75_streaming_hops" -> q75Sql,
     "q77_streaming_dedup" -> q77Sql,
   )
 }

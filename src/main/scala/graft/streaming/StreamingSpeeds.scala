@@ -27,6 +27,18 @@ object StreamingSpeeds {
   case class Hop(prefixo_veiculo: String, timestamp: Long, tempo: Long,
                  distancia: Double, velocidade_media: Double)
 
+  /** Keyed variants: `event_id` is a total-order tiebreak for
+    * same-second observations, mirroring the batch pipeline's
+    * `orderTiebreak = Seq(col("event_id"))` (OlhoVivo.q20SpeedHops).
+    * With it, the streaming hop set is deterministic — and therefore
+    * exactly oracle-checkable — even when a vehicle reports twice in
+    * one second; the unkeyed API keeps its stable arrival-order
+    * behavior for sources that have no such key. */
+  case class KeyedPosition(prefixo_veiculo: String, event_id: Long,
+                           timestamp: Long, py: Double, px: Double)
+  case class KeyedHop(prefixo_veiculo: String, event_id: Long, timestamp: Long,
+                      tempo: Long, distancia: Double, velocidade_media: Double)
+
   /** Reference haversine (R=6371000, round 2) in plain Scala for the
     * stateful path — same math as Portable.haversineMeters. */
   private[streaming] def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -40,14 +52,16 @@ object StreamingSpeeds {
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  /** One vehicle's update: positions arrive in-order within a batch per
-    * group (caller sorts each micro-batch group); emits cleaned hops. */
+  /** One vehicle's update: the micro-batch group is sorted by
+    * (timestamp, event_id) — a stable sort, so the unkeyed wrapper's
+    * constant event_id degrades to arrival order — and emits cleaned
+    * hops. */
   private def updateVehicle(conf: SpeedConf, evict: Boolean)(
-      vehicle: String, rows: Iterator[Position],
-      state: GroupState[LastObs]): Iterator[Hop] = {
+      vehicle: String, rows: Iterator[KeyedPosition],
+      state: GroupState[LastObs]): Iterator[KeyedHop] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val sorted = rows.toSeq.sortBy(_.timestamp)
-    val out = Seq.newBuilder[Hop]
+    val sorted = rows.toSeq.sortBy(p => (p.timestamp, p.event_id))
+    val out = Seq.newBuilder[KeyedHop]
     var last = state.getOption
     sorted.foreach { p =>
       last.foreach { prev =>
@@ -56,7 +70,7 @@ object StreamingSpeeds {
           val dist = haversine(prev.py, prev.px, p.py, p.px)
           val v = dist / tempo
           if (!(v > conf.maxSpeedMs)) // P3
-            out += Hop(vehicle, p.timestamp, tempo, dist, v)
+            out += KeyedHop(vehicle, p.event_id, p.timestamp, tempo, dist, v)
         }
       }
       last = Some(LastObs(p.timestamp, p.py, p.px))
@@ -94,6 +108,21 @@ object StreamingSpeeds {
     * synchronous driver) use the default false. */
   def hopsStream(positions: Dataset[Position], conf: SpeedConf = SpeedConf(),
                  evictIdle: Boolean = false): Dataset[Hop] = {
+    import positions.sparkSession.implicits._
+    hopsStreamKeyed(
+      positions.map(p => KeyedPosition(p.prefixo_veiculo, 0L, p.timestamp, p.py, p.px)),
+      conf, evictIdle)
+      .map(h => Hop(h.prefixo_veiculo, h.timestamp, h.tempo, h.distancia,
+        h.velocidade_media))
+  }
+
+  /** Keyed positions stream → keyed cleaned hop stream; the hop carries
+    * the CURRENT observation's event_id (lag semantics — same row
+    * identity as the batch q20 output), so results are exactly
+    * comparable row-for-row with the batch pipeline. */
+  def hopsStreamKeyed(positions: Dataset[KeyedPosition],
+                      conf: SpeedConf = SpeedConf(),
+                      evictIdle: Boolean = false): Dataset[KeyedHop] = {
     import positions.sparkSession.implicits._
     val timeout =
       if (evictIdle) GroupStateTimeout.ProcessingTimeTimeout

@@ -72,7 +72,9 @@ class BloomPruneSpec extends SparkTestBase {
     assert(BloomPrune.autoBits(100L) == 1000L)
     assert(BloomPrune.autoBits(200000L) == 2000000L)
     assert(BloomPrune.autoBits(10L) == 640L) // floor
-    assert(BloomPrune.autoBits(1L << 40) == (1L << 28)) // plan-literal cap
+    // default cap = 2^26, matching Spark's own runtime-bloom-filter
+    // maxNumBits default (67108864) — see BloomPrune.scala's clamp note
+    assert(BloomPrune.autoBits(1L << 40) == (1L << 26))
   }
 
   test("auto-sized filter stays exact at two right-side scales") {

@@ -60,6 +60,44 @@ class StreamingSpeedsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("keyed stream: event_id tiebreak makes same-second ties deterministic") {
+    // two DIFFERENT positions at the same second — the unkeyed path's
+    // hop values would depend on arrival order; the keyed path must
+    // produce the batch result (ORDER BY timestamp, event_id) under
+    // BOTH arrival orders
+    val tied = Seq(
+      KeyedPosition("T", 1L, 1000, -23.5500, -46.6300),
+      KeyedPosition("T", 2L, 1060, -23.5510, -46.6305),
+      KeyedPosition("T", 3L, 1060, -23.5520, -46.6310), // same-second tie
+      KeyedPosition("T", 4L, 1120, -23.5530, -46.6315))
+    def run(order: Seq[KeyedPosition], name: String): Set[Seq[Any]] = {
+      val input = MemoryStream[KeyedPosition](spark)
+      val query = hopsStreamKeyed(input.toDS(), SpeedConf())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(order)
+        query.processAllAvailable()
+        spark.table(name).collect().map(_.toSeq).toSet
+      } finally query.stop()
+    }
+    val fwd = run(tied, "keyed_fwd")
+    val rev = run(tied.reverse, "keyed_rev")
+    assert(fwd == rev, s"arrival order leaked into keyed results: $fwd vs $rev")
+
+    val batchInput = tied.toDF()
+      .withColumn("letreiro", lit("X")).withColumn("codigo_linha", lit(1))
+      .withColumn("sentido_linha", lit(1)).withColumn("destino_linha", lit("D"))
+      .withColumn("origem_linha", lit("O")).withColumn("acessibilidade", lit(true))
+    val batch = SpeedPipeline.hops(batchInput, SpeedConf(), Seq($"event_id"))
+      .select($"prefixo_veiculo", $"event_id", $"timestamp", $"tempo",
+        $"distancia", $"velocidade_media")
+      .collect().map(_.toSeq).toSet
+    assert(fwd == batch, s"keyed streamed=$fwd batch=$batch")
+    // tie row (event_id=3, tempo=0) dropped; hops land on ids 2 and 4
+    assert(fwd.map(_(1)) == Set(2L, 4L))
+  }
+
   test("file-source streaming EP2→EP3: raw JSON zone drives the stateful pipeline") {
     val dir = scratchDir("stream-raw")
     def poll(name: String, ts: String, p: String, py: Double): Unit =
