@@ -73,6 +73,23 @@ object JvmCodec {
       }
     } catch { case _: Exception => None }
 
+  /** Encode packed 0xRRGGBB pixels (row-major, length w*h) as a real
+    * PNG via the JDK encoder — deflate compression, filters and all.
+    * The q66 gate uses this executor-side to manufacture COMPRESSED
+    * payloads (BMP/WAV are constructible in column space, PNG is not),
+    * then proves decodeImage reads them back bit-exactly. */
+  def encodePng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixels ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, pixels, 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      sys.error("JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
   /** Decode a 16-bit PCM WAV payload: format, frame count, peak |s|,
     * Σ|s|, and a `featureDim`-segment mean-|amplitude| envelope
     * normalized by the peak. None for non-audio or non-16-bit data. */

@@ -111,13 +111,58 @@ object MultimodalOps {
       |  6 * (doc_id % 1000 + 1) AS sum_abs
       |FROM documents""".stripMargin
 
+  // encoder's generated code must reach the class (same note as Payload)
+  case class IdOnly(doc_id: Long)
+
+  /** COMPRESSED-format roundtrip: an 8×8 image with doc_id-derived
+    * pixels is PNG-encoded executor-side by the JDK encoder (deflate —
+    * PNG is the one common image format NOT constructible in column
+    * space), sniffed to prove the payload really carries a PNG
+    * signature, then decoded by the same JvmCodec path as q62. Pixel
+    * values stay < 256 so the channel sums close over doc_id with no
+    * modular wraparound: r=p+i, g=2p+i, b=p+2i for p = doc_id % 64,
+    * i ∈ 0..63 → Σr = 64p+2016, Σg = 128p+2016, Σb = 64p+4032.
+    *
+    * Scale posture: encode and decode are adjacent map-only steps in
+    * ONE pipelined stage (no shuffle, no driver traffic) — the exact
+    * shape a 100 TB re-encode/feature pass would take. */
+  def q66PngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id")).as[IdOnly]
+      .mapPartitions(_.map { r =>
+        val p = (r.doc_id % 64).toInt
+        val pixels = Array.tabulate(64) { i =>
+          ((p + i) << 16) | ((2 * p + i) << 8) | (p + 2 * i)
+        }
+        Payload(r.doc_id, JvmCodec.encodePng(pixels, 8, 8))
+      })
+      .mapPartitions(_.map { r =>
+        val fmt = JvmCodec.sniffFormat(r.payload)
+        val st = JvmCodec.decodeImage(r.payload, 16).getOrElse(
+          sys.error(s"doc ${r.doc_id}: JDK-encoded PNG failed to decode"))
+        (r.doc_id, fmt, st.width.toLong, st.height.toLong,
+          st.sumR, st.sumG, st.sumB)
+      })
+      .toDF("doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  val q66Sql: String =
+    """SELECT doc_id, 'png' AS fmt, 8::BIGINT AS width, 8::BIGINT AS height,
+      |  64 * (doc_id % 64) + 2016 AS sum_r,
+      |  128 * (doc_id % 64) + 2016 AS sum_g,
+      |  64 * (doc_id % 64) + 4032 AS sum_b
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_image_decode" -> q62ImageDecode,
     "q63_audio_decode" -> q63AudioDecode,
+    "q66_png_roundtrip" -> q66PngRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
     "q62_image_decode" -> q62Sql,
     "q63_audio_decode" -> q63Sql,
+    "q66_png_roundtrip" -> q66Sql,
   )
 }

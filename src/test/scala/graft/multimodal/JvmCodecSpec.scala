@@ -46,6 +46,18 @@ class JvmCodecSpec extends SparkTestBase {
     }
   }
 
+  test("encodePng roundtrips arbitrary packed pixels bit-exactly") {
+    val pixels = Array.tabulate(12)(i => (i * 17 << 16) | (i * 5 << 8) | (255 - i))
+    val bytes = JvmCodec.encodePng(pixels, 4, 3)
+    assert(JvmCodec.sniffFormat(bytes) == "png")
+    val st = JvmCodec.decodeImage(bytes, 16).getOrElse(fail("png did not decode"))
+    assert((st.width, st.height) == (4, 3))
+    assert(st.sumR == pixels.map(p => (p >> 16) & 0xff).sum.toLong)
+    assert(st.sumG == pixels.map(p => (p >> 8) & 0xff).sum.toLong)
+    assert(st.sumB == pixels.map(p => p & 0xff).sum.toLong)
+    intercept[IllegalArgumentException](JvmCodec.encodePng(pixels, 5, 3))
+  }
+
   test("sniffFormat recognizes real encoder output and rejects prose") {
     assert(JvmCodec.sniffFormat(encode(testImage, "png")) == "png")
     assert(JvmCodec.sniffFormat(encode(testImage, "bmp")) == "bmp")
