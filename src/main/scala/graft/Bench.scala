@@ -59,11 +59,13 @@ object Bench {
         // reuse the first run's cached intermediate — not a full
         // execution. Clearing keeps every timed run full-work.
         spark.catalog.clearCache()
+        Checkpoints.releaseAll(spark)
         secs
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: $e")
           spark.catalog.clearCache()
+          Checkpoints.releaseAll(spark)
           -1.0
       }
     }

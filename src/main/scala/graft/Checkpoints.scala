@@ -24,11 +24,39 @@ object Checkpoints {
   def configuredDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(DirKey).filter(_.trim.nonEmpty)
 
-  // last DirKey value applied to the SparkContext: getCheckpointDir
+  // last DirKey value applied, PER SparkContext: getCheckpointDir
   // returns dir/<uuid>, so the conf value itself must be tracked to
   // detect a mid-session change (which must take effect, not be
-  // silently ignored)
-  private val applied = new java.util.concurrent.atomic.AtomicReference[String](null)
+  // silently ignored). Keyed by context — a process hosting several
+  // contexts (parallel test suites) must not let one context's dir
+  // suppress another's setCheckpointDir. The map doubles as the lock
+  // for the check-and-set.
+  //
+  // CONTRACT: one configured checkpoint dir per SparkContext at a time.
+  // The checkpoint dir is context-level state, so two sessions of the
+  // SAME context concurrently running eager() with DIFFERENT DirKey
+  // values cannot both be honored — the applications are serialized
+  // here, but a checkpoint started after the other session's set lands
+  // under that session's dir. Mid-session changes are fine when eager()
+  // calls don't overlap.
+  private val applied =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
+  // Reliable-checkpoint files created by eager() that have not been
+  // release()d yet, per context. Operators release the rounds they
+  // supersede themselves; the checkpoint a query RETURNS, though,
+  // outlives the operator (the caller still has to consume it), so a
+  // long session sweeping many queries would otherwise accumulate one
+  // checkpoint per query per run — releaseAll() is the sweep-level
+  // cleanup for exactly that caller.
+  private val live = new java.util.WeakHashMap[
+    org.apache.spark.SparkContext, scala.collection.mutable.Set[String]]()
+
+  private def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
 
   /** Eagerly materialize `df`, truncating lineage: reliable
     * `checkpoint` when [[DirKey]] is set, `localCheckpoint` otherwise.
@@ -38,14 +66,30 @@ object Checkpoints {
     configuredDir(df.sparkSession) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || applied.get != d) {
-          sc.setCheckpointDir(d)
-          applied.set(d)
+        applied.synchronized {
+          if (sc.getCheckpointDir.isEmpty || applied.get(sc) != d) {
+            sc.setCheckpointDir(d)
+            applied.put(sc, d)
+          }
         }
-        df.checkpoint(eager = true)
+        val ck = df.checkpoint(eager = true)
+        checkpointFile(ck).foreach { p =>
+          live.synchronized {
+            var s = live.get(sc)
+            if (s == null) { s = scala.collection.mutable.Set.empty[String]; live.put(sc, s) }
+            s += p: Unit
+          }
+        }
+        ck
       case None =>
         df.localCheckpoint(eager = true)
     }
+
+  private def delete(spark: SparkSession, p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(path, true): Unit
+  }
 
   /** Delete a SUPERSEDED reliable checkpoint's files. Spark only
     * auto-cleans checkpoints when
@@ -57,13 +101,26 @@ object Checkpoints {
     * localCheckpoint frames (block-based; the ContextCleaner reclaims
     * them) and for frames that aren't checkpoints at all. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.getCheckpointFile.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true): Unit
-        }
-      case _ => ()
+    checkpointFile(df).foreach { p =>
+      live.synchronized {
+        Option(live.get(df.sparkSession.sparkContext)).foreach(_ -= p)
+      }
+      delete(df.sparkSession, p)
     }
+
+  /** Delete EVERY still-live reliable checkpoint of this session's
+    * context — the end-of-consumption cleanup for callers that sweep
+    * many queries (Verify/Bench do this between queries, alongside
+    * clearCache): once a query's output has been written/collected, the
+    * checkpoint it returned has served its purpose. Frames returned by
+    * earlier eager() calls must not be re-consumed afterwards. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val paths = live.synchronized {
+      Option(live.get(spark.sparkContext)) match {
+        case Some(s) => val snap = s.toVector; s.clear(); snap
+        case None    => Vector.empty
+      }
+    }
+    paths.foreach(delete(spark, _))
+  }
 }

@@ -35,8 +35,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // intermediates persisted inside operators would otherwise pile up
-      // across the 45 dumps
+      // across the dumps; ditto reliable checkpoints in
+      // spark.graft.checkpoint.dir mode (the parquet dump above IS the
+      // consumption, so the returned checkpoint is spent)
       spark.catalog.clearCache()
+      Checkpoints.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -85,8 +85,11 @@ object ConnectedComponents {
       // SLOWER than checkpointing every round, not faster.
       val newEdges = graft.Checkpoints.eager(smallStar(largeStar(edges)))
       val n = newEdges.count()
-      // certificate on PLATEAU rounds only — see the header contract
-      converged = n == 0 || (n == prevCount && isStar(newEdges))
+      // certificate on PLATEAU rounds (see the header contract) — plus
+      // a LAST-CHANCE check on the final permitted round, so a graph
+      // that becomes a star exactly at maxIter (its plateau round would
+      // be maxIter+1) converges instead of throwing
+      converged = n == 0 || ((n == prevCount || iter == maxIter) && isStar(newEdges))
       // round N's reliable checkpoint is superseded once round N+1 is
       // materialized: delete it, or a multi-hour job accumulates
       // rounds × |edges| of files under the checkpoint dir (no-op for

@@ -170,7 +170,9 @@ object VectorOps {
       |SELECT g, u.dim AS dim,
       |  round(CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0), 4)
       |    + 0.0::DOUBLE AS m
-      |FROM e GROUP BY 1, 2""".stripMargin
+      |FROM e
+      |WHERE u.fx IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 
   /** L2 normalization — the standard pre-ANN transform (cosine over
     * unit vectors = dot product). Map-only; norm staged once per row.
@@ -201,7 +203,8 @@ object VectorOps {
        |                              / sqrt($dotSelf), 6) + 0.0::DOUBLE
        |                   END})) AS u
        |  FROM embeddings)
-       |SELECT vec_id, u.dim AS dim, u.val AS u, norm FROM n""".stripMargin
+       |SELECT vec_id, u.dim AS dim, u.val AS u, norm FROM n
+       |WHERE u.val IS NOT NULL""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -26,6 +26,31 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** Persist a fitted quantizer as a (cid, centroid) parquet table —
+    * the operational seam a 100 TB corpus needs: fit once (a sampled
+    * pass), then index and search in LATER jobs/sessions without
+    * refitting. The model is k×dim doubles, so a single output file is
+    * the right shape. */
+  def save(model: Model, path: String)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[save]]; centroid order (and therefore
+    * every assignment tiebreak) is restored exactly via cid. */
+  def load(path: String)(implicit spark: org.apache.spark.sql.SparkSession): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("cid").cast("int"), col("centroid"))
+      .orderBy(col("cid")).collect()
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.head.getInt(0) == 0 && rows.last.getInt(0) == rows.length - 1,
+      s"centroid ids at $path are not dense 0..${rows.length - 1}")
+    Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** Squared-L2 distance of an embedding column to one centroid literal
     * (sequential fold — deterministic). */
   private def sqDist(vec: Column, centroid: Array[Double]): Column =

@@ -45,6 +45,38 @@ class CachingSpec extends SparkTestBase {
       "a failed query left session-lifetime persists behind")
   }
 
+  test("reliable mode: CC releases superseded rounds; releaseAll cleans the rest") {
+    import spark.implicits._
+    SparkTestBase.sessionConfLock.synchronized {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).toSeq.flatten.flatMap(c =>
+        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      // two chains → a few large/small-star rounds, each checkpointed
+      val verts = (1L to 8L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 8L))
+        .toDF("a", "b")
+      val comp = graft.dedup.ConnectedComponents
+        .components(verts, "id", pairs, "a", "b")
+      val byCluster = comp.collect().groupBy(_.getLong(1)).view.mapValues(
+        _.map(_.getLong(0)).toSet).toMap
+      assert(byCluster == Map(1L -> Set(1L, 2L, 3L, 4L), 5L -> Set(5L, 6L, 7L, 8L)))
+      // superseded rounds were deleted as the loop ran: only the live
+      // (final-round) checkpoints remain, not one per round
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.nonEmpty, "reliable mode produced no checkpoint files")
+      assert(remaining.size <= 2,
+        s"per-round release failed: ${remaining.size} checkpoints on disk")
+      // sweep-level cleanup: consumption is done → nothing stays behind
+      Checkpoints.releaseAll(spark)
+      assert(rddDirs(new java.io.File(dir)).isEmpty,
+        "releaseAll left checkpoint files under the configured dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("checkpoint dir conf switches materialization to reliable checkpoints") {
     import spark.implicits._
     SparkTestBase.sessionConfLock.synchronized {

@@ -51,6 +51,20 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("save/load roundtrips the model and reproduces search exactly") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val path = scratchDir("ivf-model").toString + "/model"
+    Ivf.save(model, path)
+    val loaded = Ivf.load(path)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    // a LATER job: index + search from the loaded model only
+    val ivf = asPairs(Ivf.search(queries, Ivf.index(emb, loaded), loaded,
+      topK = 5, nProbe = 2))
+    val orig = asPairs(Ivf.search(queries, indexed, model, topK = 5, nProbe = 2))
+    assert(ivf == orig)
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
