@@ -90,6 +90,125 @@ object JvmCodec {
     out.toByteArray
   }
 
+  final case class FrameStats(nFrames: Int, sampledFrames: Int,
+                              sumR: Long, sumG: Long, sumB: Long)
+
+  /** Encode frames (each packed 0xRRGGBB, row-major) as a multi-frame
+    * GIF89a — the smallest honest stand-in for video the JVM can
+    * produce without new dependencies. Frames with ≤256 distinct
+    * colors encode losslessly (GIF is palettized).
+    *
+    * The container is written by hand: the JDK's own GIF writer is NOT
+    * usable here — it quantizes direct-color input to a web-safe
+    * palette, and even for pre-indexed images its LZW encoder corrupts
+    * many shapes (verified in this environment: an 8×4 four-color
+    * frame round-trips wrong through ImageIO write→read, while 4×8
+    * with identical pixels survives). Each frame gets a local color
+    * table of exactly its distinct colors and an LZW stream of literal
+    * codes with a clear code re-emitted before every code-width
+    * boundary (the standard "uncompressed GIF" technique — a valid
+    * stream any conformant decoder, including the JDK reader the
+    * decode path uses, reads exactly). */
+  def encodeGif(frames: Seq[Array[Int]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      s"each frame must be $width x $height")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write(Array[Byte]('G', 'I', 'F', '8', '9', 'a'))
+    w16(width); w16(height); w8(0); w8(0); w8(0) // no global color table
+    frames.foreach { px =>
+      val palette = px.distinct
+      require(palette.length <= 256,
+        s"frame has ${palette.length} distinct colors; GIF allows 256")
+      // local color table: 2^bits entries; bits ≥ 2 because the LZW
+      // minimum code size must be ≥ 2
+      var bits = 2
+      while ((1 << bits) < palette.length) bits += 1
+      w8(0x2C); w16(0); w16(0); w16(width); w16(height)
+      w8(0x80 | (bits - 1))
+      palette.foreach { c => w8(c >> 16); w8(c >> 8); w8(c) }
+      (palette.length until (1 << bits)).foreach { _ => w8(0); w8(0); w8(0) }
+      val minCode = bits
+      val clear = 1 << minCode
+      val codeSize = minCode + 1
+      // after a clear the decoder assigns dictionary codes from
+      // clear+2; the code width would grow once 2^(minCode+1) codes
+      // exist — i.e. after 2^minCode − 2 literals — so clearing just
+      // before that keeps every code exactly codeSize bits
+      val budget = (1 << minCode) - 2
+      val index = palette.zipWithIndex.toMap
+      val codes = Array.newBuilder[Int]
+      codes += clear
+      var used = 0
+      px.foreach { p =>
+        if (used == budget) { codes += clear; used = 0 }
+        codes += index(p); used += 1
+      }
+      codes += clear + 1 // end-of-information
+      val data = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nbits = 0
+      codes.result().foreach { c =>
+        cur |= c << nbits; nbits += codeSize
+        while (nbits >= 8) { data.write(cur & 0xff); cur >>= 8; nbits -= 8 }
+      }
+      if (nbits > 0) data.write(cur & 0xff)
+      w8(minCode)
+      val d = data.toByteArray
+      var off = 0
+      while (off < d.length) {
+        val n = math.min(255, d.length - off)
+        w8(n); out.write(d, off, n); off += n
+      }
+      w8(0) // block terminator
+    }
+    w8(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** FRAME SAMPLING over a multi-frame payload (animated GIF; any
+    * ImageIO input — a PNG is a 1-frame sequence): count the frames,
+    * decode only every `sampleEvery`-th (0, k, 2k, …), and sum the
+    * sampled frames' channel sums. The decode cost is proportional to
+    * the SAMPLED frames — the property that makes frame sampling the
+    * scale posture for video-ish corpora. None when nothing decodes. */
+  def decodeFrames(bytes: Array[Byte], sampleEvery: Int): Option[FrameStats] =
+    try {
+      require(sampleEvery >= 1)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sampled = 0
+          var i = 0
+          while (i < n) {
+            val img = reader.read(i)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+            i += sampleEvery
+          }
+          Some(FrameStats(n, sampled, sr, sg, sb))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
   /** Decode a 16-bit PCM WAV payload: format, frame count, peak |s|,
     * Σ|s|, and a `featureDim`-segment mean-|amplitude| envelope
     * normalized by the peak. None for non-audio or non-16-bit data. */

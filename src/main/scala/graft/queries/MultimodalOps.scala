@@ -154,15 +154,54 @@ object MultimodalOps {
       |  64 * (doc_id % 64) + 4032 AS sum_b
       |FROM documents""".stripMargin
 
+  /** FRAME SAMPLING over multi-frame media — the video posture scaled
+    * down to what the JDK can honestly codec: each document becomes a
+    * real 4-frame animated GIF (frame f is 4×4 solid (p+f, p+2f, p+3f),
+    * p = doc_id % 64 — one color per frame, so the palettized encode is
+    * lossless), and the decoder counts all frames but DECODES only
+    * every 2nd (frames 0 and 2). Expected sums close over doc_id:
+    * Σr = 16·(2p+2), Σg = 16·(2p+4), Σb = 16·(2p+6). */
+  def q67GifFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id")).as[IdOnly]
+      .mapPartitions(_.map { r =>
+        val p = (r.doc_id % 64).toInt
+        val frames = Seq.tabulate(4) { f =>
+          Array.fill(16)(((p + f) << 16) | ((p + 2 * f) << 8) | (p + 3 * f))
+        }
+        Payload(r.doc_id, JvmCodec.encodeGif(frames, 4, 4))
+      })
+      .mapPartitions(_.map { r =>
+        val fmt = JvmCodec.sniffFormat(r.payload)
+        val st = JvmCodec.decodeFrames(r.payload, sampleEvery = 2).getOrElse(
+          sys.error(s"doc ${r.doc_id}: JDK-encoded GIF failed to decode"))
+        (r.doc_id, fmt, st.nFrames.toLong, st.sampledFrames.toLong,
+          st.sumR, st.sumG, st.sumB)
+      })
+      .toDF("doc_id", "fmt", "n_frames", "sampled_frames",
+        "sum_r", "sum_g", "sum_b")
+  }
+
+  val q67Sql: String =
+    """SELECT doc_id, 'gif' AS fmt, 4::BIGINT AS n_frames,
+      |  2::BIGINT AS sampled_frames,
+      |  16 * (2 * (doc_id % 64) + 2) AS sum_r,
+      |  16 * (2 * (doc_id % 64) + 4) AS sum_g,
+      |  16 * (2 * (doc_id % 64) + 6) AS sum_b
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_image_decode" -> q62ImageDecode,
     "q63_audio_decode" -> q63AudioDecode,
     "q66_png_roundtrip" -> q66PngRoundtrip,
+    "q67_gif_frame_sample" -> q67GifFrameSample,
   )
 
   val oracles: Map[String, String] = Map(
     "q62_image_decode" -> q62Sql,
     "q63_audio_decode" -> q63Sql,
     "q66_png_roundtrip" -> q66Sql,
+    "q67_gif_frame_sample" -> q67Sql,
   )
 }

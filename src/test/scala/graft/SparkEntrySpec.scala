@@ -13,9 +13,10 @@ class SparkEntrySpec extends graft.olhovivo.SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     q.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
-    // only deliberate rows-only entries may lack an oracle
-    assert((q -- o) == Set("q90_approx_distinct", "q91_approx_percentiles",
-      "q75_streaming_hops"), s"unexpected oracle-less: ${q -- o}")
+    // only deliberate rows-only entries may lack an oracle (the approx
+    // sketches, whose outputs are engine-specific by design)
+    assert((q -- o) == Set("q90_approx_distinct", "q91_approx_percentiles"),
+      s"unexpected oracle-less: ${q -- o}")
   }
 
   test("all queries analyze against sf0.001 (schema-level contract)") {

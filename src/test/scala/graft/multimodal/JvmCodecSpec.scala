@@ -58,6 +58,28 @@ class JvmCodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JvmCodec.encodePng(pixels, 5, 3))
   }
 
+  test("gif sequence roundtrip: frame count exact, sampling sums only sampled frames") {
+    // two 2×2 frames, ≤256 colors each → lossless palettized encode
+    val f0 = Array(0x0A141E, 0x0A141E, 0x281E0A, 0x281E0A)
+    val f1 = Array(0x505050, 0x505050, 0x505050, 0x505050)
+    val bytes = JvmCodec.encodeGif(Seq(f0, f1), 2, 2)
+    assert(JvmCodec.sniffFormat(bytes) == "gif")
+    def sums(px: Array[Int]) = (
+      px.map(p => ((p >> 16) & 0xff).toLong).sum,
+      px.map(p => ((p >> 8) & 0xff).toLong).sum,
+      px.map(p => (p & 0xff).toLong).sum)
+    val (r0, g0, b0) = sums(f0); val (r1, g1, b1) = sums(f1)
+    val all = JvmCodec.decodeFrames(bytes, 1).getOrElse(fail("gif did not decode"))
+    assert(all == JvmCodec.FrameStats(2, 2, r0 + r1, g0 + g1, b0 + b1))
+    val sampled = JvmCodec.decodeFrames(bytes, 2).getOrElse(fail("sampled decode"))
+    assert(sampled == JvmCodec.FrameStats(2, 1, r0, g0, b0))
+    // any single-frame ImageIO payload is a 1-frame sequence
+    val png = JvmCodec.decodeFrames(encode(testImage, "png"), 1)
+      .getOrElse(fail("png as sequence"))
+    assert(png == JvmCodec.FrameStats(1, 1, ExpR.toLong, ExpG.toLong, ExpB.toLong))
+    assert(JvmCodec.decodeFrames("not media".getBytes, 1).isEmpty)
+  }
+
   test("sniffFormat recognizes real encoder output and rejects prose") {
     assert(JvmCodec.sniffFormat(encode(testImage, "png")) == "png")
     assert(JvmCodec.sniffFormat(encode(testImage, "bmp")) == "bmp")
