@@ -290,10 +290,42 @@ object TextOps {
        |  coalesce(r.n_kept, 0) AS n_kept
        |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin
 
+  // ------------------------------------------- q68 sequence packing
+
+  private val PackWindow = 512L
+  private val PackShards = 8
+
+  /** Concat-and-chunk sequence packing (text.Packing): whitespace
+    * token counts, 8 packing shards, 512-token windows — each
+    * document's exact window span in its shard's stream. One hash
+    * exchange total (the shard window; PlanAuditSpec). */
+  def q68SequencePack(s: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packWindows(
+      Tables.documents(s, dir), col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(col("text")),
+      windowTokens = PackWindow, shards = PackShards)
+
+  val q68Sql: String = toksCte.dropRight(1) + "," +
+    s"""
+       |p AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    len(toks) AS n_tokens,
+       |    CAST(sum(len(toks)) OVER (PARTITION BY doc_id % $PackShards
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(toks)
+       |      AS BIGINT) AS tok_offset
+       |  FROM toks_t WHERE len(toks) > 0)
+       |SELECT doc_id, shard, n_tokens, tok_offset,
+       |  tok_offset // $PackWindow AS first_window,
+       |  (tok_offset + n_tokens - 1) // $PackWindow AS last_window,
+       |  (tok_offset + n_tokens - 1) // $PackWindow
+       |    - tok_offset // $PackWindow + 1 AS n_windows
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_repetition"  -> q54Repetition,
     "q64_pii_redact"  -> q64PiiRedact,
     "q65_line_dedup"  -> q65LineDedup,
+    "q68_sequence_pack" -> q68SequencePack,
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
@@ -306,6 +338,7 @@ object TextOps {
     "q54_repetition"  -> q54Sql,
     "q64_pii_redact"  -> q64Sql,
     "q65_line_dedup"  -> q65Sql,
+    "q68_sequence_pack" -> q68Sql,
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,

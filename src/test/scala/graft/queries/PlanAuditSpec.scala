@@ -124,12 +124,22 @@ class PlanAuditSpec extends SparkTestBase {
   test("q61/q62/q63 media synthesis + decode: map-only, no data-keyed shuffle") {
     for (q <- Seq(graft.queries.Extras.q61MediaSniff(spark, dir),
         graft.queries.MultimodalOps.q62ImageDecode(spark, dir),
-        graft.queries.MultimodalOps.q63AudioDecode(spark, dir))) {
+        graft.queries.MultimodalOps.q63AudioDecode(spark, dir),
+        graft.queries.MultimodalOps.q66PngRoundtrip(spark, dir),
+        graft.queries.MultimodalOps.q67GifFrameSample(spark, dir))) {
       val p = plan(q)
       assert(countOf(p, "Exchange hashpartitioning") == 0 &&
         countOf(p, "Exchange rangepartitioning") == 0,
         s"payload synthesis and decode must not shuffle:\n$p")
     }
+  }
+
+  test("q68 sequence pack: one hash exchange (the shard window), no range partition") {
+    val p = plan(graft.queries.TextOps.q68SequencePack(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"packing must shuffle once, on the shard key:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0,
+      s"packing must not global-sort:\n$p")
   }
 
   test("q56 l2 normalize: map-only — no hash shuffle") {
