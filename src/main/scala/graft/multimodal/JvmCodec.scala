@@ -93,6 +93,37 @@ object JvmCodec {
   final case class FrameStats(nFrames: Int, sampledFrames: Int,
                               sumR: Long, sumG: Long, sumB: Long)
 
+  /** Decode + RESIZE to outW×outH by nearest-neighbor (source pixel
+    * (x·w div outW, y·h div outH) — integer floor mapping, so the
+    * sampled grid is exact and the resized stats are arithmetic,
+    * engine-checkable facts, unlike interpolating resamplers whose
+    * float kernels vary by library). Returns the resized image's
+    * channel sums. The standard thumbnail/normalize step before
+    * feature extraction in an image-corpus pipeline. */
+  def decodeResizeStats(bytes: Array[Byte], outW: Int, outH: Int): Option[ImageStats] =
+    try {
+      require(outW > 0 && outH > 0)
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB(x * w / outW, sy)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(outW, outH, sr, sg, sb, Array.empty)
+      }
+    } catch { case _: Exception => None }
+
   /** Encode frames (each packed 0xRRGGBB, row-major) as a multi-frame
     * GIF89a — the smallest honest stand-in for video the JVM can
     * produce without new dependencies. Frames with ≤256 distinct

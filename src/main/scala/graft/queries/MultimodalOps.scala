@@ -191,11 +191,45 @@ object MultimodalOps {
       |  16 * (2 * (doc_id % 64) + 6) AS sum_b
       |FROM documents""".stripMargin
 
+  /** Decode + RESIZE: 8×8 PNGs with per-axis gradients (r=p+x+y,
+    * g=2p+x, b=p+2y for p = doc_id % 64 — all < 256) downsample to 4×4
+    * by the integer nearest-neighbor mapping (samples source pixels
+    * (2x, 2y)), so the resized channel sums close over doc_id:
+    * Σr = 16p+96, Σg = 32p+48, Σb = 16p+96. The thumbnail/normalize
+    * step of an image-corpus pipeline, proven through a real codec. */
+  def q69ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id")).as[IdOnly]
+      .mapPartitions(_.map { r =>
+        val p = (r.doc_id % 64).toInt
+        val pixels = Array.tabulate(64) { i =>
+          val x = i % 8; val y = i / 8
+          ((p + x + y) << 16) | ((2 * p + x) << 8) | (p + 2 * y)
+        }
+        Payload(r.doc_id, JvmCodec.encodePng(pixels, 8, 8))
+      })
+      .mapPartitions(_.map { r =>
+        val st = JvmCodec.decodeResizeStats(r.payload, 4, 4).getOrElse(
+          sys.error(s"doc ${r.doc_id}: PNG failed to decode for resize"))
+        (r.doc_id, st.width.toLong, st.height.toLong, st.sumR, st.sumG, st.sumB)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  val q69Sql: String =
+    """SELECT doc_id, 4::BIGINT AS width, 4::BIGINT AS height,
+      |  16 * (doc_id % 64) + 96 AS sum_r,
+      |  32 * (doc_id % 64) + 48 AS sum_g,
+      |  16 * (doc_id % 64) + 96 AS sum_b
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_image_decode" -> q62ImageDecode,
     "q63_audio_decode" -> q63AudioDecode,
     "q66_png_roundtrip" -> q66PngRoundtrip,
     "q67_gif_frame_sample" -> q67GifFrameSample,
+    "q69_image_resize" -> q69ImageResize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +237,6 @@ object MultimodalOps {
     "q63_audio_decode" -> q63Sql,
     "q66_png_roundtrip" -> q66Sql,
     "q67_gif_frame_sample" -> q67Sql,
+    "q69_image_resize" -> q69Sql,
   )
 }

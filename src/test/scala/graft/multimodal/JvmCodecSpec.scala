@@ -80,6 +80,24 @@ class JvmCodecSpec extends SparkTestBase {
     assert(JvmCodec.decodeFrames("not media".getBytes, 1).isEmpty)
   }
 
+  test("decodeResizeStats samples the exact nearest-neighbor grid") {
+    // 3x2 source resized to 2x2: samples (x*3/2, y*2/2) = (0,0),(1,0),(0,1),(1,1)
+    val bytes = JvmCodec.encodePng(
+      Array(0x010203, 0x102030, 0xFF0000, 0x00FF00, 0x0000FF, 0x808080), 3, 2)
+    val st = JvmCodec.decodeResizeStats(bytes, 2, 2).getOrElse(fail("no decode"))
+    assert((st.width, st.height) == (2, 2))
+    // sampled pixels: 0x010203, 0x102030, 0x00FF00, 0x0000FF
+    assert((st.sumR, st.sumG, st.sumB) ==
+      ((0x01 + 0x10 + 0x00 + 0x00).toLong,
+       (0x02 + 0x20 + 0xFF + 0x00).toLong,
+       (0x03 + 0x30 + 0x00 + 0xFF).toLong))
+    // upscale is sample-replication, never interpolation
+    val up = JvmCodec.decodeResizeStats(
+      JvmCodec.encodePng(Array(0x010000, 0x050000), 2, 1), 4, 1).get
+    assert(up.sumR == 1 + 1 + 5 + 5)
+    assert(JvmCodec.decodeResizeStats("prose".getBytes, 2, 2).isEmpty)
+  }
+
   test("sniffFormat recognizes real encoder output and rejects prose") {
     assert(JvmCodec.sniffFormat(encode(testImage, "png")) == "png")
     assert(JvmCodec.sniffFormat(encode(testImage, "bmp")) == "bmp")

@@ -126,7 +126,8 @@ class PlanAuditSpec extends SparkTestBase {
         graft.queries.MultimodalOps.q62ImageDecode(spark, dir),
         graft.queries.MultimodalOps.q63AudioDecode(spark, dir),
         graft.queries.MultimodalOps.q66PngRoundtrip(spark, dir),
-        graft.queries.MultimodalOps.q67GifFrameSample(spark, dir))) {
+        graft.queries.MultimodalOps.q67GifFrameSample(spark, dir),
+        graft.queries.MultimodalOps.q69ImageResize(spark, dir))) {
       val p = plan(q)
       assert(countOf(p, "Exchange hashpartitioning") == 0 &&
         countOf(p, "Exchange rangepartitioning") == 0,
