@@ -100,16 +100,24 @@ object Bench {
     def fmtAt(dec: Int)(d: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
     val fmt = fmtAt(3) _
-    def qsAt(dec: Int): String =
-      results.map { case (k, rs) => s"\"" + k + "\":" + fmtAt(dec)(best(rs)) }
+    val total = results.map(r => best(r._2)).filter(_ >= 0).sum
+    // basename only: the full testdata path spends ~15 chars of the
+    // capture window saying nothing the basename doesn't
+    val sfLabel = new java.io.File(sfDir).getName
+    def lineAt(dec: Int): String = {
+      val qs = results.map { case (k, rs) => s"\"" + k + "\":" + fmtAt(dec)(best(rs)) }
         .mkString("{", ",", "}")
-    // if the inventory grows enough that 3 decimals would crowd the
-    // capture window again, degrade to 2 (still ~10ms granularity —
-    // far below shared-VM noise) rather than ever exceed it
-    val qs = { val three = qsAt(3); if (three.length <= 1800) three else qsAt(2) }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    }
+    // the driver tail-captures ~2000 chars of stdout, which must hold
+    // this line PLUS sbt's trailing "[success] Total time: …" line
+    // (~70 chars incl newlines): degrade timing precision
+    // (3 → 2 → 1 decimals) until the whole line fits 1915 — a coarser
+    // timing is still a signal, a truncated line is none
+    val line = Seq(3, 2, 1).map(lineAt).find(_.length <= 1915)
+      .getOrElse(lineAt(1))
     val raw = results.map { case (k, rs) => s"\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(r => best(r._2)).filter(_ >= 0).sum
     // The driver captures only the tail of stdout and parses the last
     // line — embedding the raw per-attempt map made that line overlong
     // and unparseable for two rounds. Publish the compact line LAST and
@@ -121,7 +129,7 @@ object Bench {
       try w.println(s"""{"runs":$raw,"sf":"$sfDir"}""") finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $runsOut: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
     spark.stop()
   }
 }
