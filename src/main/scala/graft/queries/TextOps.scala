@@ -321,11 +321,42 @@ object TextOps {
        |    - tok_offset // $PackWindow + 1 AS n_windows
        |FROM p""".stripMargin
 
+  // ------------------------------------------- q78 mixing weights
+
+  private val MixBudget = 1000000L
+
+  /** Temperature mixing weights per source (text.Mixing, α=1/2 via
+    * exact integer sqrt): the pretraining data-recipe step that flattens
+    * high-resource sources. One corpus aggregation + broadcast 1-row
+    * total; everything else integer arithmetic. */
+  def q78MixWeights(s: SparkSession, dir: String): DataFrame =
+    graft.text.Mixing.sourceWeights(
+      Tables.documents(s, dir), col("source"),
+      graft.text.TextAnalysis.tokenCount(col("text")),
+      budgetTokens = MixBudget)
+
+  val q78Sql: String = toksCte.dropRight(1) + "," +
+    s"""
+       |src AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN toks_t t USING (doc_id)
+       |  GROUP BY d.source),
+       |isq_t AS (
+       |  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS isq
+       |  FROM src),
+       |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS isq_total FROM isq_t)
+       |SELECT source, n_docs, n_tokens,
+       |  10000 * isq // isq_total AS weight_bp,
+       |  $MixBudget * isq // isq_total AS alloc_tokens
+       |FROM isq_t, tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q54_repetition"  -> q54Repetition,
     "q64_pii_redact"  -> q64PiiRedact,
     "q65_line_dedup"  -> q65LineDedup,
     "q68_sequence_pack" -> q68SequencePack,
+    "q78_mix_weights" -> q78MixWeights,
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
@@ -339,6 +370,7 @@ object TextOps {
     "q64_pii_redact"  -> q64Sql,
     "q65_line_dedup"  -> q65Sql,
     "q68_sequence_pack" -> q68Sql,
+    "q78_mix_weights" -> q78Sql,
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,

@@ -1,0 +1,43 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing weights — the "sampling temperature" step of a
+  * pretraining data recipe: high-resource sources are down-weighted by
+  * exponentiating their token share with α < 1 before normalizing, so
+  * the mixture is flatter than natural frequency.
+  *
+  * α is fixed at 1/2 and computed as an INTEGER square root
+  * (floor(sqrt(n))): sqrt of a non-negative integer is correctly
+  * rounded IEEE, so the floor is the same on every engine, and all
+  * downstream shares/allocations are integer arithmetic — the gate
+  * compares exactly, with no float-sum ordering hazard. (A general-α
+  * pow() weight would differ across engines in the last ulp and make
+  * normalized shares unverifiable.)
+  *
+  * Scale design: one partial-merged aggregation over the corpus (per
+  * source), then a broadcast 1-row total joined back — the same
+  * tiny-stats pattern as TF-IDF/BM25. Source cardinality is small by
+  * definition; nothing else shuffles.
+  */
+object Mixing {
+
+  /** Per-source mixing table: document/token counts, temperature
+    * weight in basis points, and the share of `budgetTokens` allocated
+    * to the source. Weights use α=1/2 (see object note); shares floor,
+    * so Σ alloc ≤ budget (the standard leave-remainder posture). */
+  def sourceWeights(docs: DataFrame, sourceCol: Column, nTokensCol: Column,
+                    budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(sourceCol.as("source"), nTokensCol.cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("isq", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = perSource.agg(sum(col("isq")).as("isq_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("10000 * isq div isq_total").as("weight_bp"),
+        expr(s"$budgetTokens * isq div isq_total").as("alloc_tokens"))
+  }
+}
