@@ -97,8 +97,12 @@ object Bench {
     // line past the driver's 2000-char tail-capture window (~2318 chars
     // at 75 queries — the head, with "metric", was cut off and the line
     // never parsed). At %.3f the whole line is ~1870 chars with margin.
+    // trailing zeros dropped ("0.40" → "0.4") — still a valid JSON
+    // number at the same effective precision, and the saved chars keep
+    // the line at 2-decimal granularity for a few more inventory rows
     def fmtAt(dec: Int)(d: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+        .replaceAll("0+$", "").replaceAll("\\.$", "")
     val fmt = fmtAt(3) _
     val total = results.map(r => best(r._2)).filter(_ >= 0).sum
     // basename only: the full testdata path spends ~15 chars of the
@@ -111,10 +115,10 @@ object Bench {
     }
     // the driver tail-captures ~2000 chars of stdout, which must hold
     // this line PLUS sbt's trailing "[success] Total time: …" line
-    // (~70 chars incl newlines): degrade timing precision
-    // (3 → 2 → 1 decimals) until the whole line fits 1915 — a coarser
+    // (≤76 chars incl newlines): degrade timing precision
+    // (3 → 2 → 1 decimals) until the whole line fits 1920 — a coarser
     // timing is still a signal, a truncated line is none
-    val line = Seq(3, 2, 1).map(lineAt).find(_.length <= 1915)
+    val line = Seq(3, 2, 1).map(lineAt).find(_.length <= 1920)
       .getOrElse(lineAt(1))
     val raw = results.map { case (k, rs) => s"\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
