@@ -50,20 +50,56 @@ object MediaHeaders {
     length(bin) >= 28 && hex(substring(bin, 1, 4)) === "52494646" &&
       hex(substring(bin, 9, 8)) === "57415645666D7420"
 
+  /** ISO BMFF (MP4 family): an ftyp box leads the file — size(4) then
+    * "ftyp" then the 4-char major brand. Dimensions live deep inside
+    * moov (a box walk, not a header peek) so only format + brand are
+    * sniffable. */
+  private def isMp4(bin: Column): Column =
+    length(bin) >= 12 && hex(substring(bin, 5, 4)) === "66747970"
+
+  /** AVI in the canonical layout the spec mandates for the main
+    * header: RIFF….AVI LIST….hdrl avih — which pins dwTotalFrames /
+    * dwWidth / dwHeight to fixed LE32 offsets 49/65/69. The tag chain
+    * is verified, not assumed. */
+  private def isAvi(bin: Column): Column =
+    length(bin) >= 12 && hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 4)) === "41564920"
+
+  private def isAviCanonical(bin: Column): Column =
+    isAvi(bin) && length(bin) >= 72 &&
+      hex(substring(bin, 13, 4)) === "4C495354" &&
+      hex(substring(bin, 21, 8)) === "6864726C61766968"
+
+  /** Matroska/WebM: the EBML magic. */
+  private def isWebm(bin: Column): Column =
+    length(bin) >= 4 && hex(substring(bin, 1, 4)) === "1A45DFA3"
+
   def format(bin: Column): Column =
     when(isPng(bin), "png")
       .when(isGif(bin), "gif")
       .when(isWav(bin), "wav")
+      .when(isMp4(bin), "mp4")
+      .when(isAvi(bin), "avi")
+      .when(isWebm(bin), "webm")
       .when(isJpeg(bin), "jpeg")
       .otherwise("unknown")
 
-  /** struct(format, width, height, sample_rate); 0 where the format
-    * doesn't carry the field (or needs a segment scan — JPEG dims). */
+  /** MP4 major brand ("isom", "mp42", …); empty for everything else. */
+  def mp4Brand(bin: Column): Column =
+    when(isMp4(bin), substring(bin, 9, 4).cast("string")).otherwise("")
+
+  /** struct(format, width, height, sample_rate, frames); 0 where the
+    * format doesn't carry the field (or needs a segment scan — JPEG
+    * dims, MP4 moov). `frames` is AVI dwTotalFrames — video length
+    * without ever touching a codec. */
   def sniff(bin: Column): Column = struct(
     format(bin).as("format"),
     when(isPng(bin), beU32(bin, 17))
-      .when(isGif(bin), leU16(bin, 7)).otherwise(0L).as("width"),
+      .when(isGif(bin), leU16(bin, 7))
+      .when(isAviCanonical(bin), leU32(bin, 65)).otherwise(0L).as("width"),
     when(isPng(bin), beU32(bin, 21))
-      .when(isGif(bin), leU16(bin, 9)).otherwise(0L).as("height"),
-    when(isWav(bin), leU32(bin, 25)).otherwise(0L).as("sample_rate"))
+      .when(isGif(bin), leU16(bin, 9))
+      .when(isAviCanonical(bin), leU32(bin, 69)).otherwise(0L).as("height"),
+    when(isWav(bin), leU32(bin, 25)).otherwise(0L).as("sample_rate"),
+    when(isAviCanonical(bin), leU32(bin, 49)).otherwise(0L).as("frames"))
 }

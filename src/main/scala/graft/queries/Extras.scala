@@ -119,6 +119,63 @@ object Extras {
         col("m.sample_rate").as("sample_rate"))
   }
 
+  /** Video-container sniffing end to end — the codec-free metadata
+    * path for the video modality: MP4 ftyp (format + major brand), AVI
+    * with the canonical hdrl/avih layout (dimensions AND total frame
+    * count at their spec offsets — video length without a codec), and
+    * the WebM/Matroska EBML magic, all synthesized in column space and
+    * parsed back by MediaHeaders. Oracle recomputes everything
+    * arithmetically from doc_id. */
+  def q79VideoSniff(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bytes.leU32
+    val w = (col("doc_id") % 640 + 1).cast("long")
+    val hgt = (col("doc_id") % 480 + 1).cast("long")
+    val frames = (col("doc_id") % 1000 + 1).cast("long")
+    // ftyp box: BE32 size, "ftyp", 4-char major brand, minor version
+    val brand = when(col("doc_id") % 4 === 0, lit("isom"))
+      .when(col("doc_id") % 4 === 1, lit("mp41"))
+      .when(col("doc_id") % 4 === 2, lit("mp42"))
+      .otherwise(lit("avc1"))
+    val mp4 = concat(unhex(lit("00000014")), unhex(lit("66747970")),
+      brand.cast("binary"), unhex(lit("00000000")))
+    // canonical AVI main header: RIFF size "AVI " LIST size "hdrl"
+    // "avih" cb, then the ten avih LE32 fields (frames is #5,
+    // width/height #9/#10 — offsets 49/65/69)
+    val avi = concat(unhex(lit("52494646")), leU32(lit(64L)),
+      unhex(lit("41564920")), unhex(lit("4C495354")), leU32(lit(52L)),
+      unhex(lit("6864726C")), unhex(lit("61766968")), leU32(lit(40L)),
+      leU32(lit(33333L)), leU32(lit(0L)), leU32(lit(0L)), leU32(lit(0L)),
+      leU32(frames), leU32(lit(0L)), leU32(lit(1L)), leU32(lit(0L)),
+      leU32(w), leU32(hgt))
+    val webm = concat(unhex(lit("1A45DFA3")), unhex(lit("0102030405")))
+    val payload = when(col("doc_id") % 3 === 0, mp4)
+      .when(col("doc_id") % 3 === 1, avi)
+      .otherwise(webm)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.multimodal.MediaHeaders.sniff(payload).as("m"),
+        graft.multimodal.MediaHeaders.mp4Brand(payload).as("brand"))
+      .select(col("doc_id"), col("m.format").as("format"), col("brand"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.frames").as("frames"))
+  }
+
+  val q79Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'mp4'
+      |       WHEN doc_id % 3 = 1 THEN 'avi'
+      |       ELSE 'webm' END AS format,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |    CASE WHEN doc_id % 4 = 0 THEN 'isom'
+      |         WHEN doc_id % 4 = 1 THEN 'mp41'
+      |         WHEN doc_id % 4 = 2 THEN 'mp42'
+      |         ELSE 'avc1' END
+      |  ELSE '' END AS brand,
+      |  CASE WHEN doc_id % 3 = 1 THEN doc_id % 640 + 1 ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 3 = 1 THEN doc_id % 480 + 1 ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN doc_id % 1000 + 1 ELSE 0 END AS frames
+      |FROM documents""".stripMargin
+
   val q61Sql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 5 = 0 THEN 'png'
@@ -333,6 +390,7 @@ object Extras {
     "q48_curation"        -> q48Curation,
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q61_media_sniff"     -> q61MediaSniff,
+    "q79_video_sniff"     -> q79VideoSniff,
     "q90_approx_distinct" -> q90ApproxDistinct,
   )
 
@@ -349,6 +407,7 @@ object Extras {
     "q48_curation"        -> q48Sql,
     "q60_multimodal_meta" -> q60Sql,
     "q61_media_sniff"     -> q61Sql,
+    "q79_video_sniff"     -> q79Sql,
     // q90: intentionally no oracle (approximate sketch)
   )
 }

@@ -7,9 +7,12 @@ import graft.olhovivo.SparkTestBase
 class MediaHeadersSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def sniff(payloads: Seq[Array[Byte]]) =
+  private def payloadsDf(payloads: Seq[Array[Byte]]) =
     payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
       .toDF("id", "payload")
+
+  private def sniff(payloads: Seq[Array[Byte]]) =
+    payloadsDf(payloads)
       .select(col("id"), MediaHeaders.sniff(col("payload")).as("s"))
       .select(col("id"), col("s.format"), col("s.width"), col("s.height"),
         col("s.sample_rate"))
@@ -53,6 +56,30 @@ class MediaHeadersSpec extends SparkTestBase {
     val got = sniff(Seq(png, gif))
     assert(got(0L) == (("png", 65537L, 70000L, 0L)))
     assert(got(1L) == (("gif", 65535L, 4097L, 0L)))
+  }
+
+  test("video containers: mp4 brand, canonical avi dims + frames, webm magic") {
+    val mp4 = be32(20) ++ "ftypmp42".getBytes ++ be32(0)
+    val avi = "RIFF".getBytes ++ le32(64) ++ "AVI LIST".getBytes ++ le32(52) ++
+      "hdrlavih".getBytes ++ le32(40) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(777) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(1920) ++ le32(1080)
+    val webm = Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte, 1, 2)
+    // AVI detected but NOT canonical (no hdrl chain) → no dims claimed
+    val aviOdd = "RIFF".getBytes ++ le32(64) ++ "AVI JUNK".getBytes ++
+      Array.fill[Byte](60)(7)
+    val rows = payloadsDf(Seq(mp4, avi, webm, aviOdd))
+      .select(col("id"), MediaHeaders.sniff(col("payload")).as("s"),
+        MediaHeaders.mp4Brand(col("payload")).as("b"))
+      .select(col("id"), col("s.format"), col("s.width"), col("s.height"),
+        col("s.frames"), col("b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(rows(0L) == (("mp4", 0L, 0L, 0L, "mp42")))
+    assert(rows(1L) == (("avi", 1920L, 1080L, 777L, "")))
+    assert(rows(2L) == (("webm", 0L, 0L, 0L, "")))
+    assert(rows(3L) == (("avi", 0L, 0L, 0L, "")))
   }
 
   test("truncated and garbage payloads are unknown with zero fields") {
