@@ -55,4 +55,31 @@ object IO {
   def writePartitionedOrc(df: DataFrame, path: String,
                           partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).orc(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * size-targeted files. Streaming/poll-style ingestion (the
+    * reference's per-poll JSON → per-batch parquet) accumulates
+    * thousands of KB-scale files per day; at 100 TB the resulting
+    * driver listing + task-per-file overhead dominates scan time, so
+    * periodic compaction is a standard maintenance pass.
+    *
+    * The output file count comes from the INPUT's actual byte size
+    * (filesystem listing, no data pass), and the rewrite uses
+    * `coalesce` — merging adjacent splits WITHOUT a shuffle — so the
+    * cost is one read + one write. Returns the output file count. */
+  def compactParquet(spark: SparkSession, schema: StructType,
+                     inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0)
+    val df = readParquet(spark, schema, inPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    df.coalesce(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
 }
