@@ -22,6 +22,14 @@ import java.io.ByteArrayInputStream
   */
 object JvmCodec {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write call —
+  // ~1 ms of filesystem churn per payload, which dominates the actual
+  // codec work for small media and multiplies into minutes per million
+  // rows. In-memory stream caching is strictly better for the
+  // byte-array payloads this engine processes. (Process-wide JDK
+  // setting; first use of this object on each executor applies it.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class ImageStats(width: Int, height: Int,
                               sumR: Long, sumG: Long, sumB: Long,
                               feature: Array[Float])
