@@ -111,9 +111,13 @@ object Extras {
       .when(col("doc_id") % 5 === 2, wav)
       .when(col("doc_id") % 5 === 3, jpeg)
       .otherwise(col("text").cast("binary")) // prose bytes: no magic
+    // stage the payload once — sniff's per-field when-chains would
+    // otherwise each re-inline the whole synthesis tree (same staging
+    // as q79)
     Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
       .select(col("doc_id"),
-        graft.multimodal.MediaHeaders.sniff(payload).as("m"))
+        graft.multimodal.MediaHeaders.sniff(col("payload")).as("m"))
       .select(col("doc_id"), col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.sample_rate").as("sample_rate"))
@@ -151,10 +155,14 @@ object Extras {
     val payload = when(col("doc_id") % 3 === 0, mp4)
       .when(col("doc_id") % 3 === 1, avi)
       .otherwise(webm)
+    // stage the payload once: sniff + mp4Brand would otherwise each
+    // inline the full synthesis tree into their when-chains, doubling
+    // the generated code for no gain
     Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
       .select(col("doc_id"),
-        graft.multimodal.MediaHeaders.sniff(payload).as("m"),
-        graft.multimodal.MediaHeaders.mp4Brand(payload).as("brand"))
+        graft.multimodal.MediaHeaders.sniff(col("payload")).as("m"),
+        graft.multimodal.MediaHeaders.mp4Brand(col("payload")).as("brand"))
       .select(col("doc_id"), col("m.format").as("format"), col("brand"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.frames").as("frames"))
