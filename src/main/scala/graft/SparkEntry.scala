@@ -30,6 +30,7 @@ object SparkEntry {
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
       (graft.queries.VectorOps.queries, graft.queries.VectorOps.oracles),
       (graft.queries.Temporal.queries, graft.queries.Temporal.oracles),
+      (graft.queries.CorpusOps.queries, graft.queries.CorpusOps.oracles),
       (graft.queries.Extras.queries, graft.queries.Extras.oracles),
       (graft.queries.MultimodalOps.queries, graft.queries.MultimodalOps.oracles),
       (graft.queries.StreamingOps.queries, graft.queries.StreamingOps.oracles),

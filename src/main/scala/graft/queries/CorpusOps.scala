@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.QuotaCap
+import graft.text.{Blocklist, Chunking, Postings}
+
+/** Corpus-preparation operators over `documents`: sliding-window token
+  * chunking (retrieval preprocessing), blocklist screening, per-source
+  * quota caps, and inverted-index construction. Each pairs a library
+  * operator (text/, operators/) with its DuckDB oracle.
+  */
+object CorpusOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared tokenization CTE — the Portable.tokens mirror. */
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |""".stripMargin
+
+  // ------------------------------------------------ q82 sliding chunks
+
+  private val ChunkSize = 32
+  private val Stride = 24
+
+  def q82Chunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingChunks(Tables.documents(s, dir), "doc_id", col("text"),
+      ChunkSize, Stride)
+
+  val q82Sql: String = toksCte +
+    s""", n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |s AS (
+       |  SELECT doc_id, toks, unnest(generate_series(
+       |    0, ((greatest(n - $ChunkSize, 0) + ${Stride - 1}) // $Stride) * $Stride,
+       |    $Stride)) AS start
+       |  FROM n)
+       |SELECT doc_id, start // $Stride AS chunk_idx, start AS token_start,
+       |  len(list_slice(toks, start + 1, start + $ChunkSize)) AS n_tokens,
+       |  array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ') AS chunk_text
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------ q83 blocklist screen
+
+  private val Blocked = Seq("spark", "vector", "hash", "stream")
+  private def blockedSqlList = Blocked.map(t => s"'$t'").mkString(", ")
+
+  def q83Blocklist(s: SparkSession, dir: String): DataFrame =
+    Blocklist.annotate(Tables.documents(s, dir), col("text"), Blocked)
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("hits"), col("n_hits"))
+
+  val q83Sql: String = toksCte +
+    s"""SELECT doc_id,
+       |  list_sort(list_distinct(list_filter(toks, x -> x IN ($blockedSqlList)))) AS hits,
+       |  len(list_distinct(list_filter(toks, x -> x IN ($blockedSqlList)))) AS n_hits
+       |FROM t
+       |WHERE len(list_filter(toks, x -> x IN ($blockedSqlList))) > 0""".stripMargin
+
+  // ------------------------------------------------ q84 per-source cap
+
+  private val SourceCap = 10
+
+  /** Keep the 10 longest docs per source (doc_id tiebreak) — the domain
+    * cap. The rank-filter shape triggers WindowGroupLimit: map-side
+    * top-10-per-source before the shuffle (asserted in PlanAuditSpec). */
+  def q84SourceCap(s: SparkSession, dir: String): DataFrame =
+    QuotaCap.capPerGroup(Tables.documents(s, dir), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), SourceCap)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  val q84Sql: String =
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= $SourceCap""".stripMargin
+
+  // ------------------------------------------------ q85 inverted index
+
+  private val PostingsCap = 20
+
+  def q85Postings(s: SparkSession, dir: String): DataFrame =
+    Postings.invertedIndex(Tables.documents(s, dir), "doc_id", col("text"),
+      PostingsCap)
+
+  val q85Sql: String = toksCte +
+    s""", x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |d AS (SELECT DISTINCT doc_id, term FROM x)
+       |SELECT term, count(*) AS df,
+       |  list_slice(list_sort(list(doc_id)), 1, $PostingsCap) AS postings
+       |FROM d GROUP BY term""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q82_chunks"     -> q82Chunks,
+    "q83_blocklist"  -> q83Blocklist,
+    "q84_source_cap" -> q84SourceCap,
+    "q85_postings"   -> q85Postings,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_chunks"     -> q82Sql,
+    "q83_blocklist"  -> q83Sql,
+    "q84_source_cap" -> q84Sql,
+    "q85_postings"   -> q85Sql,
+  )
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Scd2, Sessionize, Upsert}
 
 /** Temporal operator coverage over `events`: sessionization
   * (gaps-and-islands), as-of join (union+carry-forward), and bucketized
@@ -153,6 +153,52 @@ object Temporal {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Keyed upsert (operators.Upsert): a snapshot compacted from the
+    * even-event_id half of the stream, merged latest-wins with the odd
+    * half as the update batch — new users insert, existing users update.
+    * Net result ≡ latest event per user over the whole stream, which is
+    * what the oracle states directly. */
+  def q80Upsert(s: SparkSession, dir: String): DataFrame = {
+    // µs timestamps: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
+    // to micros, so exposing (or versioning by) raw ts_ns would diverge
+    // in the last three digits. event_id breaks any µs tie.
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    val snapshot = Upsert.compact(ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id"), Seq("ts_us", "event_id"))
+    Upsert.latestWins(snapshot, ev.filter(col("event_id") % 2 =!= 0),
+      Seq("user_id"), Seq("ts_us", "event_id"))
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type,
+      |         round(value, 2) AS value
+      |  FROM events)
+      |SELECT user_id, event_id, ts_us, event_type, value FROM e
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1""".stripMargin
+
+  /** SCD-2 history (operators.Scd2): each user's event_type timeline as
+    * half-open validity intervals; consecutive same-type events compress.
+    * The open current interval has null valid_to. */
+  def q81Scd2(s: SparkSession, dir: String): DataFrame =
+    Scd2.intervalize(
+      Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+      Seq("user_id"), "ts_us", "event_type")
+
+  val q81Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      |  FROM e),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to
+      |FROM ch""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q70_sessionize"     -> q70Sessionize,
     "q71_asof_join"      -> q71AsofJoin,
@@ -160,9 +206,13 @@ object Temporal {
     "q73_session_window" -> q73SessionWindow,
     "q74_asof_native"    -> q74AsofNative,
     "q76_interval_overlap" -> q76IntervalOverlap,
+    "q80_upsert"         -> q80Upsert,
+    "q81_scd2"           -> q81Scd2,
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_upsert"         -> q80Sql,
+    "q81_scd2"           -> q81Sql,
     "q70_sessionize"     -> q70Sql,
     "q71_asof_join"      -> q71Sql,
     "q74_asof_native"    -> q71Sql,

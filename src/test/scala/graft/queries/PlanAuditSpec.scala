@@ -188,6 +188,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q84 source cap: rank filter rewrites to WindowGroupLimit (map-side top-n)") {
+    // InferWindowGroupLimit turns row_number ≤ n into a group-limit that
+    // runs BEFORE the exchange too (Partial mode): each map task forwards
+    // at most n rows per group — the property that makes a domain cap
+    // affordable on a skewed 100 TB corpus
+    val p = plan(CorpusOps.q84SourceCap(spark, dir))
+    assert(countOf(p, "WindowGroupLimit") >= 2, // partial (pre-shuffle) + final
+      s"expected pre- and post-shuffle WindowGroupLimit:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"one shuffle expected:\n$p")
+  }
+
+  test("q85 postings: ONE shuffle; bounded buffers via ObjectHashAggregate") {
+    val p = plan(CorpusOps.q85Postings(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 shuffle:\n$p")
+    // typed-Aggregator path (BoundedSmallestK) plans as ObjectHashAggregate
+    // with a partial mode before the exchange — the map-side cap
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+  }
+
   test("jaccard co-occurrence join: pair join reuses the posting-list partitioning") {
     // postings are shuffled ONCE by hash(h) for the df window; the
     // self-join on h must reuse that partitioning from the cache — the
