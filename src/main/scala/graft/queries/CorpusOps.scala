@@ -49,14 +49,18 @@ object CorpusOps {
   private val Blocked = Seq("spark", "vector", "hash", "stream")
   private def blockedSqlList = Blocked.map(t => s"'$t'").mkString(", ")
 
+  /** hits emitted as a comma-joined STRING, not an array — the driver's
+    * oracle harness sorts pandas cells and numpy arrays are unhashable
+    * (the r3/r4 q55 failure mode); the array shape stays available as
+    * Blocklist.annotate. */
   def q83Blocklist(s: SparkSession, dir: String): DataFrame =
     Blocklist.annotate(Tables.documents(s, dir), col("text"), Blocked)
       .filter(col("n_hits") > 0)
-      .select(col("doc_id"), col("hits"), col("n_hits"))
+      .select(col("doc_id"), concat_ws(",", col("hits")).as("hits_csv"), col("n_hits"))
 
   val q83Sql: String = toksCte +
     s"""SELECT doc_id,
-       |  list_sort(list_distinct(list_filter(toks, x -> x IN ($blockedSqlList)))) AS hits,
+       |  array_to_string(list_sort(list_distinct(list_filter(toks, x -> x IN ($blockedSqlList)))), ',') AS hits_csv,
        |  len(list_distinct(list_filter(toks, x -> x IN ($blockedSqlList)))) AS n_hits
        |FROM t
        |WHERE len(list_filter(toks, x -> x IN ($blockedSqlList))) > 0""".stripMargin
@@ -82,15 +86,20 @@ object CorpusOps {
 
   private val PostingsCap = 20
 
+  /** postings as a comma-joined STRING for the same unhashable-array
+    * reason as q83; Postings.invertedIndex keeps the array shape. */
   def q85Postings(s: SparkSession, dir: String): DataFrame =
     Postings.invertedIndex(Tables.documents(s, dir), "doc_id", col("text"),
-      PostingsCap)
+        PostingsCap)
+      .select(col("term"), col("df"),
+        concat_ws(",", transform(col("postings"), _.cast("string")))
+          .as("postings_csv"))
 
   val q85Sql: String = toksCte +
     s""", x AS (SELECT doc_id, unnest(toks) AS term FROM t),
        |d AS (SELECT DISTINCT doc_id, term FROM x)
        |SELECT term, count(*) AS df,
-       |  list_slice(list_sort(list(doc_id)), 1, $PostingsCap) AS postings
+       |  array_to_string(list_slice(list_sort(list(doc_id)), 1, $PostingsCap), ',') AS postings_csv
        |FROM d GROUP BY term""".stripMargin
 
   val queries: Map[String, Q] = Map(

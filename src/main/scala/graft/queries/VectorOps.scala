@@ -207,6 +207,32 @@ object VectorOps {
        |WHERE u.val IS NOT NULL""".stripMargin
   }
 
+  /** Nearest-centroid assignment (similarity.Clustering): k = 8 seed
+    * centroids (the lowest vec_ids), every vector assigned by EXACT
+    * integer fixed-point distance — cluster membership is engine-exact,
+    * so the full assignment table (id, cid, dist) oracle-checks. */
+  def q86KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.similarity.Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    graft.similarity.Clustering.assign(
+      Tables.spread(s, emb), "vec_id", "embedding", cents)
+  }
+
+  val q86Sql: String =
+    """WITH f AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fx
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, fx AS cfx FROM f ORDER BY vec_id LIMIT 8),
+      |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cfx FROM c),
+      |d AS (
+      |  SELECT f.vec_id, cc.cid,
+      |    CAST(list_sum(list_transform(range(1, len(f.fx) + 1),
+      |      i -> (f.fx[i] - cc.cfx[i]) * (f.fx[i] - cc.cfx[i]))) AS BIGINT) AS dist
+      |  FROM f CROSS JOIN cc)
+      |SELECT vec_id, cid, dist FROM d
+      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q50_ann_topk"    -> q50AnnTopK,
     "q55_group_centroid" -> q55GroupCentroid,
@@ -214,6 +240,7 @@ object VectorOps {
     "q51_lsh_neardup" -> q51LshNearDup,
     "q52_ivf_topk"    -> q52IvfTopK,
     "q53_quantized_topk" -> q53QuantizedTopK,
+    "q86_kmeans_assign" -> q86KmeansAssign,
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +250,6 @@ object VectorOps {
     "q51_lsh_neardup" -> q51Sql,
     "q52_ivf_topk"    -> q52Sql,
     "q53_quantized_topk" -> q53Sql,
+    "q86_kmeans_assign" -> q86Sql,
   )
 }
