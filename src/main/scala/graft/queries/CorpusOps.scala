@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Portable
 import graft.operators.QuotaCap
-import graft.text.{Blocklist, Chunking, Postings}
+import graft.text.{Blocklist, Chunking, Fuzzy, Postings}
 
 /** Corpus-preparation operators over `documents`: sliding-window token
   * chunking (retrieval preprocessing), blocklist screening, per-source
@@ -102,11 +103,30 @@ object CorpusOps {
        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, $PostingsCap), ',') AS postings_csv
        |FROM d GROUP BY term""".stripMargin
 
+  // ------------------------------------------------ q87 fuzzy term pairs
+
+  /** Vocabulary pairs within edit distance 2 (text.Fuzzy — FastSS
+    * deletion-neighborhood equi-join + exact levenshtein verify; the
+    * ORACLE is the brute cross join the operator exists to avoid). */
+  def q87FuzzyTerms(s: SparkSession, dir: String): DataFrame =
+    Fuzzy.fuzzyPairs(
+      Tables.documents(s, dir)
+        .select(explode(Portable.tokens(col("text"))).as("term")),
+      col("term"), maxDist = 2)
+
+  val q87Sql: String = toksCte +
+    """, tm AS (SELECT DISTINCT unnest(toks) AS term FROM t)
+      |SELECT a.term AS term_a, b.term AS term_b,
+      |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+      |FROM tm a JOIN tm b ON a.term < b.term
+      |WHERE levenshtein(a.term, b.term) <= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_chunks"     -> q82Chunks,
     "q83_blocklist"  -> q83Blocklist,
     "q84_source_cap" -> q84SourceCap,
     "q85_postings"   -> q85Postings,
+    "q87_fuzzy_terms" -> q87FuzzyTerms,
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +134,6 @@ object CorpusOps {
     "q83_blocklist"  -> q83Sql,
     "q84_source_cap" -> q84Sql,
     "q85_postings"   -> q85Sql,
+    "q87_fuzzy_terms" -> q87Sql,
   )
 }

@@ -123,6 +123,43 @@ object StreamingOps {
       |  count(DISTINCT text) AS rows_kept
       |FROM documents""".stripMargin
 
+  /** Streaming CDC compaction end to end: the events change stream
+    * (micro-batched from a JSON zone) maintains a latest-per-user
+    * snapshot via foreachBatch + operators.Upsert (ping-pong parquet
+    * versions — streaming.StreamingUpsert). The upsert laws make the
+    * final snapshot independent of micro-batch boundaries, so the
+    * oracle is the same per-user argmax as the batch upsert gate. */
+  def q88StreamingUpsert(s: SparkSession, dir: String): DataFrame = {
+    val zone = Files.createTempDirectory("graft_upsert_zone").toString
+    val snapDir = Files.createTempDirectory("graft_upsert_snap").toString
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      .repartition(6).write.mode("overwrite").json(zone)
+    val changes = s.readStream
+      .schema("event_id LONG, user_id LONG, ts_us LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "2")
+      .json(zone)
+    val sink = new graft.streaming.StreamingUpsert(
+      s, snapDir, Seq("user_id"), Seq("ts_us", "event_id"))
+    val query = changes.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => sink.mergeBatch(batch, id))
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val res = sink.snapshot()
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    deleteRecursively(new java.io.File(snapDir))
+    res
+  }
+
+  /** Identical to the batch upsert oracle (Temporal.q80Sql): per-user
+    * argmax over the whole change stream. */
+  val q88Sql: String = Temporal.oracles("q80_upsert")
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -131,13 +168,16 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "q75_streaming_hops" -> q75StreamingHops,
     "q77_streaming_dedup" -> q77StreamingDedup,
+    "q88_streaming_upsert" -> q88StreamingUpsert,
   )
 
-  /** Both streaming entries are exactly oracle-checked: q75 via the
+  /** All streaming entries are exactly oracle-checked: q75 via the
     * event_id tiebreak (deterministic hop set), q77 via its
-    * batch-order-invariant aggregate shape. */
+    * batch-order-invariant aggregate shape, q88 via the upsert laws
+    * (micro-batch-boundary invariance). */
   val oracles: Map[String, String] = Map(
     "q75_streaming_hops" -> q75Sql,
     "q77_streaming_dedup" -> q77Sql,
+    "q88_streaming_upsert" -> q88Sql,
   )
 }

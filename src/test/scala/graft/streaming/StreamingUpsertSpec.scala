@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.olhovivo.SparkTestBase
+import graft.operators.Upsert
+
+/** Streaming CDC compaction: the final snapshot equals the one-shot
+  * batch compaction regardless of micro-batch boundaries, and the
+  * ping-pong publisher leaves only the two version directories. */
+class StreamingUpsertSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("foreachBatch upsert converges to the batch compaction; two versions on disk") {
+    val zone = Files.createTempDirectory("su_zone").toString
+    val snap = Files.createTempDirectory("su_snap").toString
+    val changes = (0 until 40)
+      .map(i => (s"k${i % 7}", i.toLong, s"p$i"))
+      .toDF("k", "seq", "payload")
+    // one file per partition + maxFilesPerTrigger=1 → many micro-batches
+    changes.repartition(5).write.mode("overwrite").json(zone)
+    val stream = spark.readStream
+      .schema("k STRING, seq LONG, payload STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(zone)
+    val sink = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+    val q = stream.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => sink.mergeBatch(b, id))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = sink.snapshot().select($"k", $"seq", $"payload")
+      .collect().map(_.toSeq).toSet
+    val want = Upsert.compact(changes, Seq("k"), Seq("seq"))
+      .select($"k", $"seq", $"payload").collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.size == 7) // one row per key
+    // only the v0/v1 ping-pong dirs exist
+    val versions = new java.io.File(snap).listFiles.map(_.getName).toSet
+    assert(versions.subsetOf(Set("v0", "v1")), s"unexpected: $versions")
+  }
+}
