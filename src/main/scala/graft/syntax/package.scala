@@ -56,6 +56,19 @@ package object syntax {
     def repetitionMetrics(idCol: String, text: Column, n: Int = 2): DataFrame =
       graft.text.Repetition.metrics(df, idCol, text, n)
 
+    def slidingChunks(idCol: String, text: Column, chunkSize: Int,
+                      stride: Int): DataFrame =
+      graft.text.Chunking.slidingChunks(df, idCol, text, chunkSize, stride)
+
+    def blocklistClean(text: Column, terms: Seq[String]): DataFrame =
+      graft.text.Blocklist.clean(df, text, terms)
+
+    def invertedIndex(idCol: String, text: Column, cap: Int = 20): DataFrame =
+      graft.text.Postings.invertedIndex(df, idCol, text, cap)
+
+    def fuzzyPairs(strCol: Column, maxDist: Int = 1): DataFrame =
+      graft.text.Fuzzy.fuzzyPairs(df, strCol, maxDist)
+
     // ----------------------------------------------------- vectors
     def l2Normalized(vec: Column, normOut: String, vecOut: String): DataFrame =
       similarity.Similarity.withL2Normalized(df, vec, normOut, vecOut)
@@ -84,5 +97,17 @@ package object syntax {
     def stratifiedSample(strata: Column, hashKey: Column, tiebreak: Column,
                          n: Int): DataFrame =
       operators.Sampling.stratifiedSample(df, strata, hashKey, tiebreak, n)
+
+    /** Latest-wins merge of an update batch into this snapshot. */
+    def upsert(updates: DataFrame, keys: Seq[String],
+               version: Seq[String]): DataFrame =
+      operators.Upsert.latestWins(df, updates, keys, version)
+
+    def scd2(keys: Seq[String], orderCol: String, attr: String): DataFrame =
+      operators.Scd2.intervalize(df, keys, orderCol, attr)
+
+    def capPerGroup(groupCols: Seq[String], order: Seq[Column],
+                    n: Int): DataFrame =
+      operators.QuotaCap.capPerGroup(df, groupCols, order, n)
   }
 }

@@ -208,6 +208,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
   }
 
+  test("q82 chunking: map-only — no exchange of any kind") {
+    val p = plan(CorpusOps.q82Chunks(spark, dir))
+    assert(countOf(p, "Exchange") == 0, s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the window explode:\n$p")
+  }
+
+  test("q87 fuzzy pairs: candidates via equi-join — no cartesian/nested-loop") {
+    // the FastSS point: a levenshtein(a,b)<=k predicate alone would force
+    // a BroadcastNestedLoopJoin/CartesianProduct; the deletion-variant
+    // join keeps it a hash equi-join
+    val p = plan(CorpusOps.q87FuzzyTerms(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    assert(p.contains("Join") || p.contains("join"), s"no join found:\n$p")
+  }
+
   test("jaccard co-occurrence join: pair join reuses the posting-list partitioning") {
     // postings are shuffled ONCE by hash(h) for the df window; the
     // self-join on h must reuse that partitioning from the cache — the

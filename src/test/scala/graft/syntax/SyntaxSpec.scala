@@ -49,6 +49,26 @@ class SyntaxSpec extends SparkTestBase {
       rows(graft.operators.BloomPrune.semiJoin(left, col("k"), right, col("rk"))))
   }
 
+  test("corpus-prep and snapshot facades delegate") {
+    val docs = Tables.documents(spark, dir)
+    assert(rows(docs.slidingChunks("doc_id", col("text"), 32, 24)) ==
+      rows(graft.text.Chunking.slidingChunks(docs, "doc_id", col("text"), 32, 24)))
+    assert(rows(docs.blocklistClean(col("text"), Seq("spark", "hash"))) ==
+      rows(graft.text.Blocklist.clean(docs, col("text"), Seq("spark", "hash"))))
+    assert(rows(docs.invertedIndex("doc_id", col("text"), cap = 5)) ==
+      rows(graft.text.Postings.invertedIndex(docs, "doc_id", col("text"), 5)))
+    assert(rows(docs.capPerGroup(Seq("source"), Seq(col("doc_id")), 3)) ==
+      rows(graft.operators.QuotaCap.capPerGroup(
+        docs, Seq("source"), Seq(col("doc_id")), 3)))
+    val snap = Seq(("a", 1L, "x")).toDF("k", "v", "p")
+    val upd = Seq(("a", 2L, "y"), ("b", 1L, "z")).toDF("k", "v", "p")
+    assert(rows(snap.upsert(upd, Seq("k"), Seq("v"))) ==
+      rows(graft.operators.Upsert.latestWins(snap, upd, Seq("k"), Seq("v"))))
+    val obs = Seq(("a", 1L, "s1"), ("a", 2L, "s2")).toDF("k", "t", "st")
+    assert(rows(obs.scd2(Seq("k"), "t", "st")) ==
+      rows(graft.operators.Scd2.intervalize(obs, Seq("k"), "t", "st")))
+  }
+
   test("pipeline chains read naturally end to end") {
     val docs = Tables.documents(spark, dir)
     // column-preserving stages chain freely (aggregating stages like
