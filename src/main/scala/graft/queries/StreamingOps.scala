@@ -160,6 +160,75 @@ object StreamingOps {
     * argmax over the whole change stream. */
   val q88Sql: String = Temporal.oracles("q80_upsert")
 
+  /** Watermarked streaming session windows run to completion: event
+    * times are synthesized onto a deterministic grid (clusters 400 s
+    * apart inside a session, 4000 s between sessions — gap 2400 ≥ the
+    * 1800 s session gap), streamed over several micro-batches with a
+    * 1-day watermark (longer than the whole ~3.8 h span, so no real
+    * event is ever late), then a far-future SENTINEL row (mtime-ordered
+    * to arrive last) pushes the watermark past every real session so
+    * append mode emits them all. The emitted set is then exactly the
+    * batch session_window result — the gaps-and-islands oracle. */
+  def q89StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val zone = Files.createTempDirectory("graft_sess_zone").toString
+    val t0 = 1700000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (lit(t0) + pmod(col("event_id"), lit(5)) * 400
+          + pmod(expr("event_id div 5"), lit(4)) * 4000).as("ets"),
+        round(col("value"), 2).as("value"))
+      .repartition(4).write.mode("overwrite").json(zone)
+    // the sentinel file: strictly later modification time → the file
+    // source (ordered by mtime) processes it in the LAST micro-batch,
+    // after every real event is already in state
+    val sentinel = new java.io.File(zone, "zz_sentinel.json")
+    Files.writeString(sentinel.toPath,
+      s"""{"user_id":-1,"event_id":-1,"ets":${t0 + 86400L * 10},"value":0.0}""")
+    sentinel.setLastModified(System.currentTimeMillis() + 60000): Unit
+    val stream = s.readStream
+      .schema("user_id LONG, event_id LONG, ets LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "2")
+      .json(zone)
+      .withColumn("event_time", timestamp_seconds(col("ets")))
+      .withWatermark("event_time", "1 day")
+    val query = stream
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("q89_sessions")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val res = s.table("q89_sessions")
+      .filter(col("user_id") >= 0)
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    res
+  }
+
+  /** The same synthesized grid, sessionized by gaps-and-islands (strict
+    * gap ≥ 1800 s starts a new island — the session_window semantics). */
+  val q89Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    1700000000 + (event_id % 5) * 400 + ((event_id // 5) % 4) * 4000 AS ets,
+      |    round(value, 2) AS value
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
+      |                   OR ets - lag(ets) OVER w >= 1800
+      |                 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets)),
+      |sess AS (
+      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ets
+      |                            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ets) AS start_sec, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -169,15 +238,18 @@ object StreamingOps {
     "q75_streaming_hops" -> q75StreamingHops,
     "q77_streaming_dedup" -> q77StreamingDedup,
     "q88_streaming_upsert" -> q88StreamingUpsert,
+    "q89_streaming_sessions" -> q89StreamingSessions,
   )
 
   /** All streaming entries are exactly oracle-checked: q75 via the
     * event_id tiebreak (deterministic hop set), q77 via its
     * batch-order-invariant aggregate shape, q88 via the upsert laws
-    * (micro-batch-boundary invariance). */
+    * (micro-batch-boundary invariance), q89 via sentinel-driven
+    * watermark completion (every real session closes and emits). */
   val oracles: Map[String, String] = Map(
     "q75_streaming_hops" -> q75Sql,
     "q77_streaming_dedup" -> q77Sql,
     "q88_streaming_upsert" -> q88Sql,
+    "q89_streaming_sessions" -> q89Sql,
   )
 }
