@@ -165,6 +165,51 @@ object Analytics {
       |FROM orders
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
 
+  // --------------------------------------------- q93 z-score outliers
+
+  /** Per-group z-score outlier detection (|z| > 2.5) with ENGINE-EXACT
+    * floats: values quantize to integer cents, the group moments
+    * (n, Σx, Σx²) are exact integer sums, and mean/std/z are then the
+    * SAME IEEE expression over the same exact inputs on both engines —
+    * so even unrounded doubles would hash-match; z is rounded to 4 only
+    * for display convention. The group-stats join broadcasts (5 rows).
+    * (Contrast q27, which uses the built-in single-pass co-moments and
+    * needs rounding to absorb partition-order accumulation.) */
+  def q93ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+    val g = v.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("s1"),
+      sum(col("vc") * col("vc")).as("s2"))
+    val s1d = col("s1").cast("double")
+    v.join(broadcast(g), Seq("event_type"))
+      .withColumn("z",
+        (col("vc") - s1d / col("n")) /
+          sqrt((col("s2") - s1d * col("s1") / col("n")) / (col("n") - 1)))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("vc") / 100.0, 2).as("value"), round(col("z"), 4).as("z"))
+  }
+
+  val q93Sql: String =
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, count(*) AS n, sum(vc) AS s1, sum(vc * vc) AS s2
+      |  FROM v GROUP BY event_type),
+      |z AS (
+      |  SELECT v.event_id, v.event_type, v.vc,
+      |    (v.vc - CAST(g.s1 AS DOUBLE) / g.n) /
+      |      sqrt((g.s2 - CAST(g.s1 AS DOUBLE) * g.s1 / g.n) / (g.n - 1)) AS z
+      |  FROM v JOIN g USING (event_type))
+      |SELECT event_id, event_type, round(vc / 100.0, 2) AS value,
+      |  round(z, 4) AS z
+      |FROM z WHERE abs(z) > 2.5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_window_suite" -> q25WindowSuite,
     "q26_percentiles"  -> q26Percentiles,
@@ -172,6 +217,7 @@ object Analytics {
     "q28_argminmax"    -> q28ArgMinMax,
     "q29_cube"         -> q29Cube,
     "q91_approx_percentiles" -> q91ApproxPercentiles,
+    "q93_zscore_outliers" -> q93ZscoreOutliers,
   )
   // q91: intentionally no oracle (engine-specific sketch; rows-only)
 
@@ -181,5 +227,6 @@ object Analytics {
     "q27_stats_agg"    -> q27Sql,
     "q28_argminmax"    -> q28Sql,
     "q29_cube"         -> q29Sql,
+    "q93_zscore_outliers" -> q93Sql,
   )
 }

@@ -332,7 +332,37 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  /** Full outer join with BOTH dangling sides exercised (customer ids ≡
+    * 0 mod 3 vs order-aggregate ids ≡ 0 mod 5): unmatched customers keep
+    * null order counts, unmatched order groups keep null segments. */
+  def q92FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 5 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"), col("sum_price"))
+  }
+
+  val q92Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+      |o AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 2) AS sum_price
+      |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  c_mktsegment, n_orders, sum_price
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q92_full_outer"      -> q92FullOuter,
     "q57_bloom_semi"      -> q57BloomSemi,
     "q58_salted_join"     -> q58SaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -351,6 +381,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_full_outer"      -> q92Sql,
     "q57_bloom_semi"      -> q57Sql,
     "q58_salted_join"     -> q58Sql,
     "q01_pricing_summary" -> q01Sql,
