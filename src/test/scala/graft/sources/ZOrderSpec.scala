@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.olhovivo.SparkTestBase
+
+/** Z-order layout: interleave correctness, row conservation, and the
+  * property the layout exists for — parquet file min/max footprints
+  * prune box predicates on EVERY clustered dimension, where a
+  * single-column sort clusters only its leading column. */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue: exact bit interleave on a 2x2-bit grid") {
+    val pts = Seq((0, 0), (1, 0), (0, 1), (3, 3), (2, 1)).toDF("x", "y")
+    val z = pts.select(
+        $"x", $"y",
+        ZOrder.zValue(Seq($"x", $"y"), Seq(0, 0), Seq(3, 3), bits = 2).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // interleave (x bit i → pos 2i, y bit i → pos 2i+1)
+    assert(z((0, 0)) == 0L && z((1, 0)) == 1L && z((0, 1)) == 2L)
+    assert(z((3, 3)) == 15L)
+    assert(z((2, 1)) == 6L) // x=10b → pos2; y=01b → pos1
+  }
+
+  test("writeZOrdered: rows conserved, file count as requested") {
+    val dir = scratchDir("zorder-rows").toString
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    ZOrder.writeZOrdered(li, s"$dir/li", Seq("l_partkey", "l_suppkey"), 8)
+    val files = new java.io.File(s"$dir/li").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 8, s"got ${files.length} files")
+    assert(spark.read.parquet(s"$dir/li").count() == li.count())
+  }
+
+  test("z-order prunes box predicates on both dims; single-col sort only on its leader") {
+    val dir = scratchDir("zorder-prune").toString
+    // sf0.01: ~60k rows with ~2000 distinct partkeys / ~100 suppkeys —
+    // enough key granularity that file footprints reflect the curve
+    // (sf0.001's ~200 partkeys quantize too coarsely to assert on)
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val n = 16
+    ZOrder.writeZOrdered(li, s"$dir/z", Seq("l_partkey", "l_suppkey"), n)
+    // baseline: clustered on l_partkey alone
+    li.repartitionByRange(n, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/flat")
+    // per-file [min,max] footprints of both dims
+    def footprints(path: String) =
+      new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"l_partkey"), max($"l_partkey"),
+            min($"l_suppkey"), max($"l_suppkey")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    val (zf, ff) = (footprints(s"$dir/z"), footprints(s"$dir/flat"))
+    val (pLo, pHi, sLo, sHi) = li.agg(min($"l_partkey"), max($"l_partkey"),
+      min($"l_suppkey"), max($"l_suppkey")).head() match {
+      case r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // a ~20%-per-dim box in the middle of the space
+    def box(lo: Long, hi: Long, from: Double, to: Double) =
+      (lo + ((hi - lo) * from).toLong, lo + ((hi - lo) * to).toLong)
+    val (bp1, bp2) = box(pLo, pHi, 0.4, 0.6)
+    val (bs1, bs2) = box(sLo, sHi, 0.4, 0.6)
+    def hits(fs: Array[(Long, Long, Long, Long)],
+             p: Option[(Long, Long)], s: Option[(Long, Long)]) =
+      fs.count { case (pmin, pmax, smin, smax) =>
+        p.forall { case (a, b) => pmax >= a && pmin <= b } &&
+        s.forall { case (a, b) => smax >= a && smin <= b }
+      }
+    // suppkey-only box: the partkey-sorted layout cannot prune (every
+    // file spans the full suppkey range); z-order skips a good fraction
+    val zS = hits(zf, None, Some((bs1, bs2)))
+    val fS = hits(ff, None, Some((bs1, bs2)))
+    assert(fS >= n - 1, s"partkey-sorted layout unexpectedly pruned suppkey box: $fS/$n")
+    assert(zS <= (n * 0.7).toInt, s"z-order pruned too little on suppkey: $zS/$n")
+    // both-dims box: z-order reads a small minority of files
+    val zB = hits(zf, Some((bp1, bp2)), Some((bs1, bs2)))
+    assert(zB <= n / 2, s"z-order box hit $zB/$n files")
+  }
+}
