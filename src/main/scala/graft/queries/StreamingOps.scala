@@ -229,6 +229,78 @@ object StreamingOps {
       |  round(sum(value), 2) AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Watermarked STREAM-STREAM inner join run to completion: every
+    * click joined to the same user's purchases within the following
+    * hour — two file streams, both watermarked (the join's state
+    * cleanup requirement), event-time range condition. Inner-join
+    * matches emit as soon as both sides arrive, independent of the
+    * watermark, so after processAllAvailable the result is exactly the
+    * batch join — the oracle. (The watermark + time bound is what makes
+    * the JOIN STATE finite at 100 TB: both sides evict rows older than
+    * watermark − 1 h instead of buffering the full streams.) */
+  def q94StreamingJoin(s: SparkSession, dir: String): DataFrame = {
+    val zone = Files.createTempDirectory("graft_ssjoin_zone").toString
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000000000").as("ts_sec"))
+    // TIME-ORDERED zone files (range partition + ascending mtimes): the
+    // file source then delivers each side in event-time order, so no
+    // row is ever late for the 1 h watermark — which is what makes the
+    // streamed join COMPLETE (≡ batch) rather than best-effort. An
+    // unordered zone would need the watermark delay to cover the whole
+    // span, hollowing out the bounded-state story.
+    def writeOrdered(df: DataFrame, path: String): Unit = {
+      df.repartitionByRange(3, col("ts_sec"))
+        .sortWithinPartitions(col("ts_sec"))
+        .write.mode("overwrite").json(path)
+      val t0 = System.currentTimeMillis() - 3600000
+      new java.io.File(path).listFiles
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 1000L): Unit }
+    }
+    writeOrdered(ev.filter(col("event_type") === "click"), s"$zone/clicks")
+    writeOrdered(ev.filter(col("event_type") === "purchase"), s"$zone/purchases")
+    def side(name: String) = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts_sec LONG")
+      .option("maxFilesPerTrigger", "2")
+      .json(s"$zone/$name")
+      .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", "1 hour")
+    val clicks = side("clicks")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_sec").as("click_ts"), col("event_time").as("click_time"))
+    val purchases = side("purchases")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_sec").as("purchase_ts"), col("event_time").as("purchase_time"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+    val query = joined
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("purchase_ts") - col("click_ts")).as("gap_sec"))
+      .writeStream.format("memory").queryName("q94_ssjoin")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val res = s.table("q94_ssjoin").localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    res
+  }
+
+  val q94Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events)
+      |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id, p.ts_sec - c.ts_sec AS gap_sec
+      |FROM (SELECT * FROM e WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts_sec >= c.ts_sec AND p.ts_sec <= c.ts_sec + 3600""".stripMargin
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -239,6 +311,7 @@ object StreamingOps {
     "q77_streaming_dedup" -> q77StreamingDedup,
     "q88_streaming_upsert" -> q88StreamingUpsert,
     "q89_streaming_sessions" -> q89StreamingSessions,
+    "q94_streaming_join" -> q94StreamingJoin,
   )
 
   /** All streaming entries are exactly oracle-checked: q75 via the
@@ -251,5 +324,6 @@ object StreamingOps {
     "q77_streaming_dedup" -> q77Sql,
     "q88_streaming_upsert" -> q88Sql,
     "q89_streaming_sessions" -> q89Sql,
+    "q94_streaming_join" -> q94Sql,
   )
 }
