@@ -25,6 +25,23 @@ object StreamingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run a streaming query with the state partition count sized to the
+    * STATE volume instead of the session's batch default: every
+    * stateful operator keeps one state store per shuffle partition per
+    * batch (a stream-stream join keeps FOUR), so 32 batch partitions
+    * cost 128 store open/commit cycles per micro-batch against
+    * kilobytes of state — measured 11 s on q94 at sf0.1, 6× the actual
+    * join work. The conf is read at query START, so wrapping only the
+    * start/processAllAvailable section is sufficient; restored after.
+    * (On a real 100 TB stream the same knob goes UP with state volume —
+    * the point is sizing it to the state, not inheriting the batch
+    * setting.) */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** One-shot streaming run: positions → JSON landing zone (distributed
     * write, no driver collect) → readStream (2 files per micro-batch) →
     * cleaned hops. Each vehicle's history sits in ONE zone file, so this
@@ -54,11 +71,13 @@ object StreamingOps {
     // order as the batch window (ORDER BY timestamp, event_id), which
     // is what makes this entry EXACTLY oracle-checkable rather than
     // rows-only: the streaming hop set is now deterministic.
-    val query = StreamingSpeeds.hopsStreamKeyed(positions)
-      .writeStream.format("memory").queryName("q75_hops")
-      .outputMode("append").start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStatePartitions(s, 8) {
+      val query = StreamingSpeeds.hopsStreamKeyed(positions)
+        .writeStream.format("memory").queryName("q75_hops")
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     // the memory sink holds the results; drop the zone (repeated bench/
     // gate invocations would otherwise accumulate JSON copies in /tmp)
     val hops = s.table("q75_hops")
@@ -102,13 +121,15 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "2")
       .json(zone)
       .withColumn("event_time", timestamp_seconds(col("ets")))
-    val query = graft.streaming.StreamingDedup
-      .dedupStream(stream, col("text"), "event_time", "10 minutes")
-      .select(col("doc_id"), col("fingerprint"))
-      .writeStream.format("memory").queryName("q77_dedup")
-      .outputMode("append").start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStatePartitions(s, 8) {
+      val query = graft.streaming.StreamingDedup
+        .dedupStream(stream, col("text"), "event_time", "10 minutes")
+        .select(col("doc_id"), col("fingerprint"))
+        .writeStream.format("memory").queryName("q77_dedup")
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     val res = s.table("q77_dedup")
       .groupBy(col("fingerprint")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("distinct_fingerprints"),
@@ -142,11 +163,13 @@ object StreamingOps {
       .json(zone)
     val sink = new graft.streaming.StreamingUpsert(
       s, snapDir, Seq("user_id"), Seq("ts_us", "event_id"))
-    val query = changes.writeStream
-      .foreachBatch((batch: DataFrame, id: Long) => sink.mergeBatch(batch, id))
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStatePartitions(s, 8) {
+      val query = changes.writeStream
+        .foreachBatch((batch: DataFrame, id: Long) => sink.mergeBatch(batch, id))
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     val res = sink.snapshot()
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("event_type"), col("value"))
@@ -191,16 +214,18 @@ object StreamingOps {
       .json(zone)
       .withColumn("event_time", timestamp_seconds(col("ets")))
       .withWatermark("event_time", "1 day")
-    val query = stream
+    val sessionSink = stream
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("start_sec"),
         col("n_events"), col("sum_value"))
       .writeStream.format("memory").queryName("q89_sessions")
-      .outputMode("append").start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStatePartitions(s, 8) {
+      val query = sessionSink.outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     val res = s.table("q89_sessions")
       .filter(col("user_id") >= 0)
       .localCheckpoint(true)
@@ -277,13 +302,15 @@ object StreamingOps {
       col("user_id") === col("p_user_id") &&
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
-    val query = joined
+    val joinSink = joined
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("purchase_ts") - col("click_ts")).as("gap_sec"))
       .writeStream.format("memory").queryName("q94_ssjoin")
-      .outputMode("append").start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStatePartitions(s, 8) {
+      val query = joinSink.outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     val res = s.table("q94_ssjoin").localCheckpoint(true)
     deleteRecursively(new java.io.File(zone))
     res

@@ -224,6 +224,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Join") || p.contains("join"), s"no join found:\n$p")
   }
 
+  test("q93 z-scores: group stats broadcast — the corpus is never shuffled for the join") {
+    val p = plan(Analytics.q93ZscoreOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    // the only hash exchange keys the 5-group aggregation, not the rows
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly the stats aggregation shuffle:\n$p")
+  }
+
+  test("q95 gap fill: key-partitioned joins/windows only, no global sort") {
+    val p = plan(Temporal.q95GapFill(spark, dir))
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"no global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no calendar cross join allowed:\n$p")
+  }
+
   test("jaccard co-occurrence join: pair join reuses the posting-list partitioning") {
     // postings are shuffled ONCE by hash(h) for the df window; the
     // self-join on h must reuse that partitioning from the cache — the

@@ -64,4 +64,26 @@ class IOSpec extends SparkTestBase {
     val back = IO.readOrc(spark, schema, dir).collect()
     assert(back.length == 1 && back.head.getLong(0) == 1L && back.head.isNullAt(1))
   }
+
+  test("schema evolution: widened declared schema reads old+new parquet with typed nulls") {
+    // the 100 TB reality: a long-lived table gains columns; files written
+    // before the change must stay readable with the WIDENED schema, the
+    // missing column surfacing as typed nulls per-file (the same posture
+    // the engine takes for missing JSON fields — declared schema, never
+    // inference)
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/p=old")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added")
+      .write.mode("overwrite").parquet(s"$dir/p=new")
+    val widened = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v1", StringType),
+      StructField("v2_added", DoubleType)))
+    val back = IO.readParquet(spark, widened, s"$dir/p=*")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2))))).toMap
+    assert(back(1L) == (("a", None)))        // old file: typed null
+    assert(back(2L) == (("b", Some(9.5))))   // new file: real value
+  }
 }
