@@ -361,7 +361,41 @@ object Relational {
       |  c_mktsegment, n_orders, sum_price
       |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
 
+  /** Data-quality audit (operators.Expectations): four contract rules
+    * over lineitem — two range checks, a null check, and a referential
+    * check composed as a broadcast left join producing a row-local
+    * boolean — counted in ONE scan. */
+  def q96Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.{audit, Rule}
+    val pk = broadcast(Tables.part(s, dir).select(col("p_partkey")).distinct())
+    val li = Tables.lineitem(s, dir)
+      .join(pk, col("l_partkey") === col("p_partkey"), "left")
+    audit(li, Seq(
+      Rule("qty_range", col("l_quantity").between(1, 45)),
+      Rule("discount_cap", col("l_discount") <= 0.05),
+      Rule("shipdate_set", col("l_shipdate").isNotNull),
+      Rule("part_exists", col("p_partkey").isNotNull)))
+  }
+
+  val q96Sql: String =
+    """WITH li AS (
+      |  SELECT l.*, p.p_partkey AS pk
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      |    ON l.l_partkey = p.p_partkey),
+      |a AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(*) FILTER (WHERE NOT coalesce(l_quantity BETWEEN 1 AND 45, false)) AS v_qty,
+      |    count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.05, false)) AS v_disc,
+      |    count(*) FILTER (WHERE NOT coalesce(l_shipdate IS NOT NULL, false)) AS v_ship,
+      |    count(*) FILTER (WHERE NOT coalesce(pk IS NOT NULL, false)) AS v_pk
+      |  FROM li)
+      |SELECT 'qty_range' AS rule, v_qty AS n_violations, n_rows FROM a
+      |UNION ALL SELECT 'discount_cap', v_disc, n_rows FROM a
+      |UNION ALL SELECT 'shipdate_set', v_ship, n_rows FROM a
+      |UNION ALL SELECT 'part_exists', v_pk, n_rows FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_expectations"    -> q96Expectations,
     "q92_full_outer"      -> q92FullOuter,
     "q57_bloom_semi"      -> q57BloomSemi,
     "q58_salted_join"     -> q58SaltedJoin,
@@ -381,6 +415,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_expectations"    -> q96Sql,
     "q92_full_outer"      -> q92Sql,
     "q57_bloom_semi"      -> q57Sql,
     "q58_salted_join"     -> q58Sql,
