@@ -237,7 +237,41 @@ object Temporal {
       |    PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS sum_value_ffill
       |FROM j""".stripMargin
 
+  /** Incremental aggregate maintenance (operators.AggMaintenance): the
+    * event stream split into three refresh batches, each reduced to a
+    * per-user state, states merged, presentation derived — result must
+    * equal the one-shot aggregate (the oracle). Values quantize to
+    * integer cents first so every component sum is EXACT and the merged
+    * result is bit-identical to the rebuild regardless of batch
+    * boundaries (same posture as q93). */
+  def q97AggMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggMaintenance
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+    val states = (0 until 3).map(i =>
+      AggMaintenance.state(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        Seq("user_id"), "vc"))
+    AggMaintenance.merge(states, Seq("user_id"))
+      .select(col("user_id"), col("agg_n").as("n"),
+        round(col("agg_sum") / 100.0, 2).as("sum_value"),
+        round(col("agg_sum") / (col("agg_n") * 100.0), 4).as("avg_value"),
+        round(col("agg_min") / 100.0, 2).as("min_value"),
+        round(col("agg_max") / 100.0, 2).as("max_value"))
+  }
+
+  val q97Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events)
+      |SELECT user_id, count(vc) AS n,
+      |  round(sum(vc) / 100.0, 2) AS sum_value,
+      |  round(sum(vc) / (count(vc) * 100.0), 4) AS avg_value,
+      |  round(min(vc) / 100.0, 2) AS min_value,
+      |  round(max(vc) / 100.0, 2) AS max_value
+      |FROM v GROUP BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_agg_maintenance" -> q97AggMaintenance,
     "q95_gapfill"        -> q95GapFill,
     "q70_sessionize"     -> q70Sessionize,
     "q71_asof_join"      -> q71AsofJoin,
@@ -250,6 +284,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_agg_maintenance" -> q97Sql,
     "q95_gapfill"        -> q95Sql,
     "q80_upsert"         -> q80Sql,
     "q81_scd2"           -> q81Sql,
