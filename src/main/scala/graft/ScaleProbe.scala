@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only harness (like Scratch — NOT part of the driver contract):
+  * measure how the heavyweight paths scale BEYOND the driver's largest
+  * test SF by synthesizing an N× corpus from sf0.1 (id-offset shards
+  * with content perturbation so cross-shard rows are near- but not
+  * exact duplicates) and running the full dedup chain and ANN search
+  * on it. Prints per-stage wall times for 1× vs N× — the evidence for
+  * "linear in corpus size", not just the argument.
+  *
+  * Usage: runMain graft.ScaleProbe [N]   (default 10)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sf = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+
+    def shardedDocs(k: Int): DataFrame = {
+      val base = Tables.documents(spark, sf)
+      val total = base.count()
+      (0 until k).map { s =>
+        base.select(
+          (col("doc_id") + lit(s * total)).as("doc_id"),
+          // perturb: cross-shard copies are near-dups (shared prefix),
+          // not byte-dups — the LSH/verify path does real work
+          concat(col("text"), lit(s" shard$s marker$s")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"SCALE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    for (k <- Seq(1, n)) {
+      println(s"=== corpus ${k}x")
+      val docs = shardedDocs(k).persist()
+      println(s"docs: ${docs.count()}")
+      val pairs = time(s"${k}x lsh candidate pairs") {
+        import graft.dedup.Dedup
+        val sig = Dedup.withMinhashSignature(
+          docs.filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= 3),
+          col("text"), 8, 3, "sig").select(col("doc_id"), col("sig"))
+        val bands = sig.select(col("doc_id"),
+          posexplode_outer(Dedup.lshBands(col("sig"), 8, 2)).as(Seq("band", "bh")))
+          .persist()
+        val p = bands.toDF("id_a", "band", "bh")
+          .join(bands.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+          .persist()
+        p.count(); bands.unpersist(); p
+      }
+      time(s"${k}x connected components") {
+        graft.dedup.ConnectedComponents
+          .components(docs, "doc_id", pairs, "id_a", "id_b").count()
+      }
+      time(s"${k}x jaccard join") {
+        graft.dedup.Dedup.jaccardJoin(docs, "doc_id", col("text")).count()
+      }
+      time(s"${k}x minhash signatures") {
+        graft.dedup.Dedup.withMinhashSignature(docs, col("text"), 8, 3, "sig")
+          .agg(count(lit(1))).head()
+      }
+      pairs.unpersist(); docs.unpersist()
+      spark.catalog.clearCache()
+      Checkpoints.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}
