@@ -42,4 +42,19 @@ class StreamingUpsertSpec extends SparkTestBase {
     val versions = new java.io.File(snap).listFiles.map(_.getName).toSet
     assert(versions.subsetOf(Set("v0", "v1")), s"unexpected: $versions")
   }
+
+  test("batch replay is idempotent — the exactly-once-on-retry posture") {
+    // foreachBatch redelivers a batch after a failure/restart with the
+    // SAME batchId; latest-wins merging makes the re-merge a no-op, so
+    // the sink tolerates at-least-once delivery without dedup bookkeeping
+    val snap = Files.createTempDirectory("su_retry").toString
+    val sink = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+    val b0 = Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "seq", "payload")
+    val b1 = Seq(("a", 3L, "z")).toDF("k", "seq", "payload")
+    sink.mergeBatch(b0, 0)
+    sink.mergeBatch(b1, 1)
+    val once = sink.snapshot().collect().map(_.toSeq).toSet
+    sink.mergeBatch(b1, 1) // replay
+    assert(sink.snapshot().collect().map(_.toSeq).toSet == once)
+  }
 }
