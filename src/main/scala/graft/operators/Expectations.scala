@@ -19,8 +19,14 @@ object Expectations {
 
   /** A named expectation: rows are EXPECTED to satisfy `pred`; null
     * predicate results count as violations (SQL three-valued logic
-    * would otherwise leak nulls through a NOT). */
-  final case class Rule(name: String, pred: Column)
+    * would otherwise leak nulls through a NOT). Names must be plain
+    * identifiers — they are spliced into a `stack` expression by
+    * [[audit]], so a free-form string would break (or inject into)
+    * the generated SQL. */
+  final case class Rule(name: String, pred: Column) {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule name must be a bare identifier, got '$name'")
+  }
 
   private def violated(r: Rule): Column = !coalesce(r.pred, lit(false))
 

@@ -20,14 +20,32 @@ import org.apache.spark.sql.functions._
 object Resample {
 
   /** One row per (key, bucket) for every `step`-spaced bucket between
-    * the key's min and max observed `bucketCol` (inclusive). */
+    * the key's min and max observed `bucketCol` (inclusive).
+    *
+    * PRECONDITION (checked): within each key, every observed bucket is
+    * congruent to the key's minimum mod `step` — i.e. the input is
+    * already bucketized on this step (the normal upstream is a
+    * `bucket30mStart`-style floor). An off-grid bucket would otherwise
+    * silently miss the generated grid and its row would VANISH from the
+    * gap-filled join — data loss, not an error — so misalignment throws
+    * here instead. The check rides the same aggregation as the span
+    * (zero extra shuffles). */
   def denseGrid(df: DataFrame, keys: Seq[String], bucketCol: String,
                 step: Long): DataFrame = {
     require(keys.nonEmpty && step > 0)
-    df.groupBy(keys.map(col): _*)
-      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-      .select(keys.map(col) :+
-        explode_outer(sequence(col("__lo"), col("__hi"), lit(step))).as(bucketCol): _*)
+    val spans = df.groupBy(keys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"),
+        countDistinct(pmod(col(bucketCol), lit(step))).as("__phases"))
+    // the check stays INSIDE the plan (assert_true gating the sequence
+    // expression — no eager job, and unprunable because the grid
+    // depends on it); fires per misaligned key at execution time
+    val guardedSeq = when(
+      assert_true(col("__phases") <= 1,
+        lit(s"denseGrid: observed buckets are not aligned to step=$step " +
+          "— bucketize upstream first")).isNull,
+      sequence(col("__lo"), col("__hi"), lit(step)))
+    spans.select(keys.map(col) :+
+      explode_outer(guardedSeq).as(bucketCol): _*)
   }
 
   /** Forward-fill `cols` along `orderCol` within each key: nulls take

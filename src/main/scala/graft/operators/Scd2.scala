@@ -28,14 +28,21 @@ object Scd2 {
     * valid_to?) with half-open intervals ordered by `orderCol`.
     *
     * Null attribute values are treated as a value (a null-to-X transition
-    * is a change point): `<=>`-equality in the compression filter. */
+    * is a change point): `<=>`-equality in the compression filter.
+    *
+    * `tiebreak` columns extend the window ordering when `orderCol`
+    * alone is not a total order within a key — same-timestamp
+    * observations with different values would otherwise make the
+    * change-point set (and any cross-engine compare) nondeterministic. */
   def intervalize(df: DataFrame, keys: Seq[String], orderCol: String,
                   attr: String, validFrom: String = "valid_from",
-                  validTo: String = "valid_to"): DataFrame = {
+                  validTo: String = "valid_to",
+                  tiebreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "keys required")
     val keyCols: Seq[Column] = keys.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol))
-    df.select(keyCols :+ col(orderCol) :+ col(attr): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(orderCol) +: tiebreak.map(col): _*)
+    df.select(keyCols ++ Seq(col(orderCol)) ++ tiebreak.map(col) :+ col(attr): _*)
       // change points: first observation, or value differs from previous
       // (null-safe: null==null compresses, null->X is a transition).
       // Both computed as window COLUMNS first — a window function can't
@@ -46,7 +53,7 @@ object Scd2 {
       .filter(col("__first") || !(col("__prev") <=> col(attr)))
       .withColumn(validTo, lead(col(orderCol), 1).over(w))
       .withColumnRenamed(orderCol, validFrom)
-      .drop("__prev", "__first")
+      .drop("__prev" +: "__first" +: tiebreak: _*)
       .select(keyCols ++ Seq(col(attr), col(validFrom), col(validTo)): _*)
   }
 }

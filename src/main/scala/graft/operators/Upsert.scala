@@ -26,7 +26,13 @@ object Upsert {
 
   /** Latest-wins merge. `snapshot` and `updates` must share a schema (by
     * name); `keys` identify an entity; `version` columns order revisions
-    * (compared as a struct, lexicographically, e.g. Seq(ts, seq_no)). */
+    * (compared as a struct, lexicographically, e.g. Seq(ts, seq_no)).
+    *
+    * DETERMINISM CONTRACT: `version` must totally order the revisions of
+    * a key — include a unique column (sequence number, event id) as the
+    * last component. Two candidates with EQUAL version structs resolve
+    * to whichever partial max_by saw first, which varies run to run;
+    * the gates therefore version on (ts, event_id). */
   def latestWins(snapshot: DataFrame, updates: DataFrame,
                  keys: Seq[String], version: Seq[String]): DataFrame =
     compact(snapshot.unionByName(updates), keys, version)

@@ -184,19 +184,24 @@ object Temporal {
     * half-open validity intervals; consecutive same-type events compress.
     * The open current interval has null valid_to. */
   def q81Scd2(s: SparkSession, dir: String): DataFrame =
+    // event_id tiebreak: ts_us is unique per user in the testdata, but
+    // a same-µs tie with different event_type would make the
+    // change-point set engine-nondeterministic (same posture as q80)
     Scd2.intervalize(
       Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
-      Seq("user_id"), "ts_us", "event_type")
+      Seq("user_id"), "ts_us", "event_type", tiebreak = Seq("event_id"))
 
   val q81Sql: String =
     """WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events),
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      |  FROM events),
       |c AS (
-      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      |  SELECT *, lag(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
       |  FROM e),
       |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
       |SELECT user_id, event_type, ts_us AS valid_from,
-      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to
+      |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
       |FROM ch""".stripMargin
 
   /** Gap-filled 30-min series (operators.Resample): per sampled user, a

@@ -77,9 +77,14 @@ object IO {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(hadoopConf).getFileStatus(p).getLen
     }.sum
-    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    val planned = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue).toInt
-    df.coalesce(n).write.mode("overwrite").parquet(outPath)
-    n
+    val out = df.coalesce(planned)
+    // coalesce never INCREASES partition count: when the scan yields
+    // fewer splits than the size target asks for, the real output count
+    // is the scan's — return that, not the plan
+    val actual = out.rdd.getNumPartitions
+    out.write.mode("overwrite").parquet(outPath)
+    actual
   }
 }

@@ -54,8 +54,12 @@ object ZOrder {
     val statsRow = df.select(
       clusterCols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
-    val mins = clusterCols.indices.map(i => statsRow.getDouble(2 * i))
-    val maxs = clusterCols.indices.map(i => statsRow.getDouble(2 * i + 1))
+    // empty input / all-null column → null min/max: degrade to a
+    // degenerate [0,0] span (quantize collapses to 0 — a plain write),
+    // instead of an NPE out of Row.getDouble
+    def at(i: Int): Double = if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
+    val mins = clusterCols.indices.map(i => at(2 * i))
+    val maxs = clusterCols.indices.map(i => at(2 * i + 1))
     val z = zValue(clusterCols.map(col), mins, maxs, bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

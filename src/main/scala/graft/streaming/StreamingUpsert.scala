@@ -23,19 +23,37 @@ import graft.operators.Upsert
 class StreamingUpsert(spark: SparkSession, dir: String,
                       keys: Seq[String], version: Seq[String]) {
 
-  @volatile private var live: Option[String] = None
+  // the live-version POINTER is durable (a one-line marker file
+  // committed after each publish): a restarted query — new JVM, new
+  // sink instance — resumes from the accumulated snapshot instead of
+  // silently compacting only the replayed batch over it
+  private val marker = new java.io.File(dir, "_LIVE")
+
+  @volatile private var live: Option[String] = {
+    if (marker.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+        .filter(p => new java.io.File(p).exists)
+    else None
+  }
 
   def snapshotPath: Option[String] = live
 
-  /** The foreachBatch body: merge one micro-batch, publish a version. */
+  /** The foreachBatch body: merge one micro-batch, publish a version.
+    * The write target is always the version that is NOT live (never
+    * batchId parity — a replayed/resumed id could otherwise overwrite
+    * the very path the merge is lazily reading). */
   def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
     val merged = live match {
       case None       => Upsert.compact(batch, keys, version)
       case Some(path) =>
         Upsert.latestWins(spark.read.parquet(path), batch, keys, version)
     }
-    val target = s"$dir/v${batchId % 2}"
+    val target =
+      if (live.contains(s"$dir/v0")) s"$dir/v1" else s"$dir/v0"
     merged.write.mode("overwrite").parquet(target)
+    java.nio.file.Files.write(marker.toPath,
+      target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     live = Some(target)
   }
 

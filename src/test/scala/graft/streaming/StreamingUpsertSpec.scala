@@ -38,9 +38,22 @@ class StreamingUpsertSpec extends SparkTestBase {
       .select($"k", $"seq", $"payload").collect().map(_.toSeq).toSet
     assert(got == want)
     assert(got.size == 7) // one row per key
-    // only the v0/v1 ping-pong dirs exist
+    // only the v0/v1 ping-pong dirs + the durable pointer exist
     val versions = new java.io.File(snap).listFiles.map(_.getName).toSet
-    assert(versions.subsetOf(Set("v0", "v1")), s"unexpected: $versions")
+    assert(versions.subsetOf(Set("v0", "v1", "_LIVE")), s"unexpected: $versions")
+  }
+
+  test("restart resumes from the durable pointer, not an empty snapshot") {
+    val snap = Files.createTempDirectory("su_restart").toString
+    val sink1 = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+    sink1.mergeBatch(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "seq", "payload"), 0)
+    // a NEW instance (new JVM after failure) must see the published state
+    val sink2 = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+    assert(sink2.snapshotPath == sink1.snapshotPath)
+    sink2.mergeBatch(Seq(("a", 3L, "z")).toDF("k", "seq", "payload"), 1)
+    val got = sink2.snapshot().collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map("a" -> "z", "b" -> "y")) // b survived the restart
   }
 
   test("batch replay is idempotent — the exactly-once-on-retry posture") {
