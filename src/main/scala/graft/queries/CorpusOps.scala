@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
 import graft.operators.QuotaCap
-import graft.text.{Blocklist, Chunking, Fuzzy, Postings}
+import graft.text.{Blocklist, Chunking, Fluency, Fuzzy, Postings}
 
 /** Corpus-preparation operators over `documents`: sliding-window token
   * chunking (retrieval preprocessing), blocklist screening, per-source
@@ -121,7 +121,25 @@ object CorpusOps {
       |FROM tm a JOIN tm b ON a.term < b.term
       |WHERE levenshtein(a.term, b.term) <= 2""".stripMargin
 
+  // ------------------------------------------------ q98 fluency score
+
+  /** Mean corpus bigram frequency per document (text.Fluency — the
+    * statistical-LM quality-filter shape; integer-exact scores). */
+  def q98Fluency(s: SparkSession, dir: String): DataFrame =
+    Fluency.scoreByCorpusFrequency(Tables.documents(s, dir), "doc_id", col("text"))
+
+  val q98Sql: String = toksCte +
+    """, s AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))::BIGINT)) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |f AS (SELECT bg, count(*) AS df FROM s GROUP BY bg)
+      |SELECT s.doc_id, count(*) AS n_bigrams,
+      |  round(sum(f.df) / count(*), 4) AS fluency
+      |FROM s JOIN f USING (bg) GROUP BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_fluency"    -> q98Fluency,
     "q82_chunks"     -> q82Chunks,
     "q83_blocklist"  -> q83Blocklist,
     "q84_source_cap" -> q84SourceCap,
@@ -130,6 +148,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_fluency"    -> q98Sql,
     "q82_chunks"     -> q82Sql,
     "q83_blocklist"  -> q83Sql,
     "q84_source_cap" -> q84Sql,
