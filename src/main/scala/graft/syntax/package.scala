@@ -69,6 +69,9 @@ package object syntax {
     def fuzzyPairs(strCol: Column, maxDist: Int = 1): DataFrame =
       graft.text.Fuzzy.fuzzyPairs(df, strCol, maxDist)
 
+    def fluencyScores(idCol: String, text: Column): DataFrame =
+      graft.text.Fluency.scoreByCorpusFrequency(df, idCol, text)
+
     // ----------------------------------------------------- vectors
     def l2Normalized(vec: Column, normOut: String, vecOut: String): DataFrame =
       similarity.Similarity.withL2Normalized(df, vec, normOut, vecOut)
@@ -109,5 +112,22 @@ package object syntax {
     def capPerGroup(groupCols: Seq[String], order: Seq[Column],
                     n: Int): DataFrame =
       operators.QuotaCap.capPerGroup(df, groupCols, order, n)
+
+    def gapFill(keys: Seq[String], bucketCol: String, step: Long,
+                zeroFill: Map[String, Column], ffill: Seq[String]): DataFrame =
+      operators.Resample.gapFill(df, keys, bucketCol, step, zeroFill, ffill)
+
+    def expectationsAudit(rules: Seq[operators.Expectations.Rule]): DataFrame =
+      operators.Expectations.audit(df, rules)
+
+    def quarantine(rules: Seq[operators.Expectations.Rule]): (DataFrame, DataFrame) =
+      operators.Expectations.quarantine(df, rules)
+
+    def aggState(keys: Seq[String], valueCol: String): DataFrame =
+      operators.AggMaintenance.state(df, keys, valueCol)
+
+    def writeZOrdered(path: String, clusterCols: Seq[String],
+                      numFiles: Int, bits: Int = 16): Unit =
+      sources.ZOrder.writeZOrdered(df, path, clusterCols, numFiles, bits)
   }
 }

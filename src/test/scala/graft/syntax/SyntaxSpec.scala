@@ -69,6 +69,23 @@ class SyntaxSpec extends SparkTestBase {
       rows(graft.operators.Scd2.intervalize(obs, Seq("k"), "t", "st")))
   }
 
+  test("round-6 operator facades delegate") {
+    import graft.operators.Expectations.Rule
+    val docs = Tables.documents(spark, dir)
+    assert(rows(docs.fluencyScores("doc_id", col("text"))) ==
+      rows(graft.text.Fluency.scoreByCorpusFrequency(docs, "doc_id", col("text"))))
+    val obs = Seq(("a", 10L, 2L, Some(1.0)), ("a", 30L, 1L, None))
+      .toDF("k", "b", "n", "v")
+    assert(rows(obs.gapFill(Seq("k"), "b", 10L, Map("n" -> lit(0L)), Seq("v"))) ==
+      rows(graft.operators.Resample.gapFill(obs, Seq("k"), "b", 10L,
+        Map("n" -> lit(0L)), Seq("v"))))
+    val rules = Seq(Rule("n_pos", col("n") > 0))
+    assert(rows(obs.expectationsAudit(rules)) ==
+      rows(graft.operators.Expectations.audit(obs, rules)))
+    assert(rows(obs.aggState(Seq("k"), "n")) ==
+      rows(graft.operators.AggMaintenance.state(obs, Seq("k"), "n")))
+  }
+
   test("pipeline chains read naturally end to end") {
     val docs = Tables.documents(spark, dir)
     // column-preserving stages chain freely (aggregating stages like
