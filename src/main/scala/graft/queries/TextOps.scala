@@ -351,7 +351,39 @@ object TextOps {
        |  $MixBudget * isq // isq_total AS alloc_tokens
        |FROM isq_t, tot""".stripMargin
 
+  // ------------------------------------------- q99 mixture sampling
+
+  private val SampleBudget = 10000L
+
+  /** The mixture EXECUTED (Mixing.sampleToBudget): each source sampled
+    * down to its α=1/2 token allocation by content-hash thresholding —
+    * the step that turns q78's recipe table into an actual corpus. */
+  def q99MixSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Mixing.sampleToBudget(
+      Tables.documents(s, dir), "doc_id", col("source"),
+      graft.text.TextAnalysis.tokenCount(col("text")),
+      budgetTokens = SampleBudget, hashKey = col("text"), salt = "q99")
+
+  val q99Sql: String = toksCte.dropRight(1) + "," +
+    s"""
+       |src AS (
+       |  SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN toks_t t USING (doc_id)
+       |  GROUP BY d.source),
+       |isq_t AS (
+       |  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS isq
+       |  FROM src),
+       |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS isq_total FROM isq_t),
+       |rates AS (
+       |  SELECT source,
+       |    least(10000, 10000 * ($SampleBudget * isq // isq_total) // n_tokens) AS rate_bp
+       |  FROM isq_t, tot)
+       |SELECT d.doc_id, d.source, r.rate_bp
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ('0x' || substr(md5(d.text || 'q99'), 1, 15))::BIGINT % 10000 < r.rate_bp""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q99_mix_sample"  -> q99MixSample,
     "q54_repetition"  -> q54Repetition,
     "q64_pii_redact"  -> q64PiiRedact,
     "q65_line_dedup"  -> q65LineDedup,
@@ -371,6 +403,7 @@ object TextOps {
     "q65_line_dedup"  -> q65Sql,
     "q68_sequence_pack" -> q68Sql,
     "q78_mix_weights" -> q78Sql,
+    "q99_mix_sample"  -> q99Sql,
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,

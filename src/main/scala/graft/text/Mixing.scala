@@ -40,4 +40,26 @@ object Mixing {
         expr("10000 * isq div isq_total").as("weight_bp"),
         expr(s"$budgetTokens * isq div isq_total").as("alloc_tokens"))
   }
+
+  /** EXECUTE the mixture: deterministically sample each source down to
+    * (approximately) its allocated token share. Per source the keep
+    * rate is `alloc/n_tokens` in basis points (capped at 100%); a doc
+    * survives iff `h60(hashKey ∥ salt) mod 10000 < rate` — pure
+    * content-hash selection, so the sample is reproducible across
+    * runs, engines, and partitionings (same posture as DataSplit).
+    *
+    * Scale design: the rate table is source-cardinality rows broadcast
+    * onto a map-only filter — the corpus is never shuffled. */
+  def sampleToBudget(docs: DataFrame, idCol: String, sourceCol: Column,
+                     nTokensCol: Column, budgetTokens: Long,
+                     hashKey: Column, salt: String): DataFrame = {
+    val rates = sourceWeights(docs, sourceCol, nTokensCol, budgetTokens)
+      .select(col("source"),
+        least(lit(10000L), expr("10000 * alloc_tokens div n_tokens")).as("rate_bp"))
+    docs.select(col(idCol), sourceCol.as("source"),
+        graft.functions.Portable.h60(concat(hashKey, lit(salt))).as("__h"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("__h"), lit(10000L)) < col("rate_bp"))
+      .select(col(idCol), col("source"), col("rate_bp"))
+  }
 }

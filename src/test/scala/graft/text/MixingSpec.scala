@@ -31,4 +31,24 @@ class MixingSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 12345L)
     rows.foreach(r => assert(r.getAs[Long]("weight_bp") > 0))
   }
+
+  test("sampleToBudget: deterministic, rate-capped, roughly proportional") {
+    val docs = (1L to 400L)
+      .map(i => (i, s"s${i % 4}", s"text body $i", 10L))
+      .toDF("doc_id", "src", "text", "n")
+    def run() = Mixing.sampleToBudget(docs, "doc_id", col("src"), col("n"),
+        budgetTokens = 1000L, hashKey = col("text"), salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kept = run()
+    assert(kept == run()) // content-hash selection: identical re-run
+    // 4 equal sources, budget = 25% of tokens → rate ≈ 2500 bp each
+    val rates = kept.map(_._3)
+    assert(rates.forall(r => r > 0 && r <= 10000L))
+    // kept fraction within a loose band of the rate (hash uniformity)
+    assert(kept.size > 40 && kept.size < 160, s"kept ${kept.size}/400")
+    // a budget beyond the corpus keeps EVERYTHING (rate capped at 100%)
+    val all = Mixing.sampleToBudget(docs, "doc_id", col("src"), col("n"),
+      budgetTokens = 1000000L, hashKey = col("text"), salt = "t")
+    assert(all.count() == 400L)
+  }
 }
