@@ -135,7 +135,7 @@ object CorpusOps {
       |  FROM t WHERE len(toks) >= 2),
       |f AS (SELECT bg, count(*) AS df FROM s GROUP BY bg)
       |SELECT s.doc_id, count(*) AS n_bigrams,
-      |  round(sum(f.df) / count(*), 4) AS fluency
+      |  (10000 * CAST(sum(f.df) AS BIGINT)) // count(*) AS fluency_bp
       |FROM s JOIN f USING (bg) GROUP BY s.doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

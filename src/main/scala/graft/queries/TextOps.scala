@@ -376,7 +376,9 @@ object TextOps {
        |tot AS (SELECT CAST(sum(isq) AS BIGINT) AS isq_total FROM isq_t),
        |rates AS (
        |  SELECT source,
-       |    least(10000, 10000 * ($SampleBudget * isq // isq_total) // n_tokens) AS rate_bp
+       |    CASE WHEN n_tokens > 0
+       |         THEN least(10000, 10000 * ($SampleBudget * isq // isq_total) // n_tokens)
+       |         ELSE 0 END AS rate_bp
        |  FROM isq_t, tot)
        |SELECT d.doc_id, d.source, r.rate_bp
        |FROM documents d JOIN rates r USING (source)

@@ -53,9 +53,15 @@ object Mixing {
   def sampleToBudget(docs: DataFrame, idCol: String, sourceCol: Column,
                      nTokensCol: Column, budgetTokens: Long,
                      hashKey: Column, salt: String): DataFrame = {
+    // zero-token source: the div is null (÷0) and Spark's least() SKIPS
+    // nulls — least(10000, null) = 10000 would keep EVERY doc of a
+    // source allocated nothing; DuckDB ÷0 errors outright. Guard the
+    // rate to 0 explicitly on both engines.
     val rates = sourceWeights(docs, sourceCol, nTokensCol, budgetTokens)
       .select(col("source"),
-        least(lit(10000L), expr("10000 * alloc_tokens div n_tokens")).as("rate_bp"))
+        when(col("n_tokens") > 0,
+          least(lit(10000L), expr("10000 * alloc_tokens div n_tokens")))
+          .otherwise(lit(0L)).as("rate_bp"))
     docs.select(col(idCol), sourceCol.as("source"),
         graft.functions.Portable.h60(concat(hashKey, lit(salt))).as("__h"))
       .join(broadcast(rates), Seq("source"))

@@ -84,6 +84,12 @@ class SyntaxSpec extends SparkTestBase {
       rows(graft.operators.Expectations.audit(obs, rules)))
     assert(rows(obs.aggState(Seq("k"), "n")) ==
       rows(graft.operators.AggMaintenance.state(obs, Seq("k"), "n")))
+    val (fClean, fBad) = obs.quarantine(rules)
+    val (oClean, oBad) = graft.operators.Expectations.quarantine(obs, rules)
+    assert(rows(fClean) == rows(oClean) && rows(fBad) == rows(oBad))
+    val zdir = scratchDir("syntax-zorder").toString
+    obs.writeZOrdered(s"$zdir/z", Seq("b", "n"), 2)
+    assert(spark.read.parquet(s"$zdir/z").count() == obs.count())
   }
 
   test("pipeline chains read naturally end to end") {

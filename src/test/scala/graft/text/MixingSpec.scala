@@ -51,4 +51,13 @@ class MixingSpec extends SparkTestBase {
       budgetTokens = 1000000L, hashKey = col("text"), salt = "t")
     assert(all.count() == 400L)
   }
+
+  test("sampleToBudget: a zero-token source keeps NOTHING (÷0 guard)") {
+    val docs = Seq((1L, "real", "x", 10L), (2L, "empty", "", 0L), (3L, "empty", "", 0L))
+      .toDF("doc_id", "src", "text", "n")
+    val kept = Mixing.sampleToBudget(docs, "doc_id", col("src"), col("n"),
+        budgetTokens = 100L, hashKey = col("text"), salt = "t")
+      .select(col("source")).collect().map(_.getString(0)).toSet
+    assert(!kept.contains("empty"), s"zero-token source leaked: $kept")
+  }
 }
