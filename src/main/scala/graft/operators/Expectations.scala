@@ -33,6 +33,8 @@ object Expectations {
   /** One row per rule: violations and total (single-scan audit). */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
+    require(rules.map(_.name).distinct.length == rules.length,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", ")}")
     // single aggregation row: total + one conditional count per rule
     val aggCols = count(lit(1)).as("n_rows") +:
       rules.map(r => count(when(violated(r), 1)).as(s"v_${r.name}"))

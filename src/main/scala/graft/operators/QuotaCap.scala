@@ -24,6 +24,8 @@ object QuotaCap {
   def capPerGroup(df: DataFrame, groupCols: Seq[String],
                   order: Seq[Column], n: Int): DataFrame = {
     require(n > 0, "cap must be positive")
+    require(!df.columns.contains("__rn"),
+      "input already has a __rn column — it would be silently destroyed")
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
       .filter(col("__rn") <= n)

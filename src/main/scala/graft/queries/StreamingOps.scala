@@ -207,7 +207,12 @@ object StreamingOps {
     val sentinel = new java.io.File(zone, "zz_sentinel.json")
     Files.writeString(sentinel.toPath,
       s"""{"user_id":-1,"event_id":-1,"ets":${t0 + 86400L * 10},"value":0.0}""")
-    sentinel.setLastModified(System.currentTimeMillis() + 60000): Unit
+    // correctness HANGS on the sentinel sorting last: if mtime can't be
+    // set (restrictive FS), the sentinel could land in batch 1, leap the
+    // watermark past every real event, and the gate would emit nothing —
+    // fail loudly instead of silently-empty
+    require(sentinel.setLastModified(System.currentTimeMillis() + 60000),
+      s"cannot set sentinel mtime under $zone — q89 ordering unguaranteed")
     val stream = s.readStream
       .schema("user_id LONG, event_id LONG, ets LONG, value DOUBLE")
       .option("maxFilesPerTrigger", "2")
@@ -282,7 +287,10 @@ object StreamingOps {
       new java.io.File(path).listFiles
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         .zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(t0 + i * 1000L): Unit }
+          // unchecked failure would reorder arrival and silently drop
+          // "late" rows from the joined result — fail loudly
+          require(f.setLastModified(t0 + i * 1000L),
+            s"cannot set mtime on $f — q94 arrival order unguaranteed") }
     }
     writeOrdered(ev.filter(col("event_type") === "click"), s"$zone/clicks")
     writeOrdered(ev.filter(col("event_type") === "purchase"), s"$zone/purchases")

@@ -24,8 +24,9 @@ object Pooling {
     * format (and the oracle-checkable shape: one double per row, no
     * array cells). `dim` is 0-based, long-typed. */
   def meanCentroidByDim(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame = {
-    val fixed = transform(vecCol,
-      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    // the ONE fixed-point quantization convention (shared with cluster
+    // assignment) — a precision change must hit every operator at once
+    val fixed = Clustering.fixedPoint(vecCol)
     // posexplode_outer, not posexplode: the fixed-point array is
     // computed, and InferFiltersFromGenerate + pushdown would inline
     // the whole quantization into an interpreted Filter (the q41 trap)

@@ -28,7 +28,11 @@ object ZOrder {
     if (span <= 0) lit(0L)
     else {
       val scaled = floor((c.cast("double") - lit(mn)) / lit(span) * lit((1L << bits) - 1).cast("double"))
-      greatest(lit(0L), least(lit((1L << bits) - 1), scaled.cast("long")))
+      // nulls rank 0 EXPLICITLY: least/greatest SKIP nulls, so an
+      // unguarded null would clamp to the MAX rank and pollute the
+      // top corner of the curve with full-range rows
+      greatest(lit(0L), least(lit((1L << bits) - 1),
+        coalesce(scaled.cast("long"), lit(0L))))
     }
   }
 
@@ -46,8 +50,8 @@ object ZOrder {
   }
 
   /** Write `df` to `path` as `numFiles` parquet files clustered on the
-    * z-curve over `clusterCols`. Returns the row count written (the
-    * stats pass and the write share one scan each). */
+    * z-curve over `clusterCols` (one stats scan + one clustered write;
+    * rows with null cluster values land at the curve's origin). */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
                     numFiles: Int, bits: Int = 16): Unit = {
     require(clusterCols.nonEmpty && numFiles >= 1)

@@ -52,8 +52,15 @@ class StreamingUpsert(spark: SparkSession, dir: String,
     val target =
       if (live.contains(s"$dir/v0")) s"$dir/v1" else s"$dir/v0"
     merged.write.mode("overwrite").parquet(target)
-    java.nio.file.Files.write(marker.toPath,
+    // ATOMIC pointer publish (temp + rename): a crash mid-write must
+    // not leave a truncated marker that silently resets the snapshot —
+    // the exact loss the marker exists to prevent
+    val tmp = new java.io.File(dir, "_LIVE.tmp").toPath
+    java.nio.file.Files.write(tmp,
       target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     live = Some(target)
   }
 
