@@ -23,6 +23,16 @@ class ZOrderSpec extends SparkTestBase {
     assert(z((2, 1)) == 6L) // x=10b → pos2; y=01b → pos1
   }
 
+  test("zValue: null dimension ranks at the curve origin, not the max corner") {
+    val pts = Seq((Some(3), 3), (None, 3)).toDF("x", "y")
+    val z = pts.select(
+        ZOrder.zValue(Seq($"x", $"y"), Seq(0, 0), Seq(3, 3), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSet
+    // (3,3) interleaves to 15; (null,3) must behave as (0,3) → 10, not
+    // collapse into the max corner (least/greatest skip nulls)
+    assert(z == Set(15L, 10L), s"got $z")
+  }
+
   test("writeZOrdered: rows conserved, file count as requested") {
     val dir = scratchDir("zorder-rows").toString
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
