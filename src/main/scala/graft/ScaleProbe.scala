@@ -48,6 +48,18 @@ object ScaleProbe {
       r
     }
 
+    def shardedEmb(k: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sf)
+      val total = base.count()
+      (0 until k).map { s =>
+        base.select(
+          (col("vec_id") + lit(s * total)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(s * 1e-4)).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+    }
+
     for (k <- Seq(1, n)) {
       println(s"=== corpus ${k}x")
       val docs = shardedDocs(k).persist()
@@ -81,6 +93,27 @@ object ScaleProbe {
       pairs.unpersist(); docs.unpersist()
       spark.catalog.clearCache()
       Checkpoints.releaseAll(spark)
+
+      // ANN: the IVF claim is that SEARCH cost tracks probed-list
+      // volume (nProbe/k of the corpus), not corpus size — fit and
+      // index amortize, so time them separately from the query path
+      val emb = shardedEmb(k).persist()
+      println(s"embeddings: ${emb.count()}")
+      val model = time(s"${k}x ivf fit (sampled 1-in-8)") {
+        graft.similarity.Ivf.fit(emb, k = 32, iters = 2, fitOneIn = 8)
+      }
+      val indexed = time(s"${k}x ivf index") {
+        val ix = graft.similarity.Ivf.index(Tables.spread(spark, emb), model)
+          .persist()
+        ix.count(); ix
+      }
+      val queries = emb.filter(col("vec_id") < 20)
+      time(s"${k}x ivf search (probe 4/32)") {
+        graft.similarity.Ivf.search(queries, indexed, model,
+          topK = 10, nProbe = 4).count()
+      }
+      indexed.unpersist(); emb.unpersist()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
