@@ -56,6 +56,49 @@ class StreamingUpsertSpec extends SparkTestBase {
     assert(got == Map("a" -> "z", "b" -> "y")) // b survived the restart
   }
 
+  test("checkpointed restart: offsets skip consumed files, snapshot carries over") {
+    // phase 1: two zone files exist; the query checkpoints its offsets
+    // and the sink publishes a durable snapshot. phase 2: a NEW query
+    // (new sink instance — a new JVM in production) on the SAME
+    // checkpoint dir sees only the file added in between, and merges it
+    // onto the restored snapshot rather than starting empty.
+    val zone = Files.createTempDirectory("su_ckpt_zone").toString
+    val ckpt = Files.createTempDirectory("su_ckpt_meta").toString
+    val snap = Files.createTempDirectory("su_ckpt_snap").toString
+    def writeFile(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val content = rows.map { case (k, s, p) =>
+        s"""{"k":"$k","seq":$s,"payload":"$p"}""" }.mkString("\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(zone, name).toPath, content): Unit
+    }
+    writeFile("f1.json", Seq(("a", 1L, "a1"), ("b", 1L, "b1")))
+    writeFile("f2.json", Seq(("a", 2L, "a2")))
+    def runOnce(): Unit = {
+      val sink = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+      val q = spark.readStream
+        .schema("k STRING, seq LONG, payload STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(zone)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.mergeBatch(b, id))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterPhase1 = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+      .snapshot().collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(afterPhase1 == Map("a" -> "a2", "b" -> "b1"))
+    // between runs: one more file lands
+    writeFile("f3.json", Seq(("c", 1L, "c1"), ("a", 3L, "a3")))
+    runOnce()
+    val afterPhase2 = new StreamingUpsert(spark, snap, Seq("k"), Seq("seq"))
+      .snapshot().collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // b survived the restart (no reprocessing of f1/f2 needed), a and c advanced
+    assert(afterPhase2 == Map("a" -> "a3", "b" -> "b1", "c" -> "c1"))
+  }
+
   test("batch replay is idempotent — the exactly-once-on-retry posture") {
     // foreachBatch redelivers a batch after a failure/restart with the
     // SAME batchId; latest-wins merging makes the re-merge a no-op, so
