@@ -224,6 +224,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Join") || p.contains("join"), s"no join found:\n$p")
   }
 
+  test("q26 exact percentiles: one aggregation exchange, no global sort") {
+    // exact percentile is a sort-based aggregate BUFFER, not a plan-level
+    // sort: the only exchange keys the 3-group aggregation
+    val p = plan(Analytics.q26Percentiles(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"one shuffle expected:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"no global sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"percentile should aggregate, not sort the table:\n$p")
+  }
+
   test("q93 z-scores: group stats broadcast — the corpus is never shuffled for the join") {
     val p = plan(Analytics.q93ZscoreOutliers(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
