@@ -62,6 +62,14 @@ object ScaleProbe {
 
     for (k <- Seq(1, n)) {
       println(s"=== corpus ${k}x")
+      // the partition-sizing rule, applied: shuffle partitions scale
+      // with the data so each aggregation/join partition stays
+      // memory-sized (at 100x the sf0.1 setting of 32 partitions, CC's
+      // pair aggregation OOMs in a single local JVM — measured; with
+      // corpus-scaled partitions the same job completes)
+      val parts = math.max(32, 32 * k / 10)
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      println(s"shuffle partitions: $parts")
       val docs = shardedDocs(k).persist()
       println(s"docs: ${docs.count()}")
       val pairs = time(s"${k}x lsh candidate pairs") {
