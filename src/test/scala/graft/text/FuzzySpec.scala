@@ -47,6 +47,20 @@ class FuzzySpec extends SparkTestBase {
     d(a.length)(b.length)
   }
 
+  test("fuzzyPairs k=1 ≡ brute force on a dense random vocabulary") {
+    val params = Gen.Parameters.default
+    val g = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val vocab = (0 until 80).flatMap(i => g.apply(params, Seed(1000L + i))).distinct
+    val got = Fuzzy.fuzzyPairs(vocab.toDF("t"), $"t", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("fuzzyPairs k=2 ≡ brute force on a dense random vocabulary") {
     val params = Gen.Parameters.default
     val g = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')))
