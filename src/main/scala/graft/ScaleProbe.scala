@@ -28,18 +28,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
-    def shardedDocs(k: Int): DataFrame = {
-      val base = Tables.documents(spark, sf)
+    // one sharding scaffold for both tables: id-offset unions with a
+    // per-shard perturbation so cross-shard rows are near- not byte-dups
+    def sharded(base: DataFrame, idCol: String, k: Int)
+               (perturb: Int => Seq[org.apache.spark.sql.Column]): DataFrame = {
       val total = base.count()
       (0 until k).map { s =>
-        base.select(
-          (col("doc_id") + lit(s * total)).as("doc_id"),
-          // perturb: cross-shard copies are near-dups (shared prefix),
-          // not byte-dups — the LSH/verify path does real work
-          concat(col("text"), lit(s" shard$s marker$s")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+        base.select((col(idCol) + lit(s * total)).as(idCol) +: perturb(s): _*)
       }.reduce(_ unionByName _)
     }
+
+    def shardedDocs(k: Int): DataFrame =
+      sharded(Tables.documents(spark, sf), "doc_id", k)(s => Seq(
+        concat(col("text"), lit(s" shard$s marker$s")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
 
     def time[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -48,17 +50,11 @@ object ScaleProbe {
       r
     }
 
-    def shardedEmb(k: Int): DataFrame = {
-      val base = Tables.embeddings(spark, sf)
-      val total = base.count()
-      (0 until k).map { s =>
-        base.select(
-          (col("vec_id") + lit(s * total)).as("vec_id"),
-          transform(col("embedding"),
-            x => (x.cast("double") + lit(s * 1e-4)).cast("float")).as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-    }
+    def shardedEmb(k: Int): DataFrame =
+      sharded(Tables.embeddings(spark, sf), "vec_id", k)(s => Seq(
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(s * 1e-4)).cast("float")).as("embedding"),
+        col("label")))
 
     for (k <- Seq(1, n)) {
       println(s"=== corpus ${k}x")

@@ -58,9 +58,16 @@ class StreamingUpsert(spark: SparkSession, dir: String,
     val tmp = new java.io.File(dir, "_LIVE.tmp").toPath
     java.nio.file.Files.write(tmp,
       target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, marker.toPath,
+    try java.nio.file.Files.move(tmp, marker.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // mounts without atomic rename (some NFS/FUSE): degrade to a
+      // plain replace — less crash-safe, but the pipeline keeps running
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, marker.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     live = Some(target)
   }
 

@@ -8,9 +8,15 @@ import graft.olhovivo.SparkTestBase
 class GraftSessionSpec extends SparkTestBase {
 
   test("tune: UTC, nanosAsLong, SQL functions, and the as-of strategy land") {
-    GraftSession.tune(spark)
-    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
-    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // session-global conf reads under the shared-session lock
+    // (SparkTestBase contract) — tune() sets the same values as the
+    // base config, but the asserts must not race a suite that
+    // temporarily changes them under the lock
+    SparkTestBase.sessionConfLock.synchronized {
+      GraftSession.tune(spark)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    }
     // registered SQL surface: haversine + native signatures callable by name
     val r = spark.sql(
       """SELECT haversine_m(-23.0, -46.0, -23.1, -46.1) AS d,
@@ -29,9 +35,11 @@ class GraftSessionSpec extends SparkTestBase {
   }
 
   test("events table reads through a tuned session at every granularity") {
-    GraftSession.tune(spark)
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-    val row = ev.select("ts_ns", "ts_sec").head()
-    assert(row.getLong(0) / 1000000000L == row.getLong(1))
+    SparkTestBase.sessionConfLock.synchronized {
+      GraftSession.tune(spark)
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      val row = ev.select("ts_ns", "ts_sec").head()
+      assert(row.getLong(0) / 1000000000L == row.getLong(1))
+    }
   }
 }

@@ -91,6 +91,6 @@ class ZOrderSpec extends SparkTestBase {
     // so file boundaries jitter ±1 file between runs (observed 8 vs 9
     // hits) — the claim under test is "prunes", not an exact count
     val zB = hits(zf, Some((bp1, bp2)), Some((bs1, bs2)))
-    assert(zB <= 10, s"z-order box hit $zB/$n files")
+    assert(zB <= (n * 0.625).toInt, s"z-order box hit $zB/$n files")
   }
 }

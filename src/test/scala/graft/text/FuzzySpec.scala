@@ -47,31 +47,26 @@ class FuzzySpec extends SparkTestBase {
     d(a.length)(b.length)
   }
 
-  test("fuzzyPairs k=1 ≡ brute force on a dense random vocabulary") {
+  private def bruteForceCheck(k: Int, alphabet: Seq[Char], maxLen: Int,
+                              count: Int, seedBase: Long): Unit = {
     val params = Gen.Parameters.default
-    val g = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val g = Gen.choose(0, maxLen).flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet)))
       .map(_.mkString)
-    val vocab = (0 until 80).flatMap(i => g.apply(params, Seed(1000L + i))).distinct
-    val got = Fuzzy.fuzzyPairs(vocab.toDF("t"), $"t", 1)
+    val vocab = (0 until count).flatMap(i => g.apply(params, Seed(seedBase + i))).distinct
+    val got = Fuzzy.fuzzyPairs(vocab.toDF("t"), $"t", k)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val want = (for {
       a <- vocab; b <- vocab if a < b
-      d = lev(a, b) if d <= 1
+      d = lev(a, b) if d <= k
     } yield (a, b, d.toLong)).toSet
-    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got == want, s"k=$k missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("fuzzyPairs k=1 ≡ brute force on a dense random vocabulary") {
+    bruteForceCheck(1, Seq('a', 'b', 'c'), maxLen = 4, count = 80, seedBase = 1000L)
   }
 
   test("fuzzyPairs k=2 ≡ brute force on a dense random vocabulary") {
-    val params = Gen.Parameters.default
-    val g = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')))
-      .map(_.mkString)
-    val vocab = (0 until 60).flatMap(i => g.apply(params, Seed(i.toLong))).distinct
-    val got = Fuzzy.fuzzyPairs(vocab.toDF("t"), $"t", 2)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    val want = (for {
-      a <- vocab; b <- vocab if a < b
-      d = lev(a, b) if d <= 2
-    } yield (a, b, d.toLong)).toSet
-    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    bruteForceCheck(2, Seq('a', 'b'), maxLen = 5, count = 60, seedBase = 0L)
   }
 }
