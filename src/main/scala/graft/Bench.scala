@@ -20,6 +20,17 @@ import org.apache.spark.sql.SparkSession
   * min-of-N is the standard interference-resistant estimator of a
   * deterministic workload's true cost (both runs do the full work — no
   * result reuse: every query re-plans and re-executes from the scan).
+  *
+  * End-of-sweep retry pass: adjacent retries cannot escape a SUSTAINED
+  * interference window (round 6 published 7.9 s for a map-only
+  * projection whose raw attempts were [9.0, 18.0, 7.9] — every attempt
+  * sat inside the same multi-second noise plateau; true warm cost
+  * 0.33 s). So after the full sweep — minutes later, when the window
+  * has usually passed — any query whose attempts never tightened
+  * (spread still > 1.5×) or whose min exceeds 3× its prior-round value
+  * (read from the previous bench_runs.json before it is overwritten)
+  * is re-timed once more, in sweep order, and the min re-taken over
+  * all attempts. The side file lists the retried queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -75,7 +86,23 @@ object Bench {
     // shows as a large spread, a real slowdown as two consistent high
     // values. "queries" stays scalar — best successful run, or -1.0 —
     // the driver's published shape.
-    val results = sorted.map { case (name, fn) =>
+    val runsOut = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "target/bench_runs.json")
+    // Prior-round mins, read before this run overwrites the side file:
+    // the cross-round regression trigger for the retry pass. Parsed with
+    // a regex (no JSON library on the unmanaged classpath) — the file is
+    // machine-written by this object, so the shape is fixed.
+    val priorMin: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(runsOut)
+      val text = try src.mkString finally src.close()
+      val entry = """"(q[^"]+)":\[([0-9eE+.,\-]*)\]""".r
+      entry.findAllMatchIn(text).map { m =>
+        val ok = m.group(2).split(',').iterator
+          .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+          .filter(_ >= 0).toSeq
+        m.group(1) -> (if (ok.isEmpty) -1.0 else ok.min)
+      }.toMap.filter(_._2 >= 0)
+    } catch { case _: Throwable => Map.empty }
+    val firstPass = sorted.map { case (name, fn) =>
       val a = timeOnce(name, fn)
       name -> (if (a < 0) Seq(a)
       else {
@@ -92,6 +119,38 @@ object Bench {
       val ok = rs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // End-of-sweep retry pass (see scaladoc): re-time — once each, in
+    // sweep order — the queries whose adjacent attempts never escaped a
+    // sustained interference window. Two triggers: (a) attempts still
+    // spread > 1.5× after the adaptive third attempt; (b) min > 3× the
+    // prior round's min for the same query. Both gated on min ≥ 0.3 s:
+    // a retry only pays when the published MIN is itself inflated by a
+    // meaningful amount — a 0.12 s-vs-0.18 s spread is millisecond
+    // jitter, and retrying it would re-run half the sweep for nothing
+    // (observed: 50/99 retried at sf0.001 without the floor).
+    def needsRetry(name: String, rs: Seq[Double]): Boolean = {
+      val ok = rs.filter(_ >= 0)
+      ok.nonEmpty && ok.min >= 0.3 && {
+        val spreadBad = ok.max > 1.5 * ok.min
+        val regressedVsPrior = priorMin.get(name).exists(p => ok.min > 3 * p)
+        spreadBad || regressedVsPrior
+      }
+    }
+    val retried = firstPass.collect { case (n, rs) if needsRetry(n, rs) => n }
+    val retriedSet = retried.toSet
+    val results =
+      if (retried.isEmpty) firstPass
+      else {
+        val extra = sorted.collect { case (name, fn) if retriedSet(name) =>
+          name -> timeOnce(name, fn)
+        }.toMap
+        firstPass.map { case (name, rs) =>
+          name -> (extra.get(name) match {
+            case Some(t) if t >= 0 => rs :+ t
+            case _ => rs
+          })
+        }
+      }
     // 3-decimal timings: millisecond granularity is far below shared-VM
     // run-to-run noise, and full-precision doubles pushed the compact
     // line past the driver's 2000-char tail-capture window (~2318 chars
@@ -138,10 +197,10 @@ object Bench {
     // and unparseable for two rounds. Publish the compact line LAST and
     // alone on stdout; the raw attempts (the interference-vs-regression
     // signal) go to a side file.
-    val runsOut = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "target/bench_runs.json")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(new java.io.File(runsOut))
-      try w.println(s"""{"runs":$raw,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"runs":$raw,"retried":$retriedJson,"sf":"$sfDir"}""") finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $runsOut: ${e.getMessage}") }
     println(line)

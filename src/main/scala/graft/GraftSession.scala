@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Monitor for temporary session-global conf changes (e.g. a streaming
+    * query resizing `spark.sql.shuffle.partitions` to its state volume,
+    * a test setting the durable checkpoint dir). A SparkSession is shared
+    * across concurrent callers via getOrCreate, so any set→use→restore
+    * span must hold this lock or unrelated work plans with the temporary
+    * value. Test suites alias this same object (SparkTestBase). */
+  val sessionConfLock: Object = new Object
+
   def local(cores: String = "*", shufflePartitions: Option[Int] = None): SparkSession = {
     val parts = shufflePartitions.getOrElse(
       if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt)

@@ -34,6 +34,7 @@ object SparkEntry {
       (graft.queries.Extras.queries, graft.queries.Extras.oracles),
       (graft.queries.MultimodalOps.queries, graft.queries.MultimodalOps.oracles),
       (graft.queries.StreamingOps.queries, graft.queries.StreamingOps.oracles),
+      (graft.queries.SqlText.queries, graft.queries.SqlText.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -43,10 +43,18 @@ object ConnectedComponents {
 
   /** @param vertices one row per node (singletons keep their own id as
     *                 cluster); @param pairs undirected edges; duplicates
-    *                 and self-loops tolerated. Returns (id, cluster_id). */
+    *                 and self-loops tolerated. Returns (id, cluster_id).
+    * @param scope when the caller materializes the result through a
+    *              [[graft.CacheScope.Scoped]], pass it here: the FINAL
+    *              round's checkpoint (which the returned lazy frame
+    *              reads from) is registered as a scope intermediate and
+    *              its files are deleted the moment the caller's
+    *              `materializeAndRelease` lands — instead of surviving
+    *              until the session-wide `releaseAll`. */
   def components(vertices: DataFrame, idCol: String,
                  pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 100): DataFrame = {
+                 maxIter: Int = 100,
+                 scope: Option[graft.CacheScope.Scoped] = None): DataFrame = {
     val raw = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -99,6 +107,7 @@ object ConnectedComponents {
       edges = newEdges
       prevCount = n
     }
+    scope.foreach(_.trackIntermediate(edges))
     vertices.select(col(idCol).cast("long").as("id")).distinct()
       .join(labelsOf(edges).select(col("u").as("id"), col("lab")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("cluster_id"))

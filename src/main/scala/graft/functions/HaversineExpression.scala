@@ -73,6 +73,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
+    ext.injectFunction(GraftExtensions.quantileRankDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -159,10 +160,20 @@ object GraftExtensions {
         exprs(0), exprs(1))
     })
 
+  private[functions] val quantileRankDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_rank"),
+    new ExpressionInfo(classOf[QuantileRank].getName, "quantile_rank"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "quantile_rank(value, boundaries)")
+      QuantileRank(exprs(0), exprs(1))
+    })
+
   private val all = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
-    bloomAggDescriptor, bloomMightContainDescriptor)
+    bloomAggDescriptor, bloomMightContainDescriptor,
+    quantileRankDescriptor)
 
   /** Register on an already-built session (tests, driver sessions):
     * functions via the registry, the as-of planner strategy via

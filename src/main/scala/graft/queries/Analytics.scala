@@ -74,23 +74,54 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** q26's 100 TB path: approx_percentile (GK sketch — partial-merge,
-    * bounded memory per group, no global sort). Declared WITHOUT an
-    * oracle (engine-specific sketch values), q90 convention — the driver
-    * records the rows-only check. The exact percentiles ride along so a
-    * human can eyeball sketch error; accuracy 10000 holds relative rank
-    * error under 1e-4. */
-  def q91ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    * bounded memory per group, no global sort). The raw sketch outputs
+    * are engine-specific and can never hash-match a DuckDB twin, so the
+    * COMPARED columns are the exact percentiles plus a
+    * `within_tolerance` boolean that checks the sketch's error BOUND:
+    * accuracy 10000 guarantees relative rank error ≤ 1e-4, so each
+    * approx value must lie inside the exact interpolated percentile
+    * band at rank p ± 1e-3 (a 10× margin). The oracle computes the
+    * exact twin and a literal TRUE — a sketch that drifts outside its
+    * contract flips the boolean and fails the hash. */
+  def q91ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    // ONE Percentile buffer per column (an array of percentages shares
+    // the buffer) — 9 scalar percentile aggs would build 9 sorted
+    // count-maps per group and ran 5.5 s at sf0.1; this shape runs the
+    // same check in 2
+    val pq = percentile(col("l_quantity"),
+      array(lit(0.5 - eps), lit(0.5), lit(0.5 + eps)))
+    val pp = percentile(col("l_extendedprice"),
+      array(lit(0.25 - eps), lit(0.25), lit(0.25 + eps),
+        lit(0.75 - eps), lit(0.75), lit(0.75 + eps)))
+    val aq = percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+    val ap = percentile_approx(col("l_extendedprice"),
+      array(lit(0.25), lit(0.75)), lit(10000))
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 4)
-          .as("approx_median_qty"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)), 4)
-          .as("approx_p25_price"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)), 4)
-          .as("approx_p75_price"),
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("exact_median_qty"),
+      .agg(pq.as("pq"), pp.as("pp"), aq.as("aq"), ap.as("ap"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pq"), 2), 4).as("exact_median_qty"),
+        round(element_at(col("pp"), 2), 4).as("exact_p25_price"),
+        round(element_at(col("pp"), 5), 4).as("exact_p75_price"),
+        col("n"),
+        (col("aq").between(element_at(col("pq"), 1), element_at(col("pq"), 3)) &&
+          element_at(col("ap"), 1)
+            .between(element_at(col("pp"), 1), element_at(col("pp"), 3)) &&
+          element_at(col("ap"), 2)
+            .between(element_at(col("pp"), 4), element_at(col("pp"), 6)))
+          .as("within_tolerance"))
+  }
+
+  val q91Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS exact_p75_price,
+      |  count(*) AS n,
+      |  TRUE AS within_tolerance
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------- q27 statistical aggs
 
@@ -219,14 +250,13 @@ object Analytics {
     "q91_approx_percentiles" -> q91ApproxPercentiles,
     "q93_zscore_outliers" -> q93ZscoreOutliers,
   )
-  // q91: intentionally no oracle (engine-specific sketch; rows-only)
-
   val oracles: Map[String, String] = Map(
     "q25_window_suite" -> q25Sql,
     "q26_percentiles"  -> q26Sql,
     "q27_stats_agg"    -> q27Sql,
     "q28_argminmax"    -> q28Sql,
     "q29_cube"         -> q29Sql,
+    "q91_approx_percentiles" -> q91Sql,
     "q93_zscore_outliers" -> q93Sql,
   )
 }

@@ -254,11 +254,19 @@ object DedupOps {
   /** The dedup pipeline's deliverable: q45's near-dup pairs collapsed to
     * clusters by connected components; every document labeled with its
     * cluster's canonical (minimum) doc_id, singletons included. */
-  def q47DedupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.ConnectedComponents.components(
-        Tables.documents(s, dir), "doc_id",
-        q45SimhashPairs(s, dir), "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("cluster_id"))
+  def q47DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // scoped so the CC final-round checkpoint is released (files
+    // deleted) once the result is materialized, not at session cleanup
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.dedup.ConnectedComponents.components(
+          Tables.documents(s, dir), "doc_id",
+          // q45's result is itself a checkpoint — release it with this
+          // query, not at session cleanup
+          scope.trackIntermediate(q45SimhashPairs(s, dir)),
+          "id_a", "id_b", scope = Some(scope))
+        .select(col("id").as("doc_id"), col("cluster_id")))
+  }
 
   /** Transitive closure by recursive reachability walk over the
     * symmetric q45 pair graph; `clus` = (doc_id, min reachable doc_id).
@@ -290,18 +298,23 @@ object DedupOps {
     * is then the caller's one-liner. */
   def q59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val scope = graft.CacheScope.scoped()
     // materialize: the cluster relation feeds BOTH keepBest and the
     // final labeling join — unmaterialized, the post-checkpoint
-    // labeling subtree (labelsOf agg + vertex join) would run twice
-    val clusters = graft.Checkpoints.eager(
+    // labeling subtree (labelsOf agg + vertex join) would run twice.
+    // Tracked as a scope intermediate (along with CC's final round) so
+    // its files are deleted the moment the RESULT checkpoint lands.
+    val clusters = scope.trackIntermediate(graft.Checkpoints.eager(
       graft.dedup.ConnectedComponents.components(
-        docs, "doc_id", q45SimhashPairs(s, dir), "id_a", "id_b"))
+        docs, "doc_id", scope.trackIntermediate(q45SimhashPairs(s, dir)),
+        "id_a", "id_b", scope = Some(scope))))
     val keep = graft.dedup.ConnectedComponents.keepBest(
       clusters, docs, "doc_id", length(col("text")).cast("long"))
-    clusters.select(col("id").as("doc_id"), col("cluster_id"))
-      .join(keep, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("keep_id")).as("kept"))
+    scope.materializeAndRelease(
+      clusters.select(col("id").as("doc_id"), col("cluster_id"))
+        .join(keep, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("keep_id")).as("kept")))
   }
 
   /** Oracle: the q47 walk plus a windowed arg-max (priority DESC,

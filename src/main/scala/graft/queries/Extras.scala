@@ -375,15 +375,29 @@ object Extras {
          |FROM canon WHERE rn = 1""".stripMargin
   }
 
-  /** Approximate distinct (HLL++): engine-specific sketch, so declared
-    * WITHOUT an oracle — the driver records the weaker rows-only check.
-    * The exact countDistinct rides along as an internal sanity column. */
+  /** Approximate distinct (HLL++): the raw sketch estimate is
+    * engine-specific and can never hash-match a DuckDB twin, so the
+    * COMPARED columns are the exact count plus a `within_tolerance`
+    * boolean checking the sketch's error BOUND: rsd 0.02 means a
+    * standard error of 2%, so the estimate must land within ±6%
+    * (3σ) of the exact count. The oracle computes the exact twin and a
+    * literal TRUE — an estimator outside its contract flips the boolean
+    * and fails the hash. */
   def q90ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"))
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        (abs(approx_count_distinct(col("o_custkey"), 0.02) -
+            countDistinct(col("o_custkey"))).cast("double") <=
+          lit(0.06) * countDistinct(col("o_custkey")))
+          .as("within_tolerance"))
+
+  val q90Sql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS within_tolerance
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q14_pivot"           -> q14Pivot,
@@ -416,6 +430,6 @@ object Extras {
     "q60_multimodal_meta" -> q60Sql,
     "q61_media_sniff"     -> q61Sql,
     "q79_video_sniff"     -> q79Sql,
-    // q90: intentionally no oracle (approximate sketch)
+    "q90_approx_distinct" -> q90Sql,
   )
 }

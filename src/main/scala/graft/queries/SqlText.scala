@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-TEXT entry path: gate queries submitted as SQL strings through
+  * `spark.sql` over registered temp views — proving the engine's
+  * parser/analyzer/registry surface end-to-end, including the graft
+  * EXTENSION functions (`haversine_m`, `dot_product`) resolving through
+  * the session's function registry from SQL text. q16 (TPC-H Q3) covers
+  * the plain-ANSI join path; these cover windows and extension
+  * functions. The plans these texts analyze into are the same Catalyst
+  * plans the DataFrame twins build — same pushdown, same codegen — so
+  * the scale posture is inherited, not re-argued.
+  */
+object SqlText {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The haversine pipeline's hop distance, as SQL text through the
+    * registered `haversine_m` extension function (a named WINDOW clause
+    * exercises the parser's window path too). Oracle: the shared posCte
+    * dataflow, whose `hops` CTE inlines the identical formula
+    * (operation order matches graft.functions.Haversine.compute — see
+    * q20's green hash for the standing proof). */
+  def q100SqlHaversine(s: SparkSession, dir: String): DataFrame = {
+    OlhoVivo.posicoesFromEvents(s, dir).createOrReplaceTempView("posicoes")
+    s.sql(
+      """WITH lagged AS (
+        |  SELECT prefixo_veiculo, event_id, py, px, `timestamp`,
+        |    lag(py) OVER w AS py_prev,
+        |    lag(px) OVER w AS px_prev
+        |  FROM posicoes
+        |  WINDOW w AS (PARTITION BY prefixo_veiculo ORDER BY `timestamp`, event_id))
+        |SELECT prefixo_veiculo, event_id,
+        |  round(haversine_m(py_prev, px_prev, py, px), 2) AS dist_m
+        |FROM lagged WHERE px_prev IS NOT NULL""".stripMargin)
+  }
+
+  val q100Sql: String = OlhoVivo.posCte +
+    """SELECT prefixo_veiculo, event_id, distancia AS dist_m FROM hops""".stripMargin
+
+  /** q07's running window as SQL text: cumulative sum + lag per user,
+    * accumulation order pinned by (ts_ns, event_id) so both engines
+    * fold doubles identically. */
+  def q101SqlWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id), 2)
+        |    AS delta
+        |FROM events""".stripMargin)
+  }
+
+  val q101Sql: String =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+      |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS delta
+      |FROM events""".stripMargin
+
+  /** The similarity hot loop through SQL text: the registered
+    * `dot_product` codegen expression scoring a broadcast query set
+    * against a corpus slice. Oracle mirrors the fold with the same
+    * sequential element order (VectorOps.dotSql's standing parity). */
+  def q102SqlDot(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+    s.sql(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
+        |      FROM embeddings WHERE vec_id < 500)
+        |SELECT query_id, corpus_id,
+        |  round(dot_product(qvec, cvec), 4) AS dot
+        |FROM q JOIN c ON corpus_id <> query_id""".stripMargin)
+  }
+
+  val q102Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < 4),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
+       |      FROM embeddings WHERE vec_id < 500)
+       |SELECT query_id, corpus_id,
+       |  round(${VectorOps.dotSqlForOracle("qvec", "cvec")}, 4) AS dot
+       |FROM q JOIN c ON corpus_id <> query_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q100_sql_haversine" -> q100SqlHaversine,
+    "q101_sql_window"    -> q101SqlWindow,
+    "q102_sql_dot"       -> q102SqlDot,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q100_sql_haversine" -> q100Sql,
+    "q101_sql_window"    -> q101Sql,
+    "q102_sql_dot"       -> q102Sql,
+  )
+}

@@ -36,11 +36,15 @@ object StreamingOps {
     * (On a real 100 TB stream the same knob goes UP with state volume —
     * the point is sizing it to the state, not inheriting the batch
     * setting.) */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    // the conf is session-global: hold the shared lock for the whole
+    // set→run→restore span so concurrent work on the same session never
+    // plans its shuffles with this query's state-sized value
+    graft.GraftSession.sessionConfLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** One-shot streaming run: positions → JSON landing zone (distributed
     * write, no driver collect) → readStream (2 files per micro-batch) →

@@ -21,7 +21,11 @@ object VectorOps {
   private val MinCos = 0.3
 
   /** dot(a,b) as a sequential double fold — SQL mirror of
-    * Similarity.dot. */
+    * Similarity.dot (and of the dot_product codegen expression, which
+    * accumulates in the same 0→n−1 order). Shared with SqlText's q102
+    * oracle. */
+  private[queries] def dotSqlForOracle(a: String, b: String): String = dotSql(a, b)
+
   private def dotSql(a: String, b: String): String =
     s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"d -> $a[d]::DOUBLE * $b[d]::DOUBLE)), 0.0::DOUBLE)::DOUBLE"

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * partitioning and any engine. A float distance would hang cluster
   * membership on last-ulp summation order for near-tied vectors; the
   * integer form makes assignment a hashable, oracle-checkable fact.
-  * (Range: |fx| ≤ 2^21 for |x| ≤ 2, so a 4096-dim squared distance stays
-  * ≤ 2^54 — inside long.)
+  * (Range: |fx| ≤ 2^21 for |x| ≤ 2, so a per-dimension difference is
+  * ≤ 2^22, its square ≤ 2^44, and a 4096-dim squared distance bounds at
+  * ~2^56 — inside a signed long's 2^63 with 2^7 headroom. Re-derive
+  * before raising dimension count or fixed-point precision.)
   *
   * Scale design: the centroid set is a MODEL (k×dim doubles) shipped as
   * plan literals — the corpus pass is map-only, no join, no shuffle; the

@@ -79,12 +79,13 @@ object IO {
     }.sum
     val planned = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue).toInt
-    val out = df.coalesce(planned)
-    // coalesce never INCREASES partition count: when the scan yields
-    // fewer splits than the size target asks for, the real output count
-    // is the scan's — return that, not the plan
-    val actual = out.rdd.getNumPartitions
-    out.write.mode("overwrite").parquet(outPath)
-    actual
+    df.coalesce(planned).write.mode("overwrite").parquet(outPath)
+    // Report the file count actually COMMITTED, by listing the output:
+    // probing the plan's RDD before the write would (a) materialize
+    // upstream stages a second time under AQE and (b) report a
+    // partitioning AQE may re-decide for the write's own execution.
+    val outDir = new org.apache.hadoop.fs.Path(outPath)
+    outDir.getFileSystem(hadoopConf).listStatus(outDir)
+      .count(st => st.getPath.getName.startsWith("part-"))
   }
 }

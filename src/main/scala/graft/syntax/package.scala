@@ -127,7 +127,7 @@ package object syntax {
       operators.AggMaintenance.state(df, keys, valueCol)
 
     def writeZOrdered(path: String, clusterCols: Seq[String],
-                      numFiles: Int, bits: Int = 16): Unit =
+                      numFiles: Int, bits: Int = 8): Unit =
       sources.ZOrder.writeZOrdered(df, path, clusterCols, numFiles, bits)
   }
 }

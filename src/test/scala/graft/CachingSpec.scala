@@ -77,6 +77,56 @@ class CachingSpec extends SparkTestBase {
     }
   }
 
+  test("reliable mode: a scoped dedup query leaves only its result checkpoint") {
+    SparkTestBase.sessionConfLock.synchronized {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-scoped").toString
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).toSeq.flatten.flatMap(c =>
+        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      // q59 checkpoints: q45's pairs result, CC's per-round edges, the
+      // eager clusters relation, and the final result. Everything but
+      // the result must be gone the moment the query function returns —
+      // a library caller in reliable mode must not need the session-wide
+      // releaseAll to avoid accumulating |data|-sized directories.
+      val out = SparkEntry.queries("q59_dedup_survivors")(spark, "/root/testdata/sf0.001")
+      assert(out.count() > 0)
+      val residue = rddDirs(new java.io.File(dir))
+      assert(residue.size == 1,
+        s"expected ONLY the result checkpoint, found ${residue.size}: $residue")
+      // per-query consumption signal (no releaseAll): frame itself
+      Checkpoints.release(out)
+      assert(rddDirs(new java.io.File(dir)).isEmpty,
+        "result checkpoint survived its own release")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
+  test("releaseConsumed releases this scope's checkpoints and nobody else's") {
+    import spark.implicits._
+    SparkTestBase.sessionConfLock.synchronized {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-consumed").toString
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).toSeq.flatten.flatMap(c =>
+        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val s1 = CacheScope.scoped()
+      val s2 = CacheScope.scoped()
+      val a = s1.materializeAndRelease(Seq(1, 2).toDF("x"))
+      val b = s2.materializeAndRelease(Seq(3, 4, 5).toDF("x"))
+      assert(a.count() == 2 && b.count() == 3)
+      s1.releaseConsumed()
+      val left = rddDirs(new java.io.File(dir))
+      assert(left.size == 1, s"scope-1 release touched scope-2's files: $left")
+      assert(b.count() == 3, "scope-2's frame must stay readable")
+      s2.releaseConsumed()
+      assert(rddDirs(new java.io.File(dir)).isEmpty)
+    } finally spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("checkpoint dir conf switches materialization to reliable checkpoints") {
     import spark.implicits._
     SparkTestBase.sessionConfLock.synchronized {

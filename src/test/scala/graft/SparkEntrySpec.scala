@@ -12,11 +12,11 @@ class SparkEntrySpec extends graft.olhovivo.SparkTestBase {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    q.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
-    // only deliberate rows-only entries may lack an oracle (the approx
-    // sketches, whose outputs are engine-specific by design)
-    assert((q -- o) == Set("q90_approx_distinct", "q91_approx_percentiles"),
-      s"unexpected oracle-less: ${q -- o}")
+    q.foreach(n => assert(n.matches("q[0-9]{2,3}_[a-z0-9_]+"), s"bad name: $n"))
+    // every entry is oracle-checked — the approx sketches expose their
+    // error bound as a compared within_tolerance boolean (exact twin +
+    // literal TRUE on the DuckDB side)
+    assert((q -- o).isEmpty, s"unexpected oracle-less: ${q -- o}")
   }
 
   test("all queries analyze against sf0.001 (schema-level contract)") {

@@ -32,6 +32,9 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   /** Suites share ONE SparkSession (getOrCreate) and run in parallel, so
     * any test that mutates session-global conf (e.g. the durable
-    * checkpoint dir) must hold this lock for the set→use→unset span. */
-  val sessionConfLock: Object = new Object
+    * checkpoint dir) must hold this lock for the set→use→unset span.
+    * Alias of the LIBRARY's lock so library code that temporarily
+    * resizes conf (StreamingOps.withStatePartitions) serializes against
+    * test-side conf mutation on the same monitor. */
+  val sessionConfLock: Object = graft.GraftSession.sessionConfLock
 }

@@ -93,4 +93,52 @@ class ZOrderSpec extends SparkTestBase {
     val zB = hits(zf, Some((bp1, bp2)), Some((bs1, bs2)))
     assert(zB <= (n * 0.625).toInt, s"z-order box hit $zB/$n files")
   }
+
+  test("quantile_rank: upper-bound semantics, duplicates, nulls, empty bounds") {
+    val bounds = Seq(1.0, 5.0, 5.0, 9.0)
+    val rows = Seq(Some(0.0), Some(1.0), Some(4.0), Some(5.0), Some(9.0),
+        Some(100.0), None).toDF("v")
+      .select(call_function("quantile_rank", $"v", typedlit(bounds)).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    // rank = #{bounds <= v}: 0→0, 1→1, 4→1, 5→3 (both dups), 9→4, 100→4
+    assert(rows == Seq(0L, 1L, 1L, 3L, 4L, 4L, null))
+    val empty = Seq(3.0).toDF("v")
+      .select(call_function("quantile_rank", $"v", typedlit(Seq.empty[Double])).as("r"))
+      .head().getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("skewed column: quantile ranks prune where linear min/max cannot") {
+    val dir = scratchDir("zorder-skew").toString
+    val n = 16
+    // web-scale shape: 90% of x packed into [0, 900), 10% long tail out
+    // to ~10^9; y uniform. Linear 8-bit quantization has bucket width
+    // ~4*10^6 — the ENTIRE dense region quantizes to rank 0, so the
+    // z-curve degenerates to a y-sort and an x-predicate prunes nothing.
+    val rows = spark.range(0, 50000).select(
+      when($"id" % 10 < 9, $"id" % 900)
+        .otherwise(lit(1000L) + ($"id" % 1000) * 1000000L).as("x"),
+      (($"id" * 7919) % 1000).as("y"))
+    ZOrder.writeZOrdered(rows, s"$dir/q", Seq("x", "y"), n)
+    // linear baseline: same curve, same file count, min/max quantization
+    val st = rows.agg(min($"x").cast("double"), max($"x").cast("double"),
+      min($"y").cast("double"), max($"y").cast("double")).head()
+    rows.withColumn("__z", ZOrder.zValue(Seq($"x", $"y"),
+        Seq(st.getDouble(0), st.getDouble(2)), Seq(st.getDouble(1), st.getDouble(3)),
+        bits = 8))
+      .repartitionByRange(n, $"__z").sortWithinPartitions($"__z").drop("__z")
+      .write.mode("overwrite").parquet(s"$dir/lin")
+    // x-range predicate inside the dense region, ~11% of rows
+    def hits(path: String): Int =
+      new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"x"), max($"x")).head()
+        r.getLong(1) >= 100 && r.getLong(0) <= 200
+      }
+    val (qh, lh) = (hits(s"$dir/q"), hits(s"$dir/lin"))
+    assert(lh >= (n * 0.8).toInt,
+      s"expected the linear layout NOT to prune the skewed dim, hit $lh/$n")
+    assert(qh <= n / 2,
+      s"quantile layout failed to prune the skewed dim: hit $qh/$n files")
+  }
 }
