@@ -94,13 +94,21 @@ object Bench {
     val priorMin: Map[String, Double] = try {
       val src = scala.io.Source.fromFile(runsOut)
       val text = try src.mkString finally src.close()
-      val entry = """"(q[^"]+)":\[([0-9eE+.,\-]*)\]""".r
-      entry.findAllMatchIn(text).map { m =>
-        val ok = m.group(2).split(',').iterator
-          .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
-          .filter(_ >= 0).toSeq
-        m.group(1) -> (if (ok.isEmpty) -1.0 else ok.min)
-      }.toMap.filter(_._2 >= 0)
+      // cross-round timings are only comparable at the SAME scale
+      // factor — a prior sf0.001 file would flag nearly every sf0.1 min
+      // as a >3x "regression" and re-time most of the sweep
+      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text)
+        .exists(_.group(1) == sfDir)
+      if (!sameSf) Map.empty[String, Double]
+      else {
+        val entry = """"(q[^"]+)":\[([0-9eE+.,\-]*)\]""".r
+        entry.findAllMatchIn(text).map { m =>
+          val ok = m.group(2).split(',').iterator
+            .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+            .filter(_ >= 0).toSeq
+          m.group(1) -> (if (ok.isEmpty) -1.0 else ok.min)
+        }.toMap.filter(_._2 >= 0)
+      }
     } catch { case _: Throwable => Map.empty }
     val firstPass = sorted.map { case (name, fn) =>
       val a = timeOnce(name, fn)

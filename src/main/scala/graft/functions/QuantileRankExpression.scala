@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * The boundary array must be FOLDABLE (a plan literal — the fitted
   * model, not data): it is evaluated once at codegen/first-eval time.
   * Duplicate boundaries are tolerated (upper-bound search is
-  * deterministic under duplicates); a null/empty array ranks everything
-  * 0; a null value is null (callers coalesce to the curve origin).
+  * deterministic under duplicates); an EMPTY array ranks everything 0;
+  * a null value OR null boundary literal yields null (the expression is
+  * null-intolerant) — callers coalesce to the curve origin.
   */
 case class QuantileRank(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes with Serializable {

@@ -88,7 +88,7 @@ object Analytics {
     // ONE Percentile buffer per column (an array of percentages shares
     // the buffer) — 9 scalar percentile aggs would build 9 sorted
     // count-maps per group and ran 5.5 s at sf0.1; this shape runs the
-    // same check in 2
+    // same check with 2 buffers in ~2 s (q26's cost class)
     val pq = percentile(col("l_quantity"),
       array(lit(0.5 - eps), lit(0.5), lit(0.5 + eps)))
     val pp = percentile(col("l_extendedprice"),

@@ -84,7 +84,7 @@ object SqlText {
        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
        |      FROM embeddings WHERE vec_id < 500)
        |SELECT query_id, corpus_id,
-       |  round(${VectorOps.dotSqlForOracle("qvec", "cvec")}, 4) AS dot
+       |  round(${VectorOps.dotSql("qvec", "cvec")}, 4) AS dot
        |FROM q JOIN c ON corpus_id <> query_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

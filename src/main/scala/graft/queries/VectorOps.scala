@@ -24,9 +24,7 @@ object VectorOps {
     * Similarity.dot (and of the dot_product codegen expression, which
     * accumulates in the same 0→n−1 order). Shared with SqlText's q102
     * oracle. */
-  private[queries] def dotSqlForOracle(a: String, b: String): String = dotSql(a, b)
-
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"d -> $a[d]::DOUBLE * $b[d]::DOUBLE)), 0.0::DOUBLE)::DOUBLE"
 

@@ -8,6 +8,12 @@ import graft.olhovivo.SparkTestBase
   * must not accumulate posting lists / signature relations). */
 class CachingSpec extends SparkTestBase {
 
+  /** All rdd-* checkpoint directories under a configured checkpoint dir
+    * — the residue detector for the reliable-mode tests. */
+  private def rddDirs(f: java.io.File): Seq[java.io.File] =
+    Option(f.listFiles).toSeq.flatten.flatMap(c =>
+      (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+
   test("caching queries leave the CacheManager empty after materialization") {
     val dir = "/root/testdata/sf0.001"
     // the five entries whose operators cache internally
@@ -49,9 +55,6 @@ class CachingSpec extends SparkTestBase {
     import spark.implicits._
     SparkTestBase.sessionConfLock.synchronized {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
-    def rddDirs(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles).toSeq.flatten.flatMap(c =>
-        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
     spark.conf.set(Checkpoints.DirKey, dir)
     try {
       // two chains → a few large/small-star rounds, each checkpointed
@@ -80,9 +83,6 @@ class CachingSpec extends SparkTestBase {
   test("reliable mode: a scoped dedup query leaves only its result checkpoint") {
     SparkTestBase.sessionConfLock.synchronized {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-scoped").toString
-    def rddDirs(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles).toSeq.flatten.flatMap(c =>
-        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
     spark.conf.set(Checkpoints.DirKey, dir)
     try {
       // q59 checkpoints: q45's pairs result, CC's per-round edges, the
@@ -107,9 +107,6 @@ class CachingSpec extends SparkTestBase {
     import spark.implicits._
     SparkTestBase.sessionConfLock.synchronized {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-consumed").toString
-    def rddDirs(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles).toSeq.flatten.flatMap(c =>
-        (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
     spark.conf.set(Checkpoints.DirKey, dir)
     try {
       val s1 = CacheScope.scoped()
