@@ -249,6 +249,51 @@ class PlanAuditSpec extends SparkTestBase {
       s"no calendar cross join allowed:\n$p")
   }
 
+  test("q100/q101 SQL text: same plan shape as the DataFrame twins") {
+    // the SQL-text path must analyze into the plans the DataFrame API
+    // builds — parser surface, not a second engine: q100 = one vehicle
+    // window exchange with the haversine expression in codegen; q101 =
+    // one user window exchange, both window functions fused
+    val p100 = plan(SqlText.q100SqlHaversine(spark, dir))
+    assert(countOf(p100, "Exchange hashpartitioning") == 1,
+      s"q100 expected exactly 1 shuffle (the vehicle window):\n$p100")
+    assert(p100.contains("haversine_m"), s"extension fn missing from plan:\n$p100")
+    assert(countOf(p100, "Exchange rangepartitioning") == 0)
+    val p101 = plan(SqlText.q101SqlWindow(spark, dir))
+    assert(countOf(p101, "Exchange hashpartitioning") == 1,
+      s"q101 expected exactly 1 shuffle (the user window):\n$p101")
+    assert(countOf(p101, "Window [") == 1,
+      s"running sum + lag must fuse into one Window:\n$p101")
+  }
+
+  test("q102 SQL text: query side broadcasts; dot_product runs in whole-stage codegen") {
+    val p = plan(SqlText.q102SqlDot(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"4-row query side must broadcast:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 0,
+      s"corpus must not shuffle for a broadcast scoring pass:\n$p")
+    assert(p.contains("dot_product"), s"expression missing from plan:\n$p")
+  }
+
+  test("quantile_rank z-value: map-only codegen, no fallback") {
+    // the z-order write's rank expression must live inside whole-stage
+    // codegen (it feeds a full-corpus map stage at 100 TB) — a
+    // CodegenFallback would interpret every row
+    val bounds = Seq(Array(1.0, 2.0, 3.0), Array(10.0, 20.0))
+    val df = graft.Tables.lineitem(spark, dir).select(
+      graft.sources.ZOrder.zValueQuantile(
+        Seq(org.apache.spark.sql.functions.col("l_partkey"),
+          org.apache.spark.sql.functions.col("l_suppkey")), bounds, bits = 2)
+        .as("z"))
+    val p = plan(df)
+    // the starred "*(n) Project" prefix is toString's whole-stage-codegen
+    // marker; an interpreted fallback prints an unstarred Project
+    assert(p.matches("(?s).*\\*\\(\\d+\\) Project.*quantile_rank.*"),
+      s"z-value fell out of codegen:\n$p")
+    assert(countOf(p, "Exchange") == 0, s"rank compute must be map-only:\n$p")
+    assert(df.agg(org.apache.spark.sql.functions.max("z")).head().getLong(0) <= 15L)
+  }
+
   test("jaccard co-occurrence join: pair join reuses the posting-list partitioning") {
     // postings are shuffled ONCE by hash(h) for the df window; the
     // self-join on h must reuse that partitioning from the cache — the
