@@ -100,6 +100,61 @@ class StreamingRestartSpec extends SparkTestBase {
       s"expected 12 real sessions, got ${restarted.count(_.head != -1L)}")
   }
 
+  test("streaming dedup: duplicate state survives the restart") {
+    // the q77 shape (StreamingDedup.dedupStream): a duplicate of a
+    // PHASE-1 document arriving after the restart must be dropped by
+    // RESTORED dedup state — re-emitting it would double-ingest at
+    // 100 TB every time a multi-hour ingestion query restarts
+    val base = scratchDir("dedup-restart").toFile
+    val zone = new java.io.File(base, "zone")
+    val t0 = 1700000000L
+    def row(id: Long, text: String, ets: Long): String =
+      s"""{"doc_id":$id,"text":"$text","ets":$ets}"""
+    val now = System.currentTimeMillis()
+    def run(ckpt: String, out: String): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ets LONG")
+        .option("maxFilesPerTrigger", "1")
+        .json(zone.toString)
+        .withColumn("event_time", timestamp_seconds(col("ets")))
+      val q = StreamingDedup
+        .dedupStream(stream, col("text"), "event_time", "1 day")
+        .select(col("doc_id"), col("text"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase 1: three distinct texts plus an in-phase duplicate of "aa"
+    writeJson(zone, "f1.json",
+      Seq(row(1, "aa", t0), row(2, "bb", t0 + 10)), now - 40000)
+    writeJson(zone, "f2.json",
+      Seq(row(3, "aa", t0 + 20), row(4, "cc", t0 + 30)), now - 30000)
+    val ckpt = new java.io.File(base, "ckpt").toString
+    val out = new java.io.File(base, "out").toString
+    run(ckpt, out)
+    val phase1 = committed(out)
+    assert(phase1.map(_(1)) == Set[Any]("aa", "bb", "cc"),
+      s"phase 1 must emit one row per distinct text: $phase1")
+    // between runs: a duplicate of phase-1 "bb" (within the watermark)
+    // and a genuinely new "dd"
+    writeJson(zone, "f3.json",
+      Seq(row(5, "bb", t0 + 40), row(6, "dd", t0 + 50)), now - 20000)
+    run(ckpt, out) // restart on the SAME checkpoint
+    val restarted = committed(out)
+    // uninterrupted reference over the complete zone
+    val refOut = new java.io.File(base, "ref_out").toString
+    run(new java.io.File(base, "ref_ckpt").toString, refOut)
+    val ref = committed(refOut)
+    assert(restarted.map(_(1)) == ref.map(_(1)),
+      s"restarted dedup diverged: $restarted vs $ref")
+    assert(restarted.map(_(1)) == Set[Any]("aa", "bb", "cc", "dd"),
+      s"doc 5 (dup of restored 'bb') must be dropped, 'dd' kept: $restarted")
+    assert(restarted.size == 4, s"expected 4 survivors, got ${restarted.size}")
+  }
+
   test("stream-stream join: kill, add files, restart == uninterrupted run") {
     val base = scratchDir("ssjoin-restart").toFile
     val zone = new java.io.File(base, "zone")
