@@ -69,6 +69,15 @@ object ZOrder {
     interleave(cols.indices.map(d => quantize(cols(d), mins(d), maxs(d), bits)), bits)
   }
 
+  /** Per-dimension fitted boundary model (sorted, deduped). */
+  sealed trait DimBounds { def size: Int }
+  final case class NumericBounds(values: Array[Double]) extends DimBounds {
+    def size: Int = values.length
+  }
+  final case class StringBounds(values: Array[String]) extends DimBounds {
+    def size: Int = values.length
+  }
+
   /** Fit per-column quantile boundaries for `bits`-bit ranks: ONE global
     * sketch aggregate computing 2^bits − 1 approx_percentile boundaries
     * per column (the model, not the data). Boundaries are deduped —
@@ -89,34 +98,107 @@ object ZOrder {
     }
   }
 
+  /** String-column boundary fit: approx_percentile has no string form,
+    * so boundaries come from a deterministic reservoir sample — the
+    * same technique Spark's own RangePartitioner (and therefore
+    * repartitionByRange) uses for its range bounds. The sample (fixed
+    * seed, bounded size) is sorted driver-side and evenly-spaced values
+    * become the boundaries: ≤ 2^bits − 1 strings collected, the model
+    * not the data. Skew-robust the same way the numeric fit is — a
+    * heavy-hitter occupies many sample slots but dedupes to ONE
+    * boundary. */
+  def stringQuantileBounds(df: DataFrame, colName: String, bits: Int = 8,
+                           sampleSize: Int = 65536): Array[String] = {
+    require(bits >= 1 && bits <= 16)
+    val b = (1 << bits) - 1
+    val sample = df.select(col(colName).cast("string")).na.drop()
+      .rdd.map(_.getString(0)).takeSample(withReplacement = false, sampleSize, seed = 42L)
+    if (sample.isEmpty) Array.empty[String]
+    else {
+      // UTF8String binary order == the unsigned-byte order of the UTF-8
+      // encoding; JVM String.compareTo orders by UTF-16 char, which
+      // diverges on supplementary characters — sort in the encoded-byte
+      // order so boundary order matches the expression's comparisons
+      val sorted = sample
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString).sorted
+      (1 to math.min(b, sorted.length - 1))
+        .map(i => sorted((i.toLong * sorted.length / (b + 1)).toInt).toString)
+        .distinct.toArray
+    }
+  }
+
+  /** Schema-dispatched boundary fit: numeric columns through the ONE
+    * approx_percentile pass, string columns through the sampled range
+    * fit (one extra column-pruned scan each). */
+  def fitBounds(df: DataFrame, clusterCols: Seq[String],
+                bits: Int = 8): Seq[DimBounds] = {
+    val types = clusterCols.map(c => df.schema(c).dataType)
+    val numericCols = clusterCols.zip(types).collect {
+      case (c, t) if t != org.apache.spark.sql.types.StringType => c
+    }
+    val numeric: Map[String, Array[Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else numericCols.zip(quantileBounds(df, numericCols, bits)).toMap
+    clusterCols.zip(types).map {
+      case (c, org.apache.spark.sql.types.StringType) =>
+        StringBounds(stringQuantileBounds(df, c, bits))
+      case (c, _) => NumericBounds(numeric(c))
+    }
+  }
+
   /** Bit-interleaved z-value over quantile ranks (fitted boundary model
     * as plan literals; codegen binary search per dimension). Null
     * dimensions rank at the curve origin. Requires GraftExtensions on
     * the session (`quantile_rank` is an extension function). */
   def zValueQuantile(cols: Seq[Column], bounds: Seq[Array[Double]],
-                     bits: Int = 8): Column = {
+                     bits: Int = 8): Column =
+    zValueTyped(cols, bounds.map(NumericBounds(_)), bits)
+
+  /** As [[zValueQuantile]], with per-dimension numeric OR string
+    * boundary models.
+    *
+    * Ranks are STRETCHED over the full 2^bits range by an integer
+    * factor ⌊(2^bits − 1)/B⌋ when a dimension fits fewer than 2^bits − 1
+    * distinct boundaries (B): heavy-hitter dedup can leave a dimension
+    * with only a handful of ranks, and unstretched those occupy only
+    * the LOW bits — the dimension's high interleave bits sit constant
+    * at 0, the curve degenerates to a sort on the other dimensions, and
+    * pruning on this one dies (observed: an equality probe on a 90%-
+    * skewed string column hit 16/16 files unstretched, ≤ n/2 stretched).
+    * Integer multiplication by a plan literal preserves rank order and
+    * stays in codegen. */
+  def zValueTyped(cols: Seq[Column], bounds: Seq[DimBounds],
+                  bits: Int = 8): Column = {
     val k = cols.length
     require(k >= 1 && k == bounds.length && k * bits <= 62,
       s"k*bits must fit a long, got $k*$bits")
-    require(bounds.forall(_.length < (1 << bits)),
+    require(bounds.forall(_.size < (1 << bits)),
       s"boundary count must fit $bits-bit ranks")
     val qs = cols.indices.map { d =>
-      coalesce(
-        call_function("quantile_rank", cols(d).cast("double"),
-          typedlit(bounds(d).toSeq)),
-        lit(0L))
+      val ranked = bounds(d) match {
+        case NumericBounds(b) =>
+          call_function("quantile_rank", cols(d).cast("double"), typedlit(b.toSeq))
+        case StringBounds(b) =>
+          call_function("quantile_rank", cols(d).cast("string"), typedlit(b.toSeq))
+      }
+      // B ≤ 2^bits − 1 (required above) → stretch ≥ 1; max scaled rank
+      // B·stretch ≤ 2^bits − 1 stays inside the interleave width
+      val stretch = ((1 << bits) - 1) / math.max(1, bounds(d).size)
+      coalesce(ranked * lit(stretch.toLong), lit(0L))
     }
     interleave(qs, bits)
   }
 
   /** Write `df` to `path` as `numFiles` parquet files clustered on the
-    * z-curve over `clusterCols` (one quantile-stats scan + one clustered
-    * write; rows with null cluster values land at the curve's origin). */
+    * z-curve over `clusterCols` — numeric AND string dimensions (one
+    * quantile-stats scan, plus one sampled scan per string column; one
+    * clustered write; rows with null cluster values land at the curve's
+    * origin). */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
                     numFiles: Int, bits: Int = 8): Unit = {
     require(clusterCols.nonEmpty && numFiles >= 1)
-    val z = zValueQuantile(clusterCols.map(col),
-      quantileBounds(df, clusterCols, bits), bits)
+    val z = zValueTyped(clusterCols.map(col),
+      fitBounds(df, clusterCols, bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

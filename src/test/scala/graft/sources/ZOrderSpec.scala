@@ -108,6 +108,55 @@ class ZOrderSpec extends SparkTestBase {
     assert(empty == 0L)
   }
 
+  test("quantile_rank strings: byte-order upper bound, nulls, empty") {
+    val bounds = Seq("bb", "dd", "dd", "ff")
+    val rows = Seq(Some("aa"), Some("bb"), Some("cc"), Some("dd"), Some("ff"),
+        Some("zz"), None).toDF("v")
+      .select(call_function("quantile_rank", $"v", typedlit(bounds)).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    // rank = #{bounds <= v}: aa→0, bb→1, cc→1, dd→3 (dups), ff→4, zz→4
+    assert(rows == Seq(0L, 1L, 1L, 3L, 4L, 4L, null))
+    val empty = Seq("x").toDF("v")
+      .select(call_function("quantile_rank", $"v", typedlit(Seq.empty[String])).as("r"))
+      .head().getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("string dimension: skewed domain column prunes with quantile ranks") {
+    val dir = scratchDir("zorder-str").toString
+    val n = 16
+    // web-corpus shape: one heavy-hitter domain holds 90% of rows, the
+    // tail spreads over many; y uniform numeric. A string column has no
+    // linear min/max quantization AT ALL — quantile ranks are what
+    // makes it clusterable.
+    val rows = spark.range(0, 50000).select(
+      when($"id" % 10 < 9, lit("popular.com"))
+        .otherwise(concat(lit("site"), format_string("%04d", $"id" % 2000), lit(".org")))
+        .as("domain"),
+      (($"id" * 7919) % 1000).as("y"))
+    ZOrder.writeZOrdered(rows, s"$dir/z", Seq("domain", "y"), n)
+    assert(spark.read.parquet(s"$dir/z").count() == 50000)
+    // an equality predicate on a mid-tail domain (~0.005% of rows) must
+    // skip most files on the string footprints
+    val probe = "site1000.org"
+    val hit = new java.io.File(s"$dir/z").listFiles
+      .filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"domain"), max($"domain")).head()
+        !r.isNullAt(0) && r.getString(1) >= probe && r.getString(0) <= probe
+      }
+    assert(hit <= n / 2, s"string dim failed to prune: $hit/$n files overlap $probe")
+    // and the heavy hitter itself stays clustered rather than smeared
+    // over every file
+    val hot = new java.io.File(s"$dir/z").listFiles
+      .filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"domain"), max($"domain")).head()
+        !r.isNullAt(0) && r.getString(1) >= "popular.com" && r.getString(0) <= "popular.com"
+      }
+    assert(hot >= n / 2, s"90% heavy hitter should span many files, got $hot/$n")
+  }
+
   test("skewed column: quantile ranks prune where linear min/max cannot") {
     val dir = scratchDir("zorder-skew").toString
     val n = 16
