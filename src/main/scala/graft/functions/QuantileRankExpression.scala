@@ -77,8 +77,10 @@ case class QuantileRank(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (isString) {
+      // Java SOURCE syntax for the array type — classOf[...].getName
+      // would yield the JVM binary name "[L...;" and break compilation
       val ref = ctx.addReferenceObj("quantileStrBounds", strBounds,
-        classOf[Array[UTF8String]].getName)
+        classOf[UTF8String].getName + "[]")
       defineCodeGen(ctx, ev, (v, _) =>
         s"graft.functions.QuantileRank.rankString($v, $ref)")
     } else {

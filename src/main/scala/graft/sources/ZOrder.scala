@@ -101,47 +101,63 @@ object ZOrder {
   /** String-column boundary fit: approx_percentile has no string form,
     * so boundaries come from a deterministic reservoir sample — the
     * same technique Spark's own RangePartitioner (and therefore
-    * repartitionByRange) uses for its range bounds. The sample (fixed
-    * seed, bounded size) is sorted driver-side and evenly-spaced values
-    * become the boundaries: ≤ 2^bits − 1 strings collected, the model
-    * not the data. Skew-robust the same way the numeric fit is — a
-    * heavy-hitter occupies many sample slots but dedupes to ONE
-    * boundary. */
-  def stringQuantileBounds(df: DataFrame, colName: String, bits: Int = 8,
-                           sampleSize: Int = 65536): Array[String] = {
+    * repartitionByRange) uses for its range bounds. ALL string columns
+    * share ONE sample pass (column-pruned to just them): at the 100 TB
+    * layer a boundary fit must not cost a scan per dimension. Each
+    * column's values are then sorted driver-side in UTF8 byte order and
+    * evenly-spaced values become its boundaries: ≤ 2^bits − 1 strings
+    * per column, the model not the data. Skew-robust the same way the
+    * numeric fit is — a heavy-hitter occupies many sample slots but
+    * dedupes to ONE boundary. Nulls are dropped per column AFTER the
+    * row sample (not via a joint na.drop, which would bias one column's
+    * marginal by another's null pattern); a mostly-null column simply
+    * fits from a smaller sample. */
+  def stringQuantileBounds(df: DataFrame, colNames: Seq[String], bits: Int = 8,
+                           sampleSize: Int = 65536): Seq[Array[String]] = {
     require(bits >= 1 && bits <= 16)
+    require(colNames.nonEmpty)
     val b = (1 << bits) - 1
-    val sample = df.select(col(colName).cast("string")).na.drop()
-      .rdd.map(_.getString(0)).takeSample(withReplacement = false, sampleSize, seed = 42L)
-    if (sample.isEmpty) Array.empty[String]
-    else {
-      // UTF8String binary order == the unsigned-byte order of the UTF-8
-      // encoding; JVM String.compareTo orders by UTF-16 char, which
-      // diverges on supplementary characters — sort in the encoded-byte
-      // order so boundary order matches the expression's comparisons
-      val sorted = sample
-        .map(org.apache.spark.unsafe.types.UTF8String.fromString).sorted
-      (1 to math.min(b, sorted.length - 1))
-        .map(i => sorted((i.toLong * sorted.length / (b + 1)).toInt).toString)
-        .distinct.toArray
+    val rows = df.select(colNames.map(c => col(c).cast("string")): _*)
+      .rdd.takeSample(withReplacement = false, sampleSize, seed = 42L)
+    colNames.indices.map { i =>
+      val sample = rows.collect { case r if !r.isNullAt(i) => r.getString(i) }
+      if (sample.isEmpty) Array.empty[String]
+      else {
+        // UTF8String binary order == the unsigned-byte order of the
+        // UTF-8 encoding; JVM String.compareTo orders by UTF-16 char,
+        // which diverges on supplementary characters — sort in the
+        // encoded-byte order so boundary order matches the
+        // expression's comparisons
+        val sorted = sample
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).sorted
+        (1 to math.min(b, sorted.length - 1))
+          .map(j => sorted((j.toLong * sorted.length / (b + 1)).toInt).toString)
+          .distinct.toArray
+      }
     }
   }
 
   /** Schema-dispatched boundary fit: numeric columns through the ONE
-    * approx_percentile pass, string columns through the sampled range
-    * fit (one extra column-pruned scan each). */
+    * approx_percentile pass, string columns through the ONE shared
+    * sampled range fit — two stats passes total, independent of the
+    * number of cluster dimensions. */
   def fitBounds(df: DataFrame, clusterCols: Seq[String],
                 bits: Int = 8): Seq[DimBounds] = {
     val types = clusterCols.map(c => df.schema(c).dataType)
     val numericCols = clusterCols.zip(types).collect {
       case (c, t) if t != org.apache.spark.sql.types.StringType => c
     }
+    val stringCols = clusterCols.zip(types).collect {
+      case (c, org.apache.spark.sql.types.StringType) => c
+    }
     val numeric: Map[String, Array[Double]] =
       if (numericCols.isEmpty) Map.empty
       else numericCols.zip(quantileBounds(df, numericCols, bits)).toMap
+    val strings: Map[String, Array[String]] =
+      if (stringCols.isEmpty) Map.empty
+      else stringCols.zip(stringQuantileBounds(df, stringCols, bits)).toMap
     clusterCols.zip(types).map {
-      case (c, org.apache.spark.sql.types.StringType) =>
-        StringBounds(stringQuantileBounds(df, c, bits))
+      case (c, org.apache.spark.sql.types.StringType) => StringBounds(strings(c))
       case (c, _) => NumericBounds(numeric(c))
     }
   }
@@ -191,9 +207,9 @@ object ZOrder {
 
   /** Write `df` to `path` as `numFiles` parquet files clustered on the
     * z-curve over `clusterCols` — numeric AND string dimensions (one
-    * quantile-stats scan, plus one sampled scan per string column; one
-    * clustered write; rows with null cluster values land at the curve's
-    * origin). */
+    * quantile-stats scan, plus one shared sampled scan if any dimension
+    * is a string; one clustered write; rows with null cluster values
+    * land at the curve's origin). */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
                     numFiles: Int, bits: Int = 8): Unit = {
     require(clusterCols.nonEmpty && numFiles >= 1)

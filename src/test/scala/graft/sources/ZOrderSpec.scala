@@ -109,17 +109,26 @@ class ZOrderSpec extends SparkTestBase {
   }
 
   test("quantile_rank strings: byte-order upper bound, nulls, empty") {
-    val bounds = Seq("bb", "dd", "dd", "ff")
-    val rows = Seq(Some("aa"), Some("bb"), Some("cc"), Some("dd"), Some("ff"),
-        Some("zz"), None).toDF("v")
-      .select(call_function("quantile_rank", $"v", typedlit(bounds)).as("r"))
-      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
-    // rank = #{bounds <= v}: aa→0, bb→1, cc→1, dd→3 (dups), ff→4, zz→4
-    assert(rows == Seq(0L, 1L, 1L, 3L, 4L, 4L, null))
-    val empty = Seq("x").toDF("v")
-      .select(call_function("quantile_rank", $"v", typedlit(Seq.empty[String])).as("r"))
-      .head().getLong(0)
-    assert(empty == 0L)
+    // CODEGEN_ONLY turns any generated-code compile failure into a hard
+    // error instead of Spark's silent interpreter fallback — this caught
+    // a real one (JVM binary array name "[L...;" emitted where Java
+    // source syntax "UTF8String[]" was needed)
+    SparkTestBase.sessionConfLock.synchronized {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try {
+        val bounds = Seq("bb", "dd", "dd", "ff")
+        val rows = Seq(Some("aa"), Some("bb"), Some("cc"), Some("dd"), Some("ff"),
+            Some("zz"), None).toDF("v")
+          .select(call_function("quantile_rank", $"v", typedlit(bounds)).as("r"))
+          .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+        // rank = #{bounds <= v}: aa→0, bb→1, cc→1, dd→3 (dups), ff→4, zz→4
+        assert(rows == Seq(0L, 1L, 1L, 3L, 4L, 4L, null))
+        val empty = Seq("x").toDF("v")
+          .select(call_function("quantile_rank", $"v", typedlit(Seq.empty[String])).as("r"))
+          .head().getLong(0)
+        assert(empty == 0L)
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("string dimension: skewed domain column prunes with quantile ranks") {
@@ -155,6 +164,32 @@ class ZOrderSpec extends SparkTestBase {
         !r.isNullAt(0) && r.getString(1) >= "popular.com" && r.getString(0) <= "popular.com"
       }
     assert(hot >= n / 2, s"90% heavy hitter should span many files, got $hot/$n")
+  }
+
+  test("two string dimensions share one sample pass; both prune") {
+    val dir = scratchDir("zorder-str2").toString
+    val n = 16
+    // lang is mostly-null (nulls rank at the origin, and must not bias
+    // domain's fit through a joint na.drop); domain spreads uniformly
+    val rows = spark.range(0, 40000).select(
+      concat(lit("host"), format_string("%05d", $"id" % 4000), lit(".net")).as("domain"),
+      when($"id" % 4 === 0, concat(lit("lang_"), format_string("%02d", ($"id" / 4).cast("long") % 40)))
+        .otherwise(lit(null).cast("string")).as("lang"))
+    val bounds = ZOrder.fitBounds(rows, Seq("domain", "lang"))
+    assert(bounds.forall(_.isInstanceOf[ZOrder.StringBounds]))
+    // the mostly-null column still fits a real boundary model from its
+    // non-null sample slice
+    assert(bounds(1).size > 10, s"mostly-null column fit only ${bounds(1).size} bounds")
+    ZOrder.writeZOrdered(rows, s"$dir/z", Seq("domain", "lang"), n)
+    assert(spark.read.parquet(s"$dir/z").count() == 40000)
+    def hits(colName: String, probe: String): Int =
+      new java.io.File(s"$dir/z").listFiles.filter(_.getName.endsWith(".parquet")).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(colName)), max(col(colName))).head()
+        !r.isNullAt(0) && r.getString(1) >= probe && r.getString(0) <= probe
+      }
+    assert(hits("domain", "host02000.net") <= n / 2, "domain dim failed to prune")
+    assert(hits("lang", "lang_20") <= n / 2, "lang dim failed to prune")
   }
 
   test("skewed column: quantile ranks prune where linear min/max cannot") {
