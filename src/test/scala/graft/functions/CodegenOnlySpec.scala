@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** Every custom scalar expression's generated code must actually
+  * COMPILE: Spark's default factory mode silently falls back to the
+  * interpreted path on a codegen compile error (one WARN, then a 10×
+  * slower expression forever). `CODEGEN_ONLY` turns the fallback into a
+  * hard failure — this sweep drives each registered extension function
+  * through a projection under that mode, so a broken `doGenCode` is a
+  * red test, not a quiet slowdown. (This caught a real one: the string
+  * quantile_rank emitted a JVM binary array name "[L...;" where Java
+  * source syntax was required.)
+  */
+class CodegenOnlySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def codegenOnly[A](body: => A): A =
+    SparkTestBase.sessionConfLock.synchronized {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try body
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+
+  test("haversine_m compiles and evaluates under CODEGEN_ONLY") {
+    val m = codegenOnly {
+      Seq((-23.55, -46.63, -23.56, -46.64)).toDF("a", "b", "c", "d")
+        .select(call_function("haversine_m", $"a", $"b", $"c", $"d").as("m"))
+        .head().getDouble(0)
+    }
+    assert(m > 1000 && m < 2500, s"unexpected haversine: $m")
+  }
+
+  test("dot_product compiles and evaluates under CODEGEN_ONLY") {
+    val d = codegenOnly {
+      Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("x", "y")
+        .select(call_function("dot_product", $"x", $"y").as("d"))
+        .head().getDouble(0)
+    }
+    assert(math.abs(d - 32.0) < 1e-6)
+  }
+
+  test("minhash_sig compiles and evaluates under CODEGEN_ONLY") {
+    val sig = codegenOnly {
+      Seq(Seq(11L, 22L, 33L)).toDF("h")
+        .select(call_function("minhash_sig", $"h", lit(8)).as("s"))
+        .head().getSeq[Long](0)
+    }
+    assert(sig.length == 8)
+  }
+
+  test("simhash64 compiles and evaluates under CODEGEN_ONLY") {
+    val r = codegenOnly {
+      Seq(Seq(11L, 22L, 33L)).toDF("h")
+        .select(call_function("simhash64", $"h", lit(48)).as("s"))
+        .head()
+    }
+    // deterministic for fixed input; the point is that the projection
+    // compiled — just assert it produced a 48-bit value
+    assert(!r.isNullAt(0) && (r.getLong(0) >>> 48) == 0L)
+  }
+
+  test("quantile_rank (double and string) compiles under CODEGEN_ONLY") {
+    codegenOnly {
+      val num = Seq(2.5).toDF("v")
+        .select(call_function("quantile_rank", $"v",
+          typedlit(Seq(1.0, 2.0, 3.0))).as("r")).head().getLong(0)
+      assert(num == 2L)
+      val str = Seq("cc").toDF("v")
+        .select(call_function("quantile_rank", $"v",
+          typedlit(Seq("bb", "dd"))).as("r")).head().getLong(0)
+      assert(str == 1L)
+    }
+  }
+}
