@@ -118,6 +118,26 @@ object ScaleProbe {
       }
       indexed.unpersist(); emb.unpersist()
       spark.catalog.clearCache()
+
+      // z-order clustered write, mixed string+numeric dims: the claim
+      // is the boundary FIT is corpus-flat (one sketch aggregate + one
+      // bounded sample — the model, not the data) and the WRITE is the
+      // one range shuffle any clustering pays, linear in rows
+      val zdocs = shardedDocs(k)
+      val zdir = java.nio.file.Files.createTempDirectory("graft-zprobe").toString
+      val zb = time(s"${k}x z-order boundary fit") {
+        graft.sources.ZOrder.fitBounds(zdocs, Seq("source", "n_chars"))
+      }
+      println(s"  bounds: ${zb.map(_.size).mkString("/")}")
+      time(s"${k}x z-order clustered write") {
+        graft.sources.ZOrder.writeZOrdered(zdocs, s"$zdir/z",
+          Seq("source", "n_chars"), numFiles = math.max(16, 16 * k / 10))
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(zdir))
     }
     spark.stop()
   }
