@@ -35,6 +35,7 @@ object SparkEntry {
       (graft.queries.MultimodalOps.queries, graft.queries.MultimodalOps.oracles),
       (graft.queries.StreamingOps.queries, graft.queries.StreamingOps.oracles),
       (graft.queries.SqlText.queries, graft.queries.SqlText.oracles),
+      (graft.queries.ScaleOps.queries, graft.queries.ScaleOps.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */
