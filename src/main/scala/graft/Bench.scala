@@ -175,15 +175,19 @@ object Bench {
     // basename only: the full testdata path spends ~15 chars of the
     // capture window saying nothing the basename doesn't
     val sfLabel = new java.io.File(sfDir).getName
-    // stdout keys are the "qNN" prefixes (unique across the inventory —
-    // falls back to the full name on a collision): at 87 queries the
-    // full-name line is ~1,975 chars even at ONE decimal, which overflows
-    // the driver's ~2,000-char tail window; short keys keep 3-decimal
-    // precision at ~1,100 chars. Full names live in the side file.
+    // stdout keys are the "qNN" number prefixes (everything before the
+    // first underscore — unique by construction, and still unique when
+    // the inventory passed q99 and "q10" started colliding with
+    // q100–q104; falls back to the full name if a collision ever
+    // appears): at 87 queries the full-name line is ~1,975 chars even at
+    // ONE decimal, which overflows the driver's ~2,000-char tail window;
+    // short keys keep 3-decimal precision well inside it. Full names
+    // live in the side file.
     val shortKey: Map[String, String] = {
-      val byPrefix = results.map(_._1).groupBy(_.take(3))
+      def num(k: String) = k.takeWhile(_ != '_')
+      val byPrefix = results.map(_._1).groupBy(num)
       results.map(_._1).map { k =>
-        k -> (if (byPrefix(k.take(3)).size == 1) k.take(3) else k)
+        k -> (if (byPrefix(num(k)).size == 1) num(k) else k)
       }.toMap
     }
     def lineAt(dec: Int): String = {
