@@ -241,6 +241,37 @@ object Analytics {
       |  round(z, 4) AS z
       |FROM z WHERE abs(z) > 2.5""".stripMargin
 
+  // ------------------------------------------------ q105 time-range frame
+
+  /** Trailing-30-day per-customer order stats at every order: a RANGE
+    * window frame over the day number — peers (same-day orders) enter
+    * the frame together, so the result is deterministic without a
+    * tiebreak, unlike ROWS frames. The feature shape behind
+    * time-decayed aggregates ("spend in the last 30 days") at 100 TB:
+    * one hash exchange on the entity key, a per-partition sort, then a
+    * sliding frame — no self-join, no per-day grid materialization.
+    * Sums run in exact decimal (per-frame sums are small, so double
+    * accumulation noise would land on the half-cent boundary). */
+  def q105RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("trailing_n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+          .cast("double").as("trailing_spend"))
+  }
+
+  val q105Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  count(*) OVER w AS trailing_n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS trailing_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q25_window_suite" -> q25WindowSuite,
     "q26_percentiles"  -> q26Percentiles,
@@ -249,6 +280,7 @@ object Analytics {
     "q29_cube"         -> q29Cube,
     "q91_approx_percentiles" -> q91ApproxPercentiles,
     "q93_zscore_outliers" -> q93ZscoreOutliers,
+    "q105_range_frame" -> q105RangeFrame,
   )
   val oracles: Map[String, String] = Map(
     "q25_window_suite" -> q25Sql,
@@ -258,5 +290,6 @@ object Analytics {
     "q29_cube"         -> q29Sql,
     "q91_approx_percentiles" -> q91Sql,
     "q93_zscore_outliers" -> q93Sql,
+    "q105_range_frame" -> q105Sql,
   )
 }
