@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+/** Temp directories for session-lifetime derived artifacts (q103's
+  * bucketed layout, q52's stored IVF index): created under the system
+  * temp dir, deleted recursively when the JVM exits. Without the hook
+  * every Bench/Verify/test JVM on a long-lived shared VM leaves behind a
+  * projected table copy per run. */
+object TempArtifacts {
+
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.forEach { p => rm(p.toFile) }
+    }, "graft-temp-artifacts-cleanup"))
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(rm)
+    }
+    f.delete(): Unit
+  }
+
+  /** A fresh artifact dir; registered for recursive delete at JVM exit. */
+  def dir(prefix: String): String = {
+    hookInstalled
+    val p = Files.createTempDirectory(prefix)
+    created.add(p)
+    p.toString
+  }
+}

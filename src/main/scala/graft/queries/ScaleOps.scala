@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +30,7 @@ object ScaleOps {
     * shuffle, paid at layout time), then run join + per-key aggregate
     * reading the bucketed tables: the scan's bucket clustering satisfies
     * the join's and the aggregate's distribution requirements, so the
-    * whole chain is EXCHANGE-FREE (plan-asserted in PlanAuditSpec with
+    * whole chain is EXCHANGE-FREE (plan-asserted in ScaleOpsSpec with
     * broadcast disabled). At 100 TB this is the canonical fact-table
     * layout: every daily join against the bucketed key costs zero
     * shuffle instead of re-shuffling the corpus.
@@ -58,7 +56,7 @@ object ScaleOps {
       if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(ordName)) {
         s.sql(s"DROP TABLE IF EXISTS $liName")
         s.sql(s"DROP TABLE IF EXISTS $ordName")
-        val base = Files.createTempDirectory("graft_bucketed")
+        val base = graft.TempArtifacts.dir("graft_bucketed")
         // bucket only the columns this consumer reads — the layout
         // shuffle is identical, the write is ~5× smaller
         Tables.lineitem(s, dir)
@@ -129,7 +127,9 @@ object ScaleOps {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell_cnt"))
     val exact = keyed.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
-    val total = keyed.agg(count(lit(1)).as("n_total"))
+    // N = Σ exact_cnt — a re-aggregate of the 1000-row exact counts (the
+    // shuffle is exchange-reused), NOT a third corpus scan
+    val total = exact.agg(sum(col("exact_cnt")).as("n_total"))
     val probes = exact.select(col("l_suppkey"), col("exact_cnt"),
       explode(cells(col("l_suppkey"))).as("sb"))
     probes

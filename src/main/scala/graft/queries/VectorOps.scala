@@ -140,7 +140,7 @@ object VectorOps {
       // posture; full probe keeps the result exact regardless of fit
       val emb = Tables.embeddings(s, dir)
       val m = graft.similarity.Ivf.fit(emb, k = 8, iters = 3, fitOneIn = 4)
-      val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val base = graft.TempArtifacts.dir("graft_ivf")
       graft.similarity.Ivf.save(m, s"$base/model")(s)
       graft.similarity.Ivf.index(Tables.spread(s, emb), m)
         .write.parquet(s"$base/index")

@@ -27,6 +27,11 @@ trait SparkTestBase extends AnyFunSuite {
     Files.createDirectories(base)
     Files.createTempDirectory(base, prefix)
   }
+
+  /** Occurrences of a token in a printed plan (shared by the plan-audit
+    * assertions across suites). */
+  def countOf(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
 }
 
 object SparkTestBase {

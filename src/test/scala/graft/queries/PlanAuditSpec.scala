@@ -17,8 +17,6 @@ class PlanAuditSpec extends SparkTestBase {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  private def countOf(s: String, token: String): Int =
-    s.sliding(token.length).count(_ == token)
 
   test("q02: filters push into the parquet scan; only needed columns read") {
     val p = plan(Relational.q02FilterPushdown(spark, dir))

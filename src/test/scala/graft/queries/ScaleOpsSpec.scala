@@ -54,16 +54,24 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
-  test("q104 plan: bounded sketch broadcasts; corpus pays exactly two aggregations") {
-    val p = ScaleOps.q104CountMin(spark, dir)
-      .queryExecution.executedPlan.toString
+  test("q104 plan: bounded sketch broadcasts; corpus pays exactly two scans") {
+    // static planner: the ReuseExchange rule's dedup of the n_total
+    // branch is deterministic in the printed plan, where AQE's runtime
+    // stage-reuse (same effect) prints stage bodies unstably
+    val p = SparkTestBase.sessionConfLock.synchronized {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try ScaleOps.q104CountMin(spark, dir).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     assert(p.contains("BroadcastExchange"), s"sketch model should broadcast:\n$p")
-    // sketch cell agg + exact key agg; the post-join min-groupBy reuses
-    // the exact agg's hash partitioning (l_suppkey ⊆ group keys)
-    assert(countOf(p, "Exchange hashpartitioning") == 2,
-      s"expected exactly the two corpus aggregations to shuffle:\n$p")
+    // sketch cell agg + exact key agg read the corpus; n_total is a
+    // re-aggregate of the exact counts whose shuffle is a ReusedExchange
+    // (not a third scan), and the post-join min-groupBy reuses the exact
+    // agg's hash partitioning (l_suppkey ⊆ group keys)
+    assert(countOf(p, "FileScan parquet") == 2,
+      s"expected exactly two corpus scans:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"n_total should reuse the exact-counts shuffle:\n$p")
   }
 
-  private def countOf(s: String, token: String): Int =
-    s.sliding(token.length).count(_ == token)
 }
