@@ -133,11 +133,7 @@ object ScaleProbe {
         graft.sources.ZOrder.writeZOrdered(zdocs, s"$zdir/z",
           Seq("source", "n_chars"), numFiles = math.max(16, 16 * k / 10))
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(zdir))
+      TempArtifacts.deleteRecursively(new java.io.File(zdir))
     }
     spark.stop()
   }

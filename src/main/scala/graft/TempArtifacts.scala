@@ -13,15 +13,14 @@ object TempArtifacts {
 
   private lazy val hookInstalled: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      created.forEach { p => rm(p.toFile) }
+      created.forEach { p => deleteRecursively(p.toFile) }
     }, "graft-temp-artifacts-cleanup"))
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) {
-      val children = f.listFiles()
-      if (children != null) children.foreach(rm)
-    }
+  /** The library's one recursive delete (scratch zones, probe dirs,
+    * artifact dirs all funnel here). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 

@@ -43,6 +43,11 @@ object ScaleOps {
     * like the nightly jobs reusing the bucketed fact table). 32 buckets
     * here (core count), `corpus_bytes / target_partition_bytes` on a
     * real deployment.
+    *
+    * NOTE the build is EAGER at DataFrame construction — analysis needs
+    * the catalog tables to exist — so the first `fn(spark, dir)` per
+    * dir pays the layout write even if the caller only wants the
+    * schema/plan (SparkEntry.artifactEntries flags this for harnesses).
     */
   def q103BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = {

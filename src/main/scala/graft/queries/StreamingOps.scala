@@ -340,10 +340,8 @@ object StreamingOps {
       |  ON c.user_id = p.user_id
       | AND p.ts_sec >= c.ts_sec AND p.ts_sec <= c.ts_sec + 3600""".stripMargin
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.TempArtifacts.deleteRecursively(f)
 
   val queries: Map[String, Q] = Map(
     "q75_streaming_hops" -> q75StreamingHops,

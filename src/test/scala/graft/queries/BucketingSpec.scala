@@ -17,16 +17,8 @@ class BucketingSpec extends SparkTestBase {
     // both the catalog entries and the physical locations
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
-    for (t <- Seq("li_b", "ord_b")) {
-      val d = new java.io.File(s"spark-warehouse/$t")
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(d)
-      }
-    }
+    for (t <- Seq("li_b", "ord_b"))
+      graft.TempArtifacts.deleteRecursively(new java.io.File(s"spark-warehouse/$t"))
 
     val dir = "/root/testdata/sf0.001"
     Tables.lineitem(spark, dir).write

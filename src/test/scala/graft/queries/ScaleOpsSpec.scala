@@ -59,9 +59,13 @@ class ScaleOpsSpec extends SparkTestBase {
     // branch is deterministic in the printed plan, where AQE's runtime
     // stage-reuse (same effect) prints stage bodies unstably
     val p = SparkTestBase.sessionConfLock.synchronized {
+      val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try ScaleOps.q104CountMin(spark, dir).queryExecution.executedPlan.toString
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
     assert(p.contains("BroadcastExchange"), s"sketch model should broadcast:\n$p")
     // sketch cell agg + exact key agg read the corpus; n_total is a
