@@ -130,8 +130,11 @@ object ScaleProbe {
       }
       println(s"  bounds: ${zb.map(_.size).mkString("/")}")
       time(s"${k}x z-order clustered write") {
+        // reuse the bounds fitted (and timed) above: the write timing
+        // must measure the one range shuffle, not a second boundary fit
         graft.sources.ZOrder.writeZOrdered(zdocs, s"$zdir/z",
-          Seq("source", "n_chars"), numFiles = math.max(16, 16 * k / 10))
+          Seq("source", "n_chars"), numFiles = math.max(16, 16 * k / 10),
+          bounds = Some(zb))
       }
       TempArtifacts.deleteRecursively(new java.io.File(zdir))
     }

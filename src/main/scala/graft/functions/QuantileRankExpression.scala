@@ -57,16 +57,25 @@ case class QuantileRank(left: Expression, right: Expression)
 
   // evaluated once (foldable): the fitted boundary model as a primitive
   // array — shared by interpreted eval and the codegen reference object
+  // a null ELEMENT is a malformed model (SQL `array(1.0, NULL)` passes
+  // the type check — containsNull is not constrained there): fail once
+  // with a clear message instead of an opaque NPE out of toDoubleArray
+  // (numeric) or a per-row NPE in the comparison loop (string)
+  private def requireNoNullBounds(a: ArrayData): ArrayData = {
+    require((0 until a.numElements()).forall(i => !a.isNullAt(i)),
+      "quantile_rank boundaries must not contain null")
+    a
+  }
   @transient private lazy val numBounds: Array[Double] =
     right.eval() match {
       case null => Array.emptyDoubleArray
-      case a: ArrayData => a.toDoubleArray()
+      case a: ArrayData => requireNoNullBounds(a).toDoubleArray()
     }
   @transient private lazy val strBounds: Array[UTF8String] =
     right.eval() match {
       case null => Array.empty[UTF8String]
       case a: ArrayData =>
-        (0 until a.numElements()).map(a.getUTF8String).toArray
+        (0 until requireNoNullBounds(a).numElements()).map(a.getUTF8String).toArray
     }
 
   private def isString: Boolean = left.dataType == StringType

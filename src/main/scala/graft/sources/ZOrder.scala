@@ -130,7 +130,13 @@ object ZOrder {
         // expression's comparisons
         val sorted = sample
           .map(org.apache.spark.unsafe.types.UTF8String.fromString).sorted
-        (1 to math.min(b, sorted.length - 1))
+        // j always sweeps the FULL quantile grid 1/(b+1) … b/(b+1):
+        // capping j at sorted.length − 1 would truncate the quantile
+        // RANGE for samples smaller than 2^bits (a 100-row sample's
+        // boundaries would all sit in its bottom 39%, collapsing the
+        // upper tail into one rank); duplicates from a small sample
+        // dedupe below, and b·len/(b+1) < len keeps the index in range
+        (1 to b)
           .map(j => sorted((j.toLong * sorted.length / (b + 1)).toInt).toString)
           .distinct.toArray
       }
@@ -211,10 +217,15 @@ object ZOrder {
     * is a string; one clustered write; rows with null cluster values
     * land at the curve's origin). */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
-                    numFiles: Int, bits: Int = 8): Unit = {
+                    numFiles: Int, bits: Int = 8,
+                    bounds: Option[Seq[DimBounds]] = None): Unit = {
     require(clusterCols.nonEmpty && numFiles >= 1)
+    // callers that already fitted the boundary model (a probe timing the
+    // fit separately, a harness reusing one fit across writes) pass it
+    // here — otherwise the write would silently pay the stats passes a
+    // second time
     val z = zValueTyped(clusterCols.map(col),
-      fitBounds(df, clusterCols, bits), bits)
+      bounds.getOrElse(fitBounds(df, clusterCols, bits)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -18,9 +18,13 @@ class CodegenOnlySpec extends SparkTestBase {
 
   private def codegenOnly[A](body: => A): A =
     SparkTestBase.sessionConfLock.synchronized {
+      val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
       spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       try body
-      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
 
   test("haversine_m compiles and evaluates under CODEGEN_ONLY") {

@@ -114,6 +114,7 @@ class ZOrderSpec extends SparkTestBase {
     // a real one (JVM binary array name "[L...;" emitted where Java
     // source syntax "UTF8String[]" was needed)
     SparkTestBase.sessionConfLock.synchronized {
+      val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
       spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       try {
         val bounds = Seq("bb", "dd", "dd", "ff")
@@ -127,7 +128,10 @@ class ZOrderSpec extends SparkTestBase {
           .select(call_function("quantile_rank", $"v", typedlit(Seq.empty[String])).as("r"))
           .head().getLong(0)
         assert(empty == 0L)
-      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
   }
 
