@@ -260,6 +260,55 @@ object VectorOps {
       |SELECT vec_id, cid, dist FROM d
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
 
+  /** SemDeDup (similarity.SemDedup): within-cluster cosine near-dup
+    * drop, greedy keep-lowest-id. k = 8 seed centroids (q86's model);
+    * threshold 0.35 is tuned to the synthetic embeddings' cosine range
+    * (max within-cluster cosine ≈ 0.49 — real sentence embeddings would
+    * use 0.9+); ~15% of rows drop at sf0.01, so the kept flag carries
+    * real signal for the hash compare. */
+  private val SemK = 8
+  private val SemT = 0.35
+
+  def q106SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.similarity.Clustering.seedCentroids(emb, "vec_id", "embedding", SemK)
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.similarity.SemDedup.semanticDedup(
+        Tables.spread(s, emb), "vec_id", "embedding", cents, SemT, scope = scope))
+  }
+
+  val q106Sql: String = {
+    val dotSelf = dotSql("embedding", "embedding")
+    s"""WITH f AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fx
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, fx AS cfx FROM f ORDER BY vec_id LIMIT $SemK),
+       |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cfx FROM c),
+       |d AS (
+       |  SELECT f.vec_id, cc.cid,
+       |    CAST(list_sum(list_transform(range(1, len(f.fx) + 1),
+       |      i -> (f.fx[i] - cc.cfx[i]) * (f.fx[i] - cc.cfx[i]))) AS BIGINT) AS dist
+       |  FROM f CROSS JOIN cc),
+       |a AS (SELECT vec_id, cid FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |u AS (
+       |  SELECT a.vec_id, a.cid,
+       |    CASE WHEN sqrt($dotSelf) = 0
+       |         THEN list_transform(embedding, x -> 0.0::DOUBLE)
+       |         ELSE list_transform(embedding,
+       |                x -> round(x::DOUBLE / sqrt($dotSelf), 6) + 0.0::DOUBLE)
+       |    END AS uv
+       |  FROM a JOIN embeddings e USING (vec_id)),
+       |dr AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM u x JOIN u y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(${dotSql("x.uv", "y.uv")}, 4) >= $SemT)
+       |SELECT u.vec_id, u.cid, (dr.vec_id IS NULL) AS kept
+       |FROM u LEFT JOIN dr ON u.vec_id = dr.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_ann_topk"    -> q50AnnTopK,
     "q55_group_centroid" -> q55GroupCentroid,
@@ -268,6 +317,7 @@ object VectorOps {
     "q52_ivf_topk"    -> q52IvfTopK,
     "q53_quantized_topk" -> q53QuantizedTopK,
     "q86_kmeans_assign" -> q86KmeansAssign,
+    "q106_semantic_dedup" -> q106SemanticDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +328,6 @@ object VectorOps {
     "q52_ivf_topk"    -> q52Sql,
     "q53_quantized_topk" -> q53Sql,
     "q86_kmeans_assign" -> q86Sql,
+    "q106_semantic_dedup" -> q106Sql,
   )
 }

@@ -45,14 +45,29 @@ object Clustering {
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
 
+  /** Integer distances to every centroid, as one array column (index =
+    * cluster id). The building block shared by [[assign]] and callers
+    * that fold assignment into a wider map-only projection
+    * ([[SemDedup]]). */
+  private def distArray(vec: Column, centroids: Array[Array[Long]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val fx = fixedPoint(vec)
+    array(centroids.map(c => sqDistFx(fx, c)): _*)
+  }
+
+  /** Nearest-centroid id for one vector column; ties → lowest cid
+    * (array_position returns the FIRST index of the minimum). */
+  def nearestCid(vec: Column, centroids: Array[Array[Long]]): Column = {
+    val dists = distArray(vec, centroids)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
   /** (id, cid, dist): nearest-centroid assignment of every corpus row,
     * with the exact integer distance. `centroids` index order is the
     * cluster id; ties → lowest cid. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: Array[Array[Long]]): DataFrame = {
-    require(centroids.nonEmpty, "need at least one centroid")
-    val fx = fixedPoint(col(vecCol))
-    val dists = array(centroids.map(c => sqDistFx(fx, c)): _*)
+    val dists = distArray(col(vecCol), centroids)
     corpus.select(col(idCol),
         (array_position(dists, array_min(dists)) - 1).cast("long").as("cid"),
         array_min(dists).as("dist"))

@@ -314,4 +314,26 @@ class PlanAuditSpec extends SparkTestBase {
       assert(countOf(p, "InMemoryRelation [") > 0, s"posting list not cached:\n$p")
     } finally spark.catalog.clearCache() // unmanaged-scope persist from the audit
   }
+
+  test("q106 semantic dedup: cid-keyed pair join, no all-pairs, projection cached") {
+    // SemDeDup's scale claim IS the plan shape: the quadratic step must
+    // be an equi-join on cid (bounded per cluster), never a cartesian;
+    // the normalize+assign projection must come from cache, not three
+    // recomputes (each costs k dot products + a normalize per row)
+    // the gate entry materializes through a released scope (plan would
+    // show the checkpoint scan) — audit the library operator directly
+    spark.catalog.clearCache()
+    try {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val cents = graft.similarity.Clustering
+        .seedCentroids(emb, "vec_id", "embedding", 8)
+      val p = plan(graft.similarity.SemDedup
+        .semanticDedup(emb, "vec_id", "embedding", cents, 0.35))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"pair step degenerated to all-pairs:\n$p")
+      assert(countOf(p, "InMemoryRelation [") > 0,
+        s"normalize+assign projection not cached:\n$p")
+      assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+    } finally spark.catalog.clearCache()
+  }
 }
