@@ -169,11 +169,20 @@ object GraftExtensions {
       QuantileRank(exprs(0), exprs(1))
     })
 
+  private[functions] val winnowDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fp"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "winnow_fp(text, k, w)")
+      WinnowFingerprints(exprs(0), litInt(exprs(1), "k"), litInt(exprs(2), "w"))
+    })
+
   private val all = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
-    quantileRankDescriptor)
+    quantileRankDescriptor, winnowDescriptor)
 
   /** Register on an already-built session (tests, driver sessions):
     * functions via the registry, the as-of planner strategy via

@@ -466,6 +466,48 @@ object DedupOps {
        |WHERE doc_id % 41 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** Winnowing span dedup (text.SpanDedup / functions.WinnowFingerprints):
+    * pairs of documents sharing ≥ 2 winnow-selected fingerprint hashes
+    * (k = 16, w = 8 → any common run of ≥ 23 code points is guaranteed
+    * detected), with corpus-boilerplate hashes (df > 64) dropped before
+    * the pair join. The oracle restates the selection as the identical
+    * one-window-function rule over the combined key h·2²¹ + (2²⁰ − p). */
+  def q107SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.text.SpanDedup.sharedSpanPairs(
+        graft.Tables.spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
+        scope = scope))
+  }
+
+  val q107Sql: String = {
+    import graft.functions.WinnowFingerprints.{B, M}
+    val K = graft.text.SpanDedup.K
+    val W = graft.text.SpanDedup.W
+    // B^(K−1−i) mod M, i = 0..K−1 — same table the rolling hash folds in
+    val pows = Array.iterate(1L, K)(p => p * B % M).reverse.mkString(", ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, p,
+       |    list_sum(list_transform(range(0, $K), i ->
+       |      (ord(text[p + 1 + i])::BIGINT * ([$pows])[i + 1]) % $M)) % $M AS h,
+       |    length(text) AS len
+       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text) - $K + 1)) AS p)),
+       |sel AS (
+       |  SELECT doc_id, p AS s,
+       |    min(h * 2097152 + (1048576 - p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mk
+       |  FROM pos QUALIFY s <= len - $K - $W + 1),
+       |fph AS (SELECT DISTINCT doc_id, mk // 2097152 AS h FROM sel),
+       |keep AS (SELECT h FROM fph GROUP BY h HAVING count(*) <= 64),
+       |c AS (SELECT doc_id, h FROM fph JOIN keep USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common FROM pairs WHERE n_common >= 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_decontaminate"   -> q39Decontaminate,
     "q40_dedup_exact"     -> q40DedupExact,
@@ -478,6 +520,7 @@ object DedupOps {
     "q47_dedup_clusters"  -> q47DedupClusters,
     "q49_incremental_dedup" -> q49IncrementalDedup,
     "q59_dedup_survivors" -> q59DedupSurvivors,
+    "q107_span_dedup"     -> q107SpanDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +535,6 @@ object DedupOps {
     "q47_dedup_clusters"  -> q47Sql,
     "q49_incremental_dedup" -> q49Sql,
     "q59_dedup_survivors" -> q59Sql,
+    "q107_span_dedup"     -> q107Sql,
   )
 }

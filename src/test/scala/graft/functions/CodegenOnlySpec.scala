@@ -77,4 +77,13 @@ class CodegenOnlySpec extends SparkTestBase {
       assert(str == 1L)
     }
   }
+
+  test("winnow_fp compiles and evaluates under CODEGEN_ONLY") {
+    val n = codegenOnly {
+      Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+        .select(size(call_function("winnow_fp", $"t", lit(4), lit(3))).as("n"))
+        .head().getInt(0)
+    }
+    assert(n > 0, s"expected fingerprints, got $n")
+  }
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.olhovivo.SparkTestBase
+
+/** Winnowing fingerprint semantics: brute-force reference equality
+  * (window min, rightmost tie), the paper's detection guarantee, edge
+  * lengths, and the df-capped pair operator. */
+class WinnowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 4
+  private val W = 3
+
+  /** Brute-force reference: direct polynomial hash per k-gram, explicit
+    * per-window scan selecting min hash with RIGHTMOST tie, distinct
+    * selections in position order. */
+  private def reference(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    val M = WinnowFingerprints.M; val B = WinnowFingerprints.B
+    val cps = s.codePoints().toArray
+    val nh = cps.length - k + 1
+    if (nh < w) return Seq.empty
+    val hs = (0 until nh).map { p =>
+      (0 until k).foldLeft(0L)((acc, i) => (acc * B + cps(p + i)) % M)
+    }
+    val sel = scala.collection.mutable.LinkedHashSet[Int]()
+    for (s0 <- 0 to nh - w) {
+      val win = (s0 until s0 + w)
+      val mn = win.map(hs).min
+      sel += win.filter(p => hs(p) == mn).max // rightmost minimal
+    }
+    sel.toSeq.sorted.map(p => (p, hs(p)))
+  }
+
+  private def viaExpr(s: String, k: Int = K, w: Int = W): Seq[(Int, Long)] = {
+    val a = WinnowFingerprints.compute(UTF8String.fromString(s), k, w)
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+    }
+  }
+
+  test("matches the brute-force reference on random small-alphabet strings") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val len = 6 + rnd.nextInt(40)
+      // alphabet of 3 → frequent repeated k-grams → tie rule exercised
+      val s = Seq.fill(len)("abc" (rnd.nextInt(3))).mkString
+      assert(viaExpr(s) == reference(s, K, W), s"mismatch on '$s'")
+    }
+  }
+
+  test("guarantee: any common run of >= w + k - 1 chars yields a shared hash") {
+    val rnd = new scala.util.Random(13)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val clone = randStr(K + W - 1) // minimal guaranteed-detectable run
+    for (_ <- 1 to 50) {
+      val a = randStr(20) + clone + randStr(20)
+      val b = randStr(35) + clone + randStr(5)
+      val ha = viaExpr(a).map(_._2).toSet
+      val hb = viaExpr(b).map(_._2).toSet
+      assert((ha & hb).nonEmpty, s"clone run undetected between '$a' and '$b'")
+    }
+  }
+
+  test("edges: too-short input -> empty; exactly one window -> one pick; null -> null") {
+    assert(viaExpr("abc", 4, 3).isEmpty)       // no k-gram at all (nh = 0)
+    assert(viaExpr("abcde", 4, 3).isEmpty)     // nh = 2 < w
+    assert(viaExpr("abcdef", 4, 3).size == 1)  // nh = 3 = w → one window
+    val r = spark.range(1).select(
+      call_function("winnow_fp", lit(null).cast("string"), lit(4), lit(3)))
+    assert(r.head().isNullAt(0))
+  }
+
+  test("identical documents fingerprint identically; disjoint share nothing") {
+    val doc = "the quick brown fox jumps over the lazy dog"
+    assert(viaExpr(doc) == viaExpr(doc))
+    val ha = viaExpr("aaaaaaaaaaaaaaaaaaaa").map(_._2).toSet
+    val hb = viaExpr("bbbbbbbbbbbbbbbbbbbb").map(_._2).toSet
+    assert((ha & hb).isEmpty)
+  }
+
+  test("over-long document is rejected loudly, not mis-fingerprinted") {
+    val big = "a" * (1 << 20)
+    val ex = intercept[Exception] {
+      viaExpr(big, 16, 8)
+    }
+    assert(ex.getMessage.contains("shard"), ex.getMessage)
+  }
+
+  test("sharedSpanPairs: planted clone pair found, boilerplate df-capped out") {
+    // 12 docs share one boilerplate sentence (df 12 > cap 4) — that
+    // alone must NOT produce pairs; docs 100/101 also share a long
+    // unique clone → the only surviving pair
+    val boiler = "this licensed text appears everywhere in the corpus"
+    val clone = "an unmistakably duplicated span of considerable length here"
+    val docs =
+      (0 until 12).map(i => (i.toLong, s"unique prefix $i $boiler suffix $i")) ++
+      Seq((100L, s"alpha $clone omega"), (101L, s"start $clone end"))
+    val out = graft.text.SpanDedup.sharedSpanPairs(
+        docs.toDF("doc_id", "text"), "doc_id", col("text"),
+        minCommon = 2, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 101L)), s"got $out")
+  }
+}

@@ -336,4 +336,23 @@ class PlanAuditSpec extends SparkTestBase {
       assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
     } finally spark.catalog.clearCache()
   }
+
+  test("q107 span dedup: winnow stays in codegen; pair step is an h equi-join") {
+    spark.catalog.clearCache()
+    try {
+      val p = plan(graft.text.SpanDedup.sharedSpanPairs(
+        graft.Tables.documents(spark, dir), "doc_id",
+        org.apache.spark.sql.functions.col("text")))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"pair step degenerated to all-pairs:\n$p")
+      assert(countOf(p, "InMemoryRelation [") > 0,
+        s"fingerprint relation not cached:\n$p")
+      // ONE winnow pass: the cached relation prints per consumer, but a
+      // winnow_fp outside an InMemoryRelation print would be a real
+      // recompute (codegen itself is covered by CodegenOnlySpec)
+      assert(countOf(p, "winnow_fp") == countOf(p, "InMemoryRelation ["),
+        s"winnow_fp recomputed outside the cache:\n$p")
+      assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+    } finally spark.catalog.clearCache()
+  }
 }
