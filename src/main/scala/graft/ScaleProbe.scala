@@ -94,6 +94,15 @@ object ScaleProbe {
         graft.dedup.Dedup.withMinhashSignature(docs, col("text"), 8, 3, "sig")
           .agg(count(lit(1))).head()
       }
+      // span dedup: sharded docs differ only in the appended marker, so
+      // every base doc's k copies pair up — pair counts (and the join's
+      // output work) grow ~k² by construction, like CC's edges; the
+      // winnow+distinct fingerprint side must stay linear. df-cap note:
+      // a hash with base df > 64/k falls to the cap at k shards — the
+      // boilerplate guard doing exactly its job at scale.
+      time(s"${k}x winnow span pairs") {
+        graft.text.SpanDedup.sharedSpanPairs(docs, "doc_id", col("text")).count()
+      }
       pairs.unpersist(); docs.unpersist()
       spark.catalog.clearCache()
       Checkpoints.releaseAll(spark)
@@ -115,6 +124,17 @@ object ScaleProbe {
       time(s"${k}x ivf search (probe 4/32)") {
         graft.similarity.Ivf.search(queries, indexed, model,
           topK = 10, nProbe = 4).count()
+      }
+      // semantic dedup: centroid count scales WITH the corpus (the
+      // bounded-mean-cluster-size rule) so the per-cluster pair step
+      // stays bounded; shard copies are +1e-4 perturbations → cosine≈1
+      // → they drop, so the probe exercises real drop volume
+      time(s"${k}x semantic dedup (k=${8 * k})") {
+        val cents = graft.similarity.Clustering
+          .seedCentroids(emb, "vec_id", "embedding", 8 * k)
+        graft.similarity.SemDedup
+          .semanticDedup(emb, "vec_id", "embedding", cents, 0.9)
+          .filter(!col("kept")).count()
       }
       indexed.unpersist(); emb.unpersist()
       spark.catalog.clearCache()

@@ -178,11 +178,20 @@ object GraftExtensions {
       WinnowFingerprints(exprs(0), litInt(exprs(1), "k"), litInt(exprs(2), "w"))
     })
 
+  private[functions] val nearestCidDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_cid"),
+    new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_cid"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "nearest_cid(vec, centroids)")
+      NearestCentroid(exprs(0), exprs(1))
+    })
+
   private val all = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
-    quantileRankDescriptor, winnowDescriptor)
+    quantileRankDescriptor, winnowDescriptor, nearestCidDescriptor)
 
   /** Register on an already-built session (tests, driver sessions):
     * functions via the registry, the as-of planner strategy via

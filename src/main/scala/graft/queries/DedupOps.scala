@@ -508,6 +508,43 @@ object DedupOps {
        |SELECT id_a, id_b, n_common FROM pairs WHERE n_common >= 2""".stripMargin
   }
 
+  /** Per-document span-duplication score (text.SpanDedup.spanDupStats):
+    * the linear, cap-free filterable form — df per fingerprint hash is
+    * one aggregation, then a per-doc rollup; integer basis points. */
+  def q108SpanStats(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.text.SpanDedup.spanDupStats(
+        graft.Tables.spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
+        scope = scope))
+  }
+
+  val q108Sql: String = {
+    import graft.functions.WinnowFingerprints.{B, M}
+    val K = graft.text.SpanDedup.K
+    val W = graft.text.SpanDedup.W
+    val pows = Array.iterate(1L, K)(p => p * B % M).reverse.mkString(", ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, p,
+       |    list_sum(list_transform(range(0, $K), i ->
+       |      (ord(text[p + 1 + i])::BIGINT * ([$pows])[i + 1]) % $M)) % $M AS h,
+       |    length(text) AS len
+       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text) - $K + 1)) AS p)),
+       |sel AS (
+       |  SELECT doc_id, p AS s,
+       |    min(h * 2097152 + (1048576 - p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mk
+       |  FROM pos QUALIFY s <= len - $K - $W + 1),
+       |fph AS (SELECT DISTINCT doc_id, mk // 2097152 AS h FROM sel),
+       |dft AS (SELECT h, count(*) AS df FROM fph GROUP BY h)
+       |SELECT doc_id, count(*) AS n_fp,
+       |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       |  (sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS dup_bp
+       |FROM fph JOIN dft USING (h)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_decontaminate"   -> q39Decontaminate,
     "q40_dedup_exact"     -> q40DedupExact,
@@ -521,6 +558,7 @@ object DedupOps {
     "q49_incremental_dedup" -> q49IncrementalDedup,
     "q59_dedup_survivors" -> q59DedupSurvivors,
     "q107_span_dedup"     -> q107SpanDedup,
+    "q108_span_stats"     -> q108SpanStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -536,5 +574,6 @@ object DedupOps {
     "q49_incremental_dedup" -> q49Sql,
     "q59_dedup_survivors" -> q59Sql,
     "q107_span_dedup"     -> q107Sql,
+    "q108_span_stats"     -> q108Sql,
   )
 }

@@ -45,29 +45,38 @@ object Clustering {
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
 
-  /** Integer distances to every centroid, as one array column (index =
-    * cluster id). The building block shared by [[assign]] and callers
-    * that fold assignment into a wider map-only projection
-    * ([[SemDedup]]). */
-  private def distArray(vec: Column, centroids: Array[Array[Long]]): Column = {
+  /** The assignment struct (cid, dist) for one vector column — the
+    * NATIVE codegen path (functions.NearestCentroid): one compiled
+    * k×dim integer loop per row with early abandon. The composed
+    * HOF form ([[assignFold]]) is k interpreted folds per row —
+    * identical results, ~2 orders of magnitude slower at
+    * corpus-scaled centroid counts (see the expression's Scaladoc). */
+  def nearestStruct(vec: Column, centroids: Array[Array[Long]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val fx = fixedPoint(vec)
-    array(centroids.map(c => sqDistFx(fx, c)): _*)
+    call_function("nearest_cid", vec,
+      typedlit(centroids.map(_.toSeq).toSeq))
   }
 
-  /** Nearest-centroid id for one vector column; ties → lowest cid
-    * (array_position returns the FIRST index of the minimum). */
-  def nearestCid(vec: Column, centroids: Array[Array[Long]]): Column = {
-    val dists = distArray(vec, centroids)
-    (array_position(dists, array_min(dists)) - 1).cast("long")
-  }
+  /** Nearest-centroid id for one vector column; ties → lowest cid. */
+  def nearestCid(vec: Column, centroids: Array[Array[Long]]): Column =
+    nearestStruct(vec, centroids).getField("cid")
 
   /** (id, cid, dist): nearest-centroid assignment of every corpus row,
     * with the exact integer distance. `centroids` index order is the
     * cluster id; ties → lowest cid. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[Array[Long]]): DataFrame = {
-    val dists = distArray(col(vecCol), centroids)
+             centroids: Array[Array[Long]]): DataFrame =
+    corpus.select(col(idCol), nearestStruct(col(vecCol), centroids).as("__nc"))
+      .select(col(idCol), col("__nc.cid").as("cid"), col("__nc.dist").as("dist"))
+
+  /** Registration-free composed form of [[assign]] (interpreted HOF
+    * folds — for sessions without GraftExtensions; bit-identical
+    * results, asserted by ClusteringSpec). */
+  def assignFold(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val fx = fixedPoint(col(vecCol))
+    val dists = array(centroids.map(c => sqDistFx(fx, c)): _*)
     corpus.select(col(idCol),
         (array_position(dists, array_min(dists)) - 1).cast("long").as("cid"),
         array_min(dists).as("dist"))

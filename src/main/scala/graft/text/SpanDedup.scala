@@ -39,6 +39,35 @@ object SpanDedup {
       .filter(col("__fp").isNotNull)
       .select(col(idCol), col("__fp.p").as("p"), col("__fp.h").as("h"))
 
+  /** (id, n_fp, n_shared, dup_bp): per-document span-duplication score —
+    * of the document's distinct fingerprint hashes (`n_fp`), how many
+    * occur in at least one OTHER document (`n_shared`), as truncated
+    * basis points (`dup_bp` = n_shared·10⁴ / n_fp — integer math, exact
+    * cross-engine). The filterable form of span dedup (drop docs above
+    * a duplication threshold, C4-style) and — unlike the pair query —
+    * fully LINEAR: document frequency per hash is one aggregation, no
+    * self-join, so no df cap is needed and boilerplate counts as the
+    * duplication it is. Documents too short to fingerprint (< w + k − 1
+    * code points) have no rows here.
+    *
+    * Plan shape: ONE exchange keys h (the df aggregation; the join of
+    * fingerprints to their df re-uses that partitioning), one exchange
+    * keys the per-document rollup. */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: Column,
+                   k: Int = K, w: Int = W,
+                   scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    val fph = scope.cache(
+      fingerprints(docs, idCol, textCol, k, w).select(col(idCol), col("h")).distinct())
+    val df = fph.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    fph.join(df, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      // integral DIV, not `/`: long division through doubles can round
+      // a just-below-integer quotient up before the floor
+      .withColumn("dup_bp", expr("n_shared * 10000 DIV n_fp"))
+  }
+
   /** (id_a, id_b, n_common): document pairs sharing ≥ `minCommon`
     * distinct fingerprint hashes, after dropping hashes in more than
     * `maxDf` documents. */

@@ -88,6 +88,25 @@ class WinnowSpec extends SparkTestBase {
     assert(ex.getMessage.contains("shard"), ex.getMessage)
   }
 
+  test("spanDupStats: clones score high, unique doc scores 0, boilerplate COUNTS") {
+    val boiler = "this licensed text appears everywhere in the corpus"
+    val docs = Seq(
+      (0L, s"alpha $boiler omega"),
+      (1L, s"start $boiler end"),
+      (2L, "a wholly original composition with no repeated material inside")
+    )
+    val out = graft.text.SpanDedup.spanDupStats(
+        docs.toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 0/1 share the boilerplate run → most fingerprints shared
+    assert(out(0L)._2 > 0 && out(1L)._2 > 0)
+    assert(out(0L)._3 > 0 && out(0L)._3 <= 10000)
+    // the unique doc shares nothing
+    assert(out(2L) == ((out(2L)._1, 0L, 0L)))
+    // dup_bp is the truncated integer ratio
+    for ((_, (nfp, nsh, bp)) <- out) assert(bp == nsh * 10000 / nfp)
+  }
+
   test("sharedSpanPairs: planted clone pair found, boilerplate df-capped out") {
     // 12 docs share one boilerplate sentence (df 12 > cap 4) — that
     // alone must NOT produce pairs; docs 100/101 also share a long
