@@ -51,7 +51,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
+    // dev-only: SPARK_GRAFT_ONLY=q110,q47 times a subset (the driver
+    // never sets it, so driver runs always sweep the full inventory)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
     if (new java.io.File(warmDir).isDirectory) {
       sorted.foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

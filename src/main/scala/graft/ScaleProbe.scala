@@ -157,6 +157,33 @@ object ScaleProbe {
           bounds = Some(zb))
       }
       TempArtifacts.deleteRecursively(new java.io.File(zdir))
+
+      // PageRank: edges grow ~linearly under sharding (each shard is an
+      // isolated copy of the co-occurrence graph — k independent
+      // components), so the claim measured here is per-sweep cost
+      // linear in |edges| with the constant-per-round checkpoint
+      // hygiene CC proved out. Edge build = the q110 shape over k-shard
+      // lineitem ids.
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("k0"), col("l_partkey")).distinct()
+      val liTotal = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
+      val liSharded = (0 until k).map { s =>
+        li.select((col("k0") + lit(s.toLong * 10000000L)).as("k0"),
+          (col("l_partkey") + lit(s * liTotal)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+      val prEdges = time(s"${k}x pagerank edge build") {
+        val a = liSharded.select(col("k0"), col("l_partkey").as("src"))
+        val b = liSharded.select(col("k0"), col("l_partkey").as("dst"))
+        val e = a.join(b, Seq("k0")).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct().persist()
+        println(s"  edges: ${e.count()}")
+        e
+      }
+      time(s"${k}x pagerank 3 sweeps") {
+        graft.operators.PageRank.run(prEdges, "src", "dst", 3).count()
+      }
+      prEdges.unpersist()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -36,6 +36,7 @@ object SparkEntry {
       (graft.queries.StreamingOps.queries, graft.queries.StreamingOps.oracles),
       (graft.queries.SqlText.queries, graft.queries.SqlText.oracles),
       (graft.queries.ScaleOps.queries, graft.queries.ScaleOps.oracles),
+      (graft.queries.GraphOps.queries, graft.queries.GraphOps.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -272,7 +272,47 @@ object Analytics {
       |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // --------------------------- q113 global rank / q114 histogram
+
+  /** q113: exact global curriculum rank over `documents` by length
+    * ([[graft.operators.GlobalRank]]) — the scale-safe replacement for
+    * a partition-less `row_number() OVER (ORDER BY …)`: a domain-sized
+    * offset table (distinct n_chars values) broadcast onto a
+    * per-score-value window. No task ever sorts more than one score
+    * value's rows; the oracle is the naive global window. */
+  def q113GlobalRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalRank.globalRank(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      col("n_chars"), col("doc_id"))
+
+  val q113Sql: String =
+    """SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+      |FROM documents""".stripMargin
+
+  /** q114: equi-width price histogram ([[graft.operators.Histogram]])
+    * in exact integer cents — ONE corpus aggregation (per distinct
+    * value), binning and roll-up on the domain-sized relation. */
+  private val HistBuckets = 20
+
+  def q114Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Histogram.equiWidth(
+      Tables.lineitem(s, dir),
+      round(col("l_extendedprice") * 100).cast("long"), HistBuckets)
+
+  val q114Sql: String =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |pv AS (SELECT v, count(*) AS n FROM v GROUP BY v),
+       |s AS (SELECT min(v) AS lo, max(v) AS hi FROM pv)
+       |SELECT ((pv.v - s.lo) * $HistBuckets) // (s.hi - s.lo + 1) AS bucket,
+       |  CAST(sum(pv.n) AS BIGINT) AS n
+       |FROM pv, s GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_global_rank" -> q113GlobalRank,
+    "q114_histogram"   -> q114Histogram,
     "q25_window_suite" -> q25WindowSuite,
     "q26_percentiles"  -> q26Percentiles,
     "q27_stats_agg"    -> q27StatsAgg,
@@ -283,6 +323,8 @@ object Analytics {
     "q105_range_frame" -> q105RangeFrame,
   )
   val oracles: Map[String, String] = Map(
+    "q113_global_rank" -> q113Sql,
+    "q114_histogram"   -> q114Sql,
     "q25_window_suite" -> q25Sql,
     "q26_percentiles"  -> q26Sql,
     "q27_stats_agg"    -> q27Sql,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Portable
 import graft.operators.{AsOfJoin, RangeJoin, Scd2, Sessionize, Upsert}
 
 /** Temporal operator coverage over `events`: sessionization
@@ -275,7 +276,53 @@ object Temporal {
       |  round(max(vc) / 100.0, 2) AS max_value
       |FROM v GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------------ q112 snapshot diff
+
+  /** q112: table-versioning diff ([[graft.operators.SnapshotDiff]]).
+    * Two snapshots are derived deterministically from `documents`
+    * (membership and mutation are content-hash functions, portable to
+    * the oracle): the "old" snapshot drops doc_ids hashing to bucket 9,
+    * the "new" snapshot drops bucket 0 and rewrites the text of docs
+    * whose mutation hash lands on 0 mod 7. The diff itself is ONE
+    * co-partitioned full-outer join comparing h60 text fingerprints —
+    * (key, 8-byte hash) through the shuffle, never the documents. */
+  def q112SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hb = pmod(Portable.h60(col("doc_id").cast("string")), lit(10L))
+    val mb = pmod(Portable.h60(concat(col("doc_id").cast("string"),
+      lit(":mut"))), lit(7L))
+    val oldSnap = docs.filter(hb < 9).select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(hb >= 1)
+      .select(col("doc_id"),
+        when(mb === 0, concat(col("text"), lit("~")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id",
+      Portable.h60(col("text")))
+  }
+
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  val q112Sql: String = {
+    s"""WITH h AS (
+       |  SELECT doc_id, text,
+       |    ${h60Sql("doc_id::VARCHAR")} % 10 AS hb,
+       |    ${h60Sql("doc_id::VARCHAR || ':mut'")} % 7 AS mb
+       |  FROM documents),
+       |a AS (SELECT doc_id, ${h60Sql("text")} AS fp_old FROM h WHERE hb < 9),
+       |b AS (SELECT doc_id,
+       |        ${h60Sql("CASE WHEN mb = 0 THEN text || '~' ELSE text END")} AS fp_new
+       |      FROM h WHERE hb >= 1)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.fp_old, b.fp_new,
+       |  CASE WHEN a.doc_id IS NULL THEN 'added'
+       |       WHEN b.doc_id IS NULL THEN 'removed'
+       |       WHEN a.fp_old <> b.fp_new THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_snapshot_diff" -> q112SnapshotDiff,
     "q97_agg_maintenance" -> q97AggMaintenance,
     "q95_gapfill"        -> q95GapFill,
     "q70_sessionize"     -> q70Sessionize,
@@ -289,6 +336,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q112_snapshot_diff" -> q112Sql,
     "q97_agg_maintenance" -> q97Sql,
     "q95_gapfill"        -> q95Sql,
     "q80_upsert"         -> q80Sql,

@@ -91,6 +91,46 @@ object TextOps {
          |  FROM toks_t) t""".stripMargin
   }
 
+  /** q109: cross-source quality calibration —
+    * [[graft.operators.Calibrate]] over the q32 quality score. Raw
+    * scores are comparable only within a source; the calibrated value
+    * (percent_rank in integer basis points, unique doc_id tiebreak) is
+    * uniform across sources, so one predicate implements "top p% of
+    * every source". ONE window exchange (both window functions share
+    * the source partitioning). */
+  def q109QualityCalibrate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibrate.rankCalibrate(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality_bp")),
+      col("source"), col("quality_bp"), col("doc_id"))
+
+  val q109Sql: String = {
+    val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH tq AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    (5000 * CAST(len(list_filter(toks, t -> t IN ($all))) AS BIGINT))
+       |        // greatest(len(toks), 1)
+       |      + least(150 * len(toks), 3000)
+       |      + (2000 - (2000 * CAST(length(text) - length(regexp_replace(text,
+       |          '[.,!?;:]', '', 'g')) AS BIGINT)) // greatest(length(text), 1))
+       |      AS quality_bp
+       |  FROM tq),
+       |w AS (
+       |  SELECT doc_id, source, quality_bp,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality_bp, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM q)
+       |SELECT doc_id, source, quality_bp,
+       |  ((rn - 1) * 10000) // greatest(n - 1, 1) AS calib_bp,
+       |  least((((rn - 1) * 10000) // greatest(n - 1, 1)) // 1000, 9) AS bucket
+       |FROM w""".stripMargin
+  }
+
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(s, dir)
@@ -394,6 +434,7 @@ object TextOps {
     "q30_token_stats" -> q30TokenStats,
     "q31_lang_id"     -> q31LangId,
     "q32_quality"     -> q32Quality,
+    "q109_quality_calibrate" -> q109QualityCalibrate,
     "q33_fingerprint" -> q33Fingerprint,
     "q35_tfidf"       -> q35Tfidf,
     "q36_bm25"        -> q36Bm25,
@@ -409,6 +450,7 @@ object TextOps {
     "q30_token_stats" -> q30Sql,
     "q31_lang_id"     -> q31Sql,
     "q32_quality"     -> q32Sql,
+    "q109_quality_calibrate" -> q109Sql,
     "q33_fingerprint" -> q33Sql,
     "q35_tfidf"       -> q35Sql,
     "q36_bm25"        -> q36Sql,

@@ -309,7 +309,45 @@ object VectorOps {
        |FROM u LEFT JOIN dr ON u.vec_id = dr.vec_id""".stripMargin
   }
 
+  // ------------------------------------- q111 random-projection reduce
+
+  private val ProjK = 8
+
+  /** q111: JL sign-matrix random projection 64→8 dims
+    * ([[graft.similarity.RandomProjection]]) — the pre-ANN compression
+    * pass. Map-only: the ±1 matrix is a plan literal regenerated
+    * identically on any engine (md5-derived), coordinates are integer
+    * sums over quantized thousandths. Null/short vectors project to 0
+    * on both engines (coalesce; zip_with pads with null → null sum). */
+  def q111RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val signs = graft.similarity.RandomProjection.signMatrix(Dim, ProjK)
+    Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        graft.similarity.RandomProjection.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
+        coalesce(graft.similarity.RandomProjection.coordinate(col("qv"), row),
+          lit(0L)).as(s"p${j + 1}")
+      }.toSeq: _*)
+  }
+
+  val q111Sql: String = {
+    val signs = graft.similarity.RandomProjection.signMatrix(Dim, ProjK)
+    val cols = signs.zipWithIndex.map { case (row, j) =>
+      val lits = row.mkString("[", ", ", "]")
+      s"CAST(coalesce(list_sum(list_transform(range(1, ${Dim + 1}), " +
+        s"d -> ($lits)[d] * qv[d])), 0) AS BIGINT) AS p${j + 1}"
+    }.mkString(",\n  ")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * ${graft.similarity.RandomProjection.QuantScale} + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $cols
+       |FROM q""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_random_projection" -> q111RandomProjection,
     "q50_ann_topk"    -> q50AnnTopK,
     "q55_group_centroid" -> q55GroupCentroid,
     "q56_l2_normalize" -> q56L2Normalize,
@@ -321,6 +359,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_random_projection" -> q111Sql,
     "q50_ann_topk"    -> q50Sql,
     "q55_group_centroid" -> q55Sql,
     "q56_l2_normalize" -> q56Sql,

@@ -83,6 +83,16 @@ package object syntax {
     def meanCentroid(group: Column, vec: Column): DataFrame =
       similarity.Pooling.meanCentroid(df, group, vec)
 
+    /** JL sign-matrix projection of `vec` to k integer coordinates. */
+    def randomProjected(vec: Column, k: Int, dim: Int,
+                        out: String = "proj"): DataFrame = {
+      val signs = similarity.RandomProjection.signMatrix(dim, k)
+      val q = similarity.RandomProjection.quantize(vec)
+      df.withColumn(out, org.apache.spark.sql.functions.array(
+        signs.map(row => similarity.RandomProjection.coordinate(q, row))
+          .toSeq: _*))
+    }
+
     // --------------------------------------------------- operators
     def bloomSemiJoin(key: Column, right: DataFrame, rightKey: Column,
                       expectedItems: Long = -1L,
@@ -125,6 +135,28 @@ package object syntax {
 
     def aggState(keys: Seq[String], valueCol: String): DataFrame =
       operators.AggMaintenance.state(df, keys, valueCol)
+
+    /** Per-group integer percent_rank calibration (cross-source scores). */
+    def rankCalibrated(group: Column, score: Column, tiebreak: Column,
+                       buckets: Int = 10): DataFrame =
+      operators.Calibrate.rankCalibrate(df, group, score, tiebreak, buckets)
+
+    /** Diff this snapshot (old) against `newer` by key + fingerprint. */
+    def snapshotDiff(newer: DataFrame, key: String,
+                     fingerprint: Column): DataFrame =
+      operators.SnapshotDiff.diff(df, newer, key, fingerprint)
+
+    /** Exact global rank without a global sort (bounded integer score). */
+    def globalRanked(score: Column, tiebreak: Column): DataFrame =
+      operators.GlobalRank.globalRank(df, score, tiebreak)
+
+    /** Integer equi-width histogram of a discretized column. */
+    def histogram(value: Column, buckets: Int): DataFrame =
+      operators.Histogram.equiWidth(df, value, buckets)
+
+    /** Fixed-sweep integer PageRank of this edge relation. */
+    def pageRank(srcCol: String, dstCol: String, iterations: Int): DataFrame =
+      operators.PageRank.run(df, srcCol, dstCol, iterations)
 
     def writeZOrdered(path: String, clusterCols: Seq[String],
                       numFiles: Int, bits: Int = 8): Unit =

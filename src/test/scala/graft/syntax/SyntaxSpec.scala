@@ -92,6 +92,37 @@ class SyntaxSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$zdir/z").count() == obs.count())
   }
 
+  test("round-8 facades delegate: calibrate, diff, rank, histogram, pagerank, projection") {
+    val docs = Tables.documents(spark, dir)
+    assert(rows(docs.rankCalibrated(col("source"), col("n_chars"), col("doc_id"))) ==
+      rows(graft.operators.Calibrate.rankCalibrate(
+        docs, col("source"), col("n_chars"), col("doc_id"))))
+    val older = docs.filter(col("doc_id") % 3 =!= 0)
+    val newer = docs.filter(col("doc_id") % 5 =!= 0)
+    assert(rows(older.snapshotDiff(newer, "doc_id",
+        graft.functions.Portable.h60(col("text")))) ==
+      rows(graft.operators.SnapshotDiff.diff(older, newer, "doc_id",
+        graft.functions.Portable.h60(col("text")))))
+    assert(rows(docs.select(col("doc_id"), col("n_chars"))
+        .globalRanked(col("n_chars"), col("doc_id"))) ==
+      rows(graft.operators.GlobalRank.globalRank(
+        docs.select(col("doc_id"), col("n_chars")),
+        col("n_chars"), col("doc_id"))))
+    assert(rows(docs.histogram(col("n_chars"), 8)) ==
+      rows(graft.operators.Histogram.equiWidth(docs, col("n_chars"), 8)))
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    assert(rows(edges.pageRank("src", "dst", 2)) ==
+      rows(graft.operators.PageRank.run(edges, "src", "dst", 2)))
+    val emb = Tables.embeddings(spark, dir).limit(50)
+    val viaFacade = emb.randomProjected(col("embedding"), k = 4, dim = 64)
+    val signs = graft.similarity.RandomProjection.signMatrix(64, 4)
+    val direct = emb.withColumn("proj", array(signs.map(row =>
+      graft.similarity.RandomProjection.coordinate(
+        graft.similarity.RandomProjection.quantize(col("embedding")), row))
+      .toSeq: _*))
+    assert(rows(viaFacade) == rows(direct))
+  }
+
   test("pipeline chains read naturally end to end") {
     val docs = Tables.documents(spark, dir)
     // column-preserving stages chain freely (aggregating stages like
