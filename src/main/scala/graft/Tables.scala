@@ -55,13 +55,27 @@ object Tables {
   }
 
   /** `events` with: `ts_ns` (exact nanosecond epoch, LongType), `ts`
-    * (TimestampType, truncated to micros), `ts_sec` (epoch seconds,
-    * LongType) — the three granularities different operators want. */
+    * (TimestampType, micros), `ts_sec` (epoch seconds, LongType) — the
+    * three granularities different operators want.
+    *
+    * Schema-adaptive: driver builds have shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) (readable only as a raw long via
+    * spark.sql.legacy.parquet.nanosAsLong — SPARK-40819) and as
+    * micros-precision TIMESTAMP_NTZ (naive UTC). Both normalize to the
+    * same three-column contract; the session TZ is pinned UTC so the
+    * NTZ→instant cast is the identity the DuckDB oracle applies. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    val tsField = raw.schema("ts").dataType
+    val withNs = tsField match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw ns long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP_NTZ / TIMESTAMP at micros precision
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+    withNs.withColumn("ts_sec", expr("ts_ns div 1000000000"))
   }
 }

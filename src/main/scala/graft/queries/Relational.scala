@@ -394,7 +394,62 @@ object Relational {
       |UNION ALL SELECT 'shipdate_set', v_ship, n_rows FROM a
       |UNION ALL SELECT 'part_exists', v_pk, n_rows FROM a""".stripMargin
 
+  /** q118: schema-evolution union — two "generations" of the orders
+    * feed with drifted column sets (an old extract lacking
+    * `o_orderpriority`/`o_orderstatus`, a new one lacking
+    * `o_totalprice`) merged with `unionByName(allowMissingColumns =
+    * true)`: absent columns null-pad per branch, matching is by NAME
+    * (positional union would silently misalign — the classic pipeline
+    * bug this operator exists to prevent). Scale: a union is a no-op
+    * plan node — no shuffle, each branch scans with its own pruned
+    * column set. Oracle spells out the same null padding. */
+  def q118UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+    val gen1 = o.where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val gen2 = o.where(col("o_orderdate") >= cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+  }
+
+  val q118Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus,
+      |  CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+      |  o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  /** q119: k-anonymity suppression — emit only rows whose
+    * quasi-identifier combination (c_mktsegment, c_nationkey) occurs at
+    * least k=10 times, tagging each with its cohort size. The privacy
+    * primitive for training-data release: rare attribute combinations
+    * identify individuals, so they are suppressed wholesale. Shape: one
+    * unordered window count (per-key count, no sort buffer) = ONE hash
+    * exchange on the quasi-identifier; no groupBy+join round trip. */
+  def q119KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+    Tables.customer(s, dir)
+      .withColumn("cohort_n", count(lit(1)).over(w))
+      .where(col("cohort_n") >= 10)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("cohort_n"))
+  }
+
+  val q119Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_nationkey, cohort_n FROM (
+      |  SELECT c_custkey, c_mktsegment, c_nationkey,
+      |    count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS cohort_n
+      |  FROM customer)
+      |WHERE cohort_n >= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q118_union_evolve"   -> q118UnionEvolve,
+    "q119_k_anonymity"    -> q119KAnonymity,
     "q96_expectations"    -> q96Expectations,
     "q92_full_outer"      -> q92FullOuter,
     "q57_bloom_semi"      -> q57BloomSemi,
@@ -415,6 +470,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_union_evolve"   -> q118Sql,
+    "q119_k_anonymity"    -> q119Sql,
     "q96_expectations"    -> q96Sql,
     "q92_full_outer"      -> q92Sql,
     "q57_bloom_semi"      -> q57Sql,

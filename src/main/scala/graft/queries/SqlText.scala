@@ -87,15 +87,47 @@ object SqlText {
        |  round(${VectorOps.dotSql("qvec", "cvec")}, 4) AS dot
        |FROM q JOIN c ON corpus_id <> query_id""".stripMargin
 
+  /** TPC-H Q5 (local-supplier volume): the 6-table join through the
+    * parser/analyzer — ONE SQL text serves both engines verbatim.
+    * Revenue is exact integer fixed-point (price cents × discount
+    * complement in percent → 10^-4 dollar units, summed as BIGINT), the
+    * q93 trick: float-sum accumulation order can differ across
+    * engines/partitionings, integer sums cannot. Catalyst broadcasts
+    * region/nation/supplier and shuffles only the orders⋈lineitem spine
+    * — the same plan the DataFrame twin would build. */
+  def q115SqlQ5(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q115Sql)
+  }
+
+  val q115Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q100_sql_haversine" -> q100SqlHaversine,
     "q101_sql_window"    -> q101SqlWindow,
     "q102_sql_dot"       -> q102SqlDot,
+    "q115_sql_q5"        -> q115SqlQ5,
   )
 
   val oracles: Map[String, String] = Map(
     "q100_sql_haversine" -> q100Sql,
     "q101_sql_window"    -> q101Sql,
     "q102_sql_dot"       -> q102Sql,
+    "q115_sql_q5"        -> q115Sql,
   )
 }

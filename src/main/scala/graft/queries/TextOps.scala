@@ -424,7 +424,111 @@ object TextOps {
        |FROM documents d JOIN rates r USING (source)
        |WHERE ('0x' || substr(md5(d.text || 'q99'), 1, 15))::BIGINT % 10000 < r.rate_bp""".stripMargin
 
+  /** q116: Pareto-frontier curation — per-language documents not
+    * dominated on (n_chars, quality_bp): see [[graft.operators.Pareto]]
+    * for the sort-and-scan shape (one exchange, no self-join). Oracle
+    * mirrors the two RANGE-frame window maxes verbatim; all-integer
+    * criteria make dominance exact in both engines. */
+  def q116ParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pareto.frontier(
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.qualityScore(col("text")).as("quality_bp")),
+      col("lang"), col("n_chars"), col("quality_bp"))
+
+  val q116Sql: String = {
+    val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH tq AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    (5000 * CAST(len(list_filter(toks, t -> t IN ($all))) AS BIGINT))
+       |        // greatest(len(toks), 1)
+       |      + least(150 * len(toks), 3000)
+       |      + (2000 - (2000 * CAST(length(text) - length(regexp_replace(text,
+       |          '[.,!?;:]', '', 'g')) AS BIGINT)) // greatest(length(text), 1))
+       |      AS quality_bp
+       |  FROM tq
+       |  WHERE n_chars IS NOT NULL),
+       |w AS (
+       |  SELECT doc_id, lang, n_chars, quality_bp,
+       |    max(quality_bp) OVER (PARTITION BY lang ORDER BY n_chars
+       |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS y_larger,
+       |    max(quality_bp) OVER (PARTITION BY lang ORDER BY n_chars
+       |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS y_same
+       |  FROM q
+       |  WHERE quality_bp IS NOT NULL)
+       |SELECT doc_id, lang, n_chars, quality_bp FROM w
+       |WHERE (y_larger IS NULL OR y_larger < quality_bp)
+       |  AND NOT (y_same > quality_bp)""".stripMargin
+  }
+
+  /** The corpus's language domain, pinned as plan literals (like q14's
+    * pivot arms): the entropy/KL sums below expand to a FIXED chain of
+    * IEEE additions in lang order, so both engines fold doubles
+    * identically — a grouped float `sum()` would be partition-order
+    * dependent. */
+  private val LangDomain = Seq("de", "en", "es", "fr", "zh")
+
+  /** q117: corpus-mixing diagnostics — per-source language-distribution
+    * Shannon entropy and KL divergence to the corpus-wide mix. Shape:
+    * one conditional-aggregate scan (per-source lang counts as columns,
+    * q14's pivot-arm pattern — no second shuffle per lang), corpus
+    * totals re-aggregated from the 10-ish source rows, broadcast back as
+    * a 1-row crossJoin (the standing tiny-stats pattern). log2 noise
+    * across engines is ~1 ulp; round(4) absorbs it (haversine/q20
+    * precedent). */
+  def q117SourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val countCols = count(lit(1)).as("n") +:
+      LangDomain.map(l => count(when(col("lang") === l, 1)).as(s"c_$l"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(countCols.head, countCols.tail: _*)
+    val sumCols = sum(col("n")).as("tot_n") +:
+      LangDomain.map(l => sum(col(s"c_$l")).as(s"t_$l"))
+    val totals = perSource.agg(sumCols.head, sumCols.tail: _*)
+    val joined = perSource.crossJoin(broadcast(totals))
+    def entTerm(l: String) = {
+      val p = col(s"c_$l").cast("double") / col("n")
+      when(col(s"c_$l") === 0, lit(0.0)).otherwise(-p * log2(p))
+    }
+    def klTerm(l: String) = {
+      val p = col(s"c_$l").cast("double") / col("n")
+      val q = col(s"t_$l").cast("double") / col("tot_n")
+      when(col(s"c_$l") === 0, lit(0.0)).otherwise(p * log2(p / q))
+    }
+    joined.select(
+      col("source"), col("n"),
+      round(LangDomain.map(entTerm).reduce(_ + _), 4).as("entropy_bits"),
+      round(LangDomain.map(klTerm).reduce(_ + _), 4).as("kl_to_corpus"))
+  }
+
+  val q117Sql: String = {
+    val counts = LangDomain.map(l =>
+      s"count(*) FILTER (WHERE lang = '$l') AS c_$l").mkString(",\n    ")
+    val sums = LangDomain.map(l => s"sum(c_$l) AS t_$l").mkString(", ")
+    def ent(l: String) =
+      s"CASE WHEN c_$l = 0 THEN 0.0 ELSE -(c_$l::DOUBLE / n) * log2(c_$l::DOUBLE / n) END"
+    def kl(l: String) =
+      s"CASE WHEN c_$l = 0 THEN 0.0 ELSE (c_$l::DOUBLE / n) * log2((c_$l::DOUBLE / n) / (t_$l::DOUBLE / tot_n)) END"
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n,
+       |    $counts
+       |  FROM documents GROUP BY source),
+       |totals AS (
+       |  SELECT sum(n) AS tot_n, $sums FROM per_source)
+       |SELECT source, n,
+       |  round(${LangDomain.map(ent).mkString(" + ")}, 4) AS entropy_bits,
+       |  round(${LangDomain.map(kl).mkString(" + ")}, 4) AS kl_to_corpus
+       |FROM per_source, totals""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_pareto_frontier" -> q116ParetoFrontier,
+    "q117_source_entropy"  -> q117SourceEntropy,
     "q99_mix_sample"  -> q99MixSample,
     "q54_repetition"  -> q54Repetition,
     "q64_pii_redact"  -> q64PiiRedact,
@@ -441,6 +545,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_pareto_frontier" -> q116Sql,
+    "q117_source_entropy"  -> q117Sql,
     "q54_repetition"  -> q54Sql,
     "q64_pii_redact"  -> q64Sql,
     "q65_line_dedup"  -> q65Sql,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** Pareto.frontier semantics (dominance on two integer axes) and plan
+  * shape (single hash exchange, no self-join). */
+class ParetoSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // (group, id, x, y)
+  private def df(rows: (String, Int, Int, Int)*) =
+    rows.toDF("g", "id", "x", "y")
+
+  private def frontierIds(rows: (String, Int, Int, Int)*): Set[Int] =
+    Pareto.frontier(df(rows: _*), col("g"), col("x"), col("y"))
+      .select("id").as[Int].collect().toSet
+
+  test("strict dominance on either axis drops the dominated row") {
+    // (3,3) dominates (2,2) [strict both], (3,2) [strict y], (2,3) [strict x]
+    assert(frontierIds(
+      ("a", 1, 3, 3), ("a", 2, 2, 2), ("a", 3, 3, 2), ("a", 4, 2, 3)) ===
+      Set(1))
+  }
+
+  test("incomparable points all stay on the frontier") {
+    // classic staircase: each trades x for y
+    assert(frontierIds(
+      ("a", 1, 1, 9), ("a", 2, 5, 5), ("a", 3, 9, 1)) === Set(1, 2, 3))
+  }
+
+  test("exact ties on both axes are mutually non-dominating — all kept") {
+    assert(frontierIds(
+      ("a", 1, 4, 4), ("a", 2, 4, 4), ("a", 3, 1, 1)) === Set(1, 2))
+  }
+
+  test("equal x, differing y: only the max-y row survives that column") {
+    assert(frontierIds(
+      ("a", 1, 4, 7), ("a", 2, 4, 6), ("a", 3, 5, 1)) === Set(1, 3))
+  }
+
+  test("groups are independent; null criteria rows are dropped") {
+    val in = Seq(
+      ("a", 1, Some(3), Some(3)), ("a", 2, Some(2), Some(2)),
+      ("b", 3, Some(2), Some(2)),
+      ("b", 4, None, Some(9)), ("b", 5, Some(9), None))
+      .toDF("g", "id", "x", "y")
+    val got = Pareto.frontier(in, col("g"), col("x"), col("y"))
+      .select("id").as[Int].collect().toSet
+    assert(got === Set(1, 3))
+  }
+
+  test("matches a brute-force dominance check on a generated grid") {
+    val rows = for {
+      i <- 0 until 60
+    } yield ("g" + (i % 3), i, (i * 7919) % 23, (i * 104729) % 19)
+    val expected = rows.filter { case (g, _, x, y) =>
+      !rows.exists { case (g2, _, x2, y2) =>
+        g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._2).toSet
+    assert(frontierIds(rows: _*) === expected)
+  }
+
+  test("plan: ONE hash exchange, no join node") {
+    val plan = Pareto.frontier(
+      df(("a", 1, 1, 1), ("a", 2, 2, 2)), col("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(countOf(plan, "Exchange hashpartitioning") === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
