@@ -138,7 +138,44 @@ object CorpusOps {
       |  (10000 * CAST(sum(f.df) AS BIGINT)) // count(*) AS fluency_bp
       |FROM s JOIN f USING (bg) GROUP BY s.doc_id""".stripMargin
 
+  /** q120: PMI collocations — see [[graft.text.Collocations]]. Pair
+    * df-cap 5 bounds output to pairs with stable signal; the identical
+    * (c_xy·N)/(c_x·c_y) expression shape on both sides makes round(4)
+    * exact across engines. */
+  def q120Pmi(s: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.pmi(
+      Tables.documents(s, dir), col("text"), minPairCount = 5L)
+
+  val q120Sql: String =
+    """WITH toks_t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |uc AS (
+      |  SELECT tok, count(*) AS c_tok
+      |  FROM (SELECT unnest(toks) AS tok FROM toks_t) GROUP BY tok),
+      |n AS (SELECT sum(c_tok) AS n_tokens FROM uc),
+      |bg_t AS (
+      |  SELECT CASE WHEN len(toks) < 2 THEN []
+      |    ELSE list_transform(range(1, len(toks)),
+      |           i -> array_to_string(toks[i:i+1], ' ')) END AS bgs
+      |  FROM toks_t),
+      |pc AS (
+      |  SELECT bg, count(*) AS c_pair
+      |  FROM (SELECT unnest(bgs) AS bg FROM bg_t) GROUP BY bg
+      |  HAVING count(*) >= 5),
+      |p2 AS (
+      |  SELECT split_part(bg, ' ', 1) AS l_tok, split_part(bg, ' ', 2) AS r_tok,
+      |    c_pair FROM pc)
+      |SELECT l_tok, r_tok, c_pair, lc.c_tok AS c_l, rc.c_tok AS c_r,
+      |  round(log2((c_pair::DOUBLE * n_tokens::DOUBLE)
+      |             / (lc.c_tok::DOUBLE * rc.c_tok::DOUBLE)), 4) AS pmi
+      |FROM p2
+      |JOIN uc lc ON p2.l_tok = lc.tok
+      |JOIN uc rc ON p2.r_tok = rc.tok, n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q120_pmi"       -> q120Pmi,
     "q98_fluency"    -> q98Fluency,
     "q82_chunks"     -> q82Chunks,
     "q83_blocklist"  -> q83Blocklist,
@@ -148,6 +185,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_pmi"       -> q120Sql,
     "q98_fluency"    -> q98Sql,
     "q82_chunks"     -> q82Sql,
     "q83_blocklist"  -> q83Sql,
