@@ -72,9 +72,20 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw ns long
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP_NTZ / TIMESTAMP at micros precision
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // micros precision; session TZ pinned UTC makes the NTZ cast
+        // the identity instant mapping
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        // loud, not a silent `.cast("timestamp")` → nulls: a third
+        // driver ts format (string? INT96?) must fail at the reader
+        // seam, where the fix belongs — that is this round's lesson
+        // from the NANOS→NTZ surprise
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type ${other.catalogString}; " +
+            "extend Tables.events for this driver build")
     }
     withNs.withColumn("ts_sec", expr("ts_ns div 1000000000"))
   }

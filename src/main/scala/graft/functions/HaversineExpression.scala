@@ -67,13 +67,7 @@ object Haversine {
   * GraftExtensions.register(spark) on a live session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.haversineDescriptor)
-    ext.injectFunction(GraftExtensions.dotProductDescriptor)
-    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
-    ext.injectFunction(GraftExtensions.simhashDescriptor)
-    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
-    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
-    ext.injectFunction(GraftExtensions.quantileRankDescriptor)
+    GraftExtensions.allDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.HaversineBoundingBox)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -187,11 +181,26 @@ object GraftExtensions {
       NearestCentroid(exprs(0), exprs(1))
     })
 
-  private val all = Seq(
+  private[functions] val nearestCidsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_cids"),
+    new ExpressionInfo(classOf[NearestCentroids].getName, "nearest_cids"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "nearest_cids(vec, centroids, n)")
+      NearestCentroids(exprs(0), exprs(1), litInt(exprs(2), "n"))
+    })
+
+  /** Every extension function — ONE list consumed by BOTH install
+    * paths (`.withExtensions` injection and live-session register()),
+    * so a new descriptor can't be present on one and missing on the
+    * other. */
+  private[functions] val allDescriptors = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
-    quantileRankDescriptor, winnowDescriptor, nearestCidDescriptor)
+    quantileRankDescriptor, winnowDescriptor, nearestCidDescriptor,
+    nearestCidsDescriptor)
+  private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):
     * functions via the registry, the as-of planner strategy via

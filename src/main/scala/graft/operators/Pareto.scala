@@ -34,12 +34,20 @@ object Pareto {
     val byX      = Window.partitionBy(group).orderBy(x.asc)
     val largerX  = byX.rangeBetween(1, Window.unboundedFollowing)
     val sameX    = byX.rangeBetween(Window.currentRow, Window.currentRow)
+    // collision-free scratch names: an input that already carries a
+    // column with the bare name would be silently overwritten and then
+    // dropped from the output
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val yMaxLarger = fresh("_y_max_larger_x")
+    val yMaxSame   = fresh("_y_max_same_x")
     df.where(x.isNotNull && y.isNotNull)
-      .withColumn("_y_max_larger_x", max(y).over(largerX))
-      .withColumn("_y_max_same_x", max(y).over(sameX))
+      .withColumn(yMaxLarger, max(y).over(largerX))
+      .withColumn(yMaxSame, max(y).over(sameX))
       .where(
-        (col("_y_max_larger_x").isNull || col("_y_max_larger_x") < y) &&
-          !(col("_y_max_same_x") > y))
-      .drop("_y_max_larger_x", "_y_max_same_x")
+        (col(yMaxLarger).isNull || col(yMaxLarger) < y) &&
+          !(col(yMaxSame) > y))
+      .drop(yMaxLarger, yMaxSame)
   }
 }

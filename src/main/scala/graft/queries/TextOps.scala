@@ -481,14 +481,27 @@ object TextOps {
     * a 1-row crossJoin (the standing tiny-stats pattern). log2 noise
     * across engines is ~1 ulp; round(4) absorbs it (haversine/q20
     * precedent). */
+  /** The pinned domain plus a catch-all `other` bucket (any lang
+    * outside [[LangDomain]], or null). Without it a driver regeneration
+    * adding a sixth lang would count those rows in `n` but exclude them
+    * from every entropy/KL term — silently skewed diagnostics (KL could
+    * even go negative), and invisible to the oracle gate because both
+    * engines share the pinned domain. With the bucket the terms fold to
+    * exactly 0.0 when no drift exists (c_other = 0 on both engines), and
+    * on drift the distribution stays a true probability vector. */
+  private val LangBuckets = LangDomain :+ "other"
+
   def q117SourceEntropy(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    def isBucket(l: String): org.apache.spark.sql.Column =
+      if (l == "other") col("lang").isNull || !col("lang").isin(LangDomain: _*)
+      else col("lang") === l
     val countCols = count(lit(1)).as("n") +:
-      LangDomain.map(l => count(when(col("lang") === l, 1)).as(s"c_$l"))
+      LangBuckets.map(l => count(when(isBucket(l), 1)).as(s"c_$l"))
     val perSource = docs.groupBy(col("source"))
       .agg(countCols.head, countCols.tail: _*)
     val sumCols = sum(col("n")).as("tot_n") +:
-      LangDomain.map(l => sum(col(s"c_$l")).as(s"t_$l"))
+      LangBuckets.map(l => sum(col(s"c_$l")).as(s"t_$l"))
     val totals = perSource.agg(sumCols.head, sumCols.tail: _*)
     val joined = perSource.crossJoin(broadcast(totals))
     def entTerm(l: String) = {
@@ -502,14 +515,18 @@ object TextOps {
     }
     joined.select(
       col("source"), col("n"),
-      round(LangDomain.map(entTerm).reduce(_ + _), 4).as("entropy_bits"),
-      round(LangDomain.map(klTerm).reduce(_ + _), 4).as("kl_to_corpus"))
+      round(LangBuckets.map(entTerm).reduce(_ + _), 4).as("entropy_bits"),
+      round(LangBuckets.map(klTerm).reduce(_ + _), 4).as("kl_to_corpus"))
   }
 
   val q117Sql: String = {
-    val counts = LangDomain.map(l =>
-      s"count(*) FILTER (WHERE lang = '$l') AS c_$l").mkString(",\n    ")
-    val sums = LangDomain.map(l => s"sum(c_$l) AS t_$l").mkString(", ")
+    val inList = LangDomain.map(l => s"'$l'").mkString(", ")
+    def filt(l: String) =
+      if (l == "other") s"lang IS NULL OR lang NOT IN ($inList)"
+      else s"lang = '$l'"
+    val counts = LangBuckets.map(l =>
+      s"count(*) FILTER (WHERE ${filt(l)}) AS c_$l").mkString(",\n    ")
+    val sums = LangBuckets.map(l => s"sum(c_$l) AS t_$l").mkString(", ")
     def ent(l: String) =
       s"CASE WHEN c_$l = 0 THEN 0.0 ELSE -(c_$l::DOUBLE / n) * log2(c_$l::DOUBLE / n) END"
     def kl(l: String) =
@@ -521,8 +538,8 @@ object TextOps {
        |totals AS (
        |  SELECT sum(n) AS tot_n, $sums FROM per_source)
        |SELECT source, n,
-       |  round(${LangDomain.map(ent).mkString(" + ")}, 4) AS entropy_bits,
-       |  round(${LangDomain.map(kl).mkString(" + ")}, 4) AS kl_to_corpus
+       |  round(${LangBuckets.map(ent).mkString(" + ")}, 4) AS entropy_bits,
+       |  round(${LangBuckets.map(kl).mkString(" + ")}, 4) AS kl_to_corpus
        |FROM per_source, totals""".stripMargin
   }
 

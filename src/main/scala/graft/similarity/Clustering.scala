@@ -61,6 +61,15 @@ object Clustering {
   def nearestCid(vec: Column, centroids: Array[Array[Long]]): Column =
     nearestStruct(vec, centroids).getField("cid")
 
+  /** The n nearest centroid ids in (dist asc, cid asc) order — the IVF
+    * probe ranking, through the native top-n codegen expression
+    * (functions.NearestCentroids); n is a plan literal. */
+  def nearestCids(vec: Column, centroids: Array[Array[Long]], n: Int): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    call_function("nearest_cids", vec,
+      typedlit(centroids.map(_.toSeq).toSeq), lit(n))
+  }
+
   /** (id, cid, dist): nearest-centroid assignment of every corpus row,
     * with the exact integer distance. `centroids` index order is the
     * cluster id; ties → lowest cid. */

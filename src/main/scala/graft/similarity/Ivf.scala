@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: `fit` is a few Spark aggregation passes (collecting
   * only k×dim centroid doubles to the driver — the model, not data);
-  * `assign` is a per-row codegen expression against centroid literals
-  * (map-only); `search` shuffles only (query × probed-list) pairs —
-  * corpus rows outside probed lists are never scored. nProbe/k is the
-  * recall/cost dial; nProbe = k degrades gracefully to exact search
-  * (proved in the oracle gate: full-probe IVF ≡ brute force).
+  * assignment and probe ranking both run through the native
+  * nearest-centroid codegen expressions (the model ships as ONE
+  * flattened long[] reference object, so the plan survives production
+  * coarse-list counts k ≈ 10³–10⁴ where a k-wide literal tree would
+  * fall back to interpreted); `search` shuffles only
+  * (query × probed-list) pairs — corpus rows outside probed lists are
+  * never scored. nProbe/k is the recall/cost dial; nProbe = k degrades
+  * gracefully to exact search (proved in the oracle gate: full-probe
+  * IVF ≡ brute force).
   *
   * Determinism: centroid init = the k lowest vec_ids; Lloyd iterations
   * are fixed-count; ties in assignment break to the first (lowest)
@@ -51,28 +55,66 @@ object Ivf {
     Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
-  /** Squared-L2 distance of an embedding column to one centroid literal
-    * (sequential fold — deterministic). */
-  private def sqDist(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(centroid), (x, c) => {
-        val d = x.cast("double") - c
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  /** The quantizer in the 1e-6 fixed-point convention the native
+    * nearest-centroid expressions score in (Clustering.fixedPoint:
+    * floor(x·1e6 + 0.5)). Quantizing the MODEL once driver-side keeps
+    * the corpus pass pure integer arithmetic. */
+  private def fxCentroids(model: Model): Array[Array[Long]] =
+    model.centroids.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
 
   /** Index (0-based) of the nearest centroid; ties → lowest index.
     *
-    * Scored as ||c||² − 2·x·c (the ||x||² term is constant across
-    * centroids, so the argmin is the L2 nearest): the dot goes through
-    * the native codegen `dot_product` expression, so the per-row corpus
-    * assignment — IVF's only full-corpus pass — stays inside
-    * whole-stage codegen instead of k interpreted HOF folds. */
-  def assignExpr(vec: Column, model: Model): Column = {
-    val dists = array(model.centroids.map { c =>
-      lit(c.map(x => x * x).sum) - lit(2.0) * Similarity.dot(vec, lit(c))
+    * Scored by the native `nearest_cid` codegen expression
+    * (functions.NearestCentroid): the centroid model rides along as ONE
+    * flattened long[] reference object, so the per-row corpus
+    * assignment — IVF's only full-corpus pass — is a single compiled
+    * k×dim integer loop regardless of k. The previous form scored an
+    * array of k centroid literals; at production coarse-list counts
+    * (k ≈ 10³–10⁴) that k-wide expression tree busts the JVM's 64 KB
+    * method limit and whole-stage codegen falls back to interpreted —
+    * the exact failure mode the native expression exists to remove
+    * (see its Scaladoc's 141 s-vs-seconds measurement). Distances are
+    * 1e-6 fixed point (integer — bit-reproducible under any
+    * partitioning); [[assignExprFold]] is the registration-free composed
+    * twin, bit-equal by IvfSpec. */
+  def assignExpr(vec: Column, model: Model): Column =
+    Clustering.nearestCid(vec, fxCentroids(model)).cast("int")
+
+  /** Composed-literal twin of [[assignExpr]] (k interpreted HOF folds —
+    * the pre-native form, kept as the bit-equality witness and for
+    * sessions without GraftExtensions). */
+  def assignExprFold(vec: Column, model: Model): Column = {
+    val fx = Clustering.fixedPoint(vec)
+    val dists = array(fxCentroids(model).map { c =>
+      aggregate(
+        zip_with(fx, lit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
     }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The nProbe nearest centroid ids for one (query) vector, in
+    * (dist asc, cid asc) order — native top-n codegen
+    * (functions.NearestCentroids), so the probe ranking survives
+    * production centroid counts exactly like the assignment. */
+  def probeExpr(vec: Column, model: Model, nProbe: Int): Column =
+    Clustering.nearestCids(vec, fxCentroids(model), nProbe)
+
+  /** Composed-literal twin of [[probeExpr]] (bit-equality witness). */
+  def probeExprFold(vec: Column, model: Model, nProbe: Int): Column = {
+    val fx = Clustering.fixedPoint(vec)
+    val dists = array(fxCentroids(model).map { c =>
+      aggregate(
+        zip_with(fx, lit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    slice(
+      transform(
+        array_sort(
+          zip_with(dists, sequence(lit(0L), lit((model.k - 1).toLong)),
+            (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i")),
+      1, nProbe)
   }
 
   /** Deterministic Lloyd k-means. Empty clusters keep their previous
@@ -123,16 +165,10 @@ object Ivf {
              topK: Int, nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     // nProbe nearest centroids per query, as an exploded (query, cid) set
-    val centDists = array(model.centroids.map(c => sqDist(col("qvec"), c)): _*)
     val probed = q
-      .withColumn("probe", slice(
-        transform(
-          array_sort(
-            zip_with(centDists, sequence(lit(0), lit(model.k - 1)),
-              (d, i) => struct(d.as("d"), i.as("i")))),
-          s => s.getField("i")),
-        1, nProbe))
-      .select(col("query_id"), col("qvec"), explode(col("probe")).as("cid"))
+      .withColumn("probe", probeExpr(col("qvec"), model, nProbe))
+      .select(col("query_id"), col("qvec"), explode(col("probe")).as("__cid"))
+      .select(col("query_id"), col("qvec"), col("__cid").cast("int").as("cid"))
     val c = indexed.select(col("vec_id").as("corpus_id"),
       col("embedding").as("cvec"), col("cid"))
     val scored = probed.join(c, Seq("cid"))

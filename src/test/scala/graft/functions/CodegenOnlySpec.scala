@@ -78,6 +78,19 @@ class CodegenOnlySpec extends SparkTestBase {
     }
   }
 
+  test("nearest_cid and nearest_cids compile and evaluate under CODEGEN_ONLY") {
+    codegenOnly {
+      val cents = typedlit(Seq(Seq(100000L, 200000L), Seq(0L, 0L)))
+      val r = Seq(Array(0.1f, 0.2f)).toDF("v")
+        .select(
+          call_function("nearest_cid", $"v", cents).getField("cid").as("cid"),
+          call_function("nearest_cids", $"v", cents, lit(2)).as("p"))
+        .head()
+      assert(r.getLong(0) == 0L)
+      assert(r.getSeq[Long](1) == Seq(0L, 1L))
+    }
+  }
+
   test("winnow_fp compiles and evaluates under CODEGEN_ONLY") {
     val n = codegenOnly {
       Seq("the quick brown fox jumps over the lazy dog").toDF("t")

@@ -65,6 +65,23 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == orig)
   }
 
+  test("native assignment and probe ranking are bit-equal to the composed literal forms") {
+    val native = emb.select(col("vec_id"),
+        Ivf.assignExpr(col("embedding"), model).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fold = emb.select(col("vec_id"),
+        Ivf.assignExprFold(col("embedding"), model).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == fold)
+    val pNative = emb.select(col("vec_id"),
+        Ivf.probeExpr(col("embedding"), model, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pFold = emb.select(col("vec_id"),
+        Ivf.probeExprFold(col("embedding"), model, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(pNative == pFold)
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
