@@ -24,11 +24,34 @@ object GraphOps {
   private val Scale = 1000000L
   private val Base = 150000L // Scale * (100-85)/100
 
+  /** Hub-key fan-out cap for the co-occurrence self-join: an order
+    * contributes pairs quadratically in its item count, so ONE hub key
+    * (a synthetic mega-order, a crawl's link farm) squares into a
+    * straggler partition at 100× data. Keep the C lowest part keys per
+    * order (deterministic, oracle-mirrorable) — the standard
+    * within-basket truncation for co-occurrence graphs — bounding any
+    * key's contribution at C·(C−1) pairs. 64 is far above this data's
+    * ≤7 items/order (the testdata edge set is bit-unchanged) while
+    * capping a worst-case key at ~4k pairs instead of millions. */
+  private[queries] val MaxItemsPerOrder = 64
+
+  /** `(k, l_partkey)` distinct order items, capped per order at
+    * [[MaxItemsPerOrder]] by lowest part key. The row_number runs on the
+    * same `k` hash partitioning the self-join needs — no extra
+    * exchange, one sort. */
+  private[queries] def cappedItems(li: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("l_partkey"))
+    li.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= MaxItemsPerOrder)
+      .drop("__rn")
+  }
+
   /** Distinct part→part co-occurrence edges (symmetric by
-    * construction: both directions appear). */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("k"), col("l_partkey")).distinct()
+    * construction: both directions appear), hub-capped per order. */
+  private[queries] def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = cappedItems(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey")).distinct())
     li.select(col("k"), col("l_partkey").as("src"))
       .join(li.select(col("k"), col("l_partkey").as("dst")), Seq("k"))
       .filter(col("src") =!= col("dst"))
@@ -44,7 +67,10 @@ object GraphOps {
 
   val q110Sql: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sb ++= s"""WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |li AS (SELECT l_orderkey, l_partkey FROM li0
+      |       QUALIFY row_number() OVER (PARTITION BY l_orderkey
+      |                                  ORDER BY l_partkey) <= $MaxItemsPerOrder),
       |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
       |      WHERE a.l_partkey <> b.l_partkey),
