@@ -68,6 +68,81 @@ object SpanDedup {
       .withColumn("dup_bp", expr("n_shared * 10000 DIV n_fp"))
   }
 
+  /** (id, clean_text, n_spans, chars_removed): the pipeline
+    * DELIVERABLE of span dedup — each document with its duplicated
+    * runs excised and the remainder reassembled (the RefinedWeb/CCNet
+    * last mile), plus removal provenance.
+    *
+    * Semantics (deterministic, oracle-mirrored): a fingerprint hash
+    * shared by ≥ 2 documents keeps its copy only in the LOWEST-id
+    * holder (the canonical-copy rule); in every other document each
+    * occurrence marks its k-gram interval [p, p+k−1] for removal.
+    * Overlapping or adjacent intervals merge into maximal spans
+    * (sort-and-scan islands — one window pass, no self-join);
+    * reassembly is a per-document fold over the sorted spans
+    * concatenating the kept segments.
+    *
+    * Scale shape: fingerprinting is the same map-only pass; the
+    * keeper/df table is one aggregation on h; interval merging and
+    * reassembly are per-document window/fold work — no pair join at
+    * all, so no df cap is needed (a corpus-boilerplate hash just
+    * removes its span everywhere but one doc, which is precisely the
+    * deliverable's job). */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: Column,
+                        k: Int = K, w: Int = W,
+                        scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every selected (doc, position, hash) — position multiplicity
+    // matters here (each occurrence covers its own interval), unlike
+    // the pair query's (doc, h) distinct
+    val fp = scope.cache(
+      fingerprints(docs, idCol, textCol, k, w).distinct())
+    val own = fp.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+    val rm = fp.join(own, Seq("h"))
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol), col("p").cast("int").as("s"),
+        (col("p") + lit(k - 1)).cast("int").as("e"))
+      .distinct()
+    // merge overlapping/adjacent intervals: island starts where the
+    // running max end of all earlier intervals leaves a gap
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val islands = rm
+      .withColumn("__maxe",
+        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("s") > col("__maxe") + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byPos))
+    val spans = islands.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("chars_removed"))
+    val text = col("__text")
+    // fold over sorted spans: carry (cursor, acc); emit the kept
+    // segment before each span, then the tail past the last span
+    val reassembled = aggregate(col("__spans"),
+      struct(lit(0).as("cur"), lit("").as("acc")),
+      (acc, sp) => struct(
+        (sp.getField("e") + lit(1)).as("cur"),
+        concat(acc.getField("acc"),
+          substr(text, acc.getField("cur") + 1,
+            sp.getField("s") - acc.getField("cur"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        substr(text, acc.getField("cur") + 1,
+          greatest(length(text) - acc.getField("cur"), lit(0)))))
+    docs.select(col(idCol), textCol.as("__text"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, text).otherwise(reassembled))
+      .select(col(idCol), col("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+  }
+
   /** (id_a, id_b, n_common): document pairs sharing ≥ `minCommon`
     * distinct fingerprint hashes, after dropping hashes in more than
     * `maxDf` documents. */

@@ -107,6 +107,46 @@ class WinnowSpec extends SparkTestBase {
     for ((_, (nfp, nsh, bp)) <- out) assert(bp == nsh * 10000 / nfp)
   }
 
+  test("removeSharedSpans: canonical copy kept, clone's span excised, provenance counts") {
+    val boiler = "this licensed text appears everywhere in the corpus"
+    val docs = Seq(
+      (0L, s"alpha $boiler omega"),
+      (1L, s"start $boiler end"),
+      (2L, "a wholly original composition with no repeated material inside")
+    )
+    val out = graft.text.SpanDedup.removeSharedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the lowest-id holder keeps its text verbatim
+    assert(out(0L) == ((s"alpha $boiler omega", 0L, 0L)))
+    // the non-keeper loses the shared run (guaranteed detection at
+    // >= w + k - 1 = 23 chars); the unique pre/suffix chars survive
+    val (clean1, nSpans1, removed1) = out(1L)
+    assert(nSpans1 >= 1 && removed1 > 0)
+    assert(clean1.length == s"start $boiler end".length - removed1)
+    assert(!clean1.contains(boiler))
+    assert(clean1.startsWith("start ") || clean1.startsWith("start".take(5)))
+    assert(clean1.endsWith("end"))
+    // untouched doc: identity row
+    assert(out(2L) == (("a wholly original composition with no repeated material inside", 0L, 0L)))
+  }
+
+  test("removeSharedSpans: overlapping and adjacent intervals merge into one span") {
+    // two identical docs: every fingerprint of doc 1 is shared, all
+    // intervals chain together -> ONE maximal span covering the whole
+    // fingerprintable region of the clone; doc 0 is the keeper
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopqrstuvwxyz"
+    val out = graft.text.SpanDedup.removeSharedSpans(
+        Seq((0L, t), (1L, t)).toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((t, 0L, 0L)))
+    val (clean1, nSpans1, removed1) = out(1L)
+    assert(nSpans1 == 1L, s"expected one merged span, got $nSpans1")
+    assert(removed1 > 0 && clean1.length == t.length - removed1)
+  }
+
   test("sharedSpanPairs: planted clone pair found, boilerplate df-capped out") {
     // 12 docs share one boilerplate sentence (df 12 > cap 4) — that
     // alone must NOT produce pairs; docs 100/101 also share a long
