@@ -156,9 +156,95 @@ object Ivf {
   }
 
   /** Corpus with inverted-list assignment (persist/write this once;
-    * queries only touch probed lists). */
+    * queries only touch probed lists). Also carries `adist` — the
+    * integer fixed-point assignment distance — which costs nothing
+    * extra (the native expression computes the struct anyway) and is
+    * what the incremental-maintenance drift statistic reads. */
   def index(corpus: DataFrame, model: Model): DataFrame =
-    corpus.withColumn("cid", assignExpr(col("embedding"), model))
+    corpus
+      .withColumn("__nc",
+        Clustering.nearestStruct(col("embedding"), fxCentroids(model)))
+      .withColumn("cid", col("__nc").getField("cid").cast("int"))
+      .withColumn("adist", col("__nc").getField("dist"))
+      .drop("__nc")
+
+  // ---------------------------------------------- incremental maintenance
+
+  /** Corpus-level assignment-quality stats for a stored index: row
+    * count and the sum of fixed-point assignment distances (summed as
+    * double — a 2^56-bounded long distance over a 100 TB corpus would
+    * overflow a long sum; the drift statistic is a heuristic ratio, not
+    * an exact gate, so double is the right width). */
+  case class IndexStats(n: Long, sumDist: Double) {
+    def meanDist: Double = if (n == 0) 0.0 else sumDist / n
+  }
+
+  /** What [[append]] did: batch size, the batch's mean assignment
+    * distance vs the index's, and whether the drift threshold fired —
+    * the caller's refit trigger. */
+  case class AppendReport(appended: Long, batchMeanDist: Double,
+                          indexMeanDist: Double, drifted: Boolean)
+
+  /** Underscore-prefixed sidecar dir: invisible to parquet scans of the
+    * index (Spark's listing skips `_*`, the _spark_metadata convention),
+    * so readers of the index never see it. */
+  private def statsPath(indexPath: String) = s"$indexPath/_graft_stats"
+
+  /** (Re)compute and persist the stats sidecar from the stored index —
+    * one aggregation pass; call once after the initial bulk index
+    * write. */
+  def writeIndexStats(indexPath: String)(implicit spark: org.apache.spark.sql.SparkSession): IndexStats = {
+    import spark.implicits._
+    val r = spark.read.parquet(indexPath)
+      .agg(count(lit(1)), sum(col("adist").cast("double"))).head()
+    val st = IndexStats(r.getLong(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    Seq((st.n, st.sumDist)).toDF("n", "sum_dist")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(indexPath))
+    st
+  }
+
+  /** Stored stats, backfilled from the index itself when the sidecar
+    * does not exist yet (pre-maintenance indexes). */
+  def readIndexStats(indexPath: String)(implicit spark: org.apache.spark.sql.SparkSession): IndexStats =
+    try {
+      val r = spark.read.parquet(statsPath(indexPath)).head()
+      IndexStats(r.getLong(0), r.getDouble(1))
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      writeIndexStats(indexPath)
+    }
+
+  /** Append-only maintenance of a persisted index: assign `newVectors`
+    * with the SAME stored quantizer (no refit — the 100 TB posture is a
+    * growing corpus indexed incrementally), append them to the index
+    * parquet, roll the stats sidecar forward, and report drift.
+    *
+    * Drift: the appended batch's mean assignment distance vs the
+    * index's historical mean. Centroids fitted on yesterday's
+    * distribution assign drifted data to farther lists — recall decays
+    * silently under pruned probing — so a batch mean above
+    * `driftFactor ×` the historical mean signals `drifted = true`: the
+    * caller's cue to refit and re-index. The append still happens
+    * (exactness of full-probe search never depends on where centroids
+    * sit; drift only degrades the pruned-probe recall/cost trade). */
+  def append(newVectors: DataFrame, indexPath: String, model: Model,
+             driftFactor: Double = 1.5)(implicit spark: org.apache.spark.sql.SparkSession): AppendReport = {
+    import spark.implicits._
+    val prior = readIndexStats(indexPath) // before the append — a
+    // backfill after the write would double-count the batch
+    val batch = index(newVectors, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = batch.agg(count(lit(1)), sum(col("adist").cast("double"))).head()
+    val nb = r.getLong(0)
+    val sb = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+    batch.write.mode("append").parquet(indexPath)
+    batch.unpersist(blocking = false)
+    Seq((prior.n + nb, prior.sumDist + sb)).toDF("n", "sum_dist")
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(indexPath))
+    val meanB = if (nb == 0) 0.0 else sb / nb
+    AppendReport(nb, meanB, prior.meanDist,
+      drifted = prior.n > 0 && nb > 0 && meanB > driftFactor * prior.meanDist)
+  }
 
   /** Top-k cosine search probing the nProbe nearest lists per query. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,

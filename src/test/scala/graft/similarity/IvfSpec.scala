@@ -82,6 +82,43 @@ class IvfSpec extends SparkTestBase {
     assert(pNative == pFold)
   }
 
+  test("append-only maintenance: appended index ≡ indexed-from-scratch, drift fires on a shifted batch") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // sf0.001 embeddings are vec_id 0..499 — split 400 base / 100 batch
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val m = Ivf.fit(base, k = 4, iters = 2)
+    val idxPath = scratchDir("ivf-append").toString + "/index"
+    Ivf.index(base, m).write.parquet(idxPath)
+    val st0 = Ivf.writeIndexStats(idxPath)
+    assert(st0.n == base.count() && st0.sumDist > 0)
+    // in-distribution batch: appended, NOT drifted
+    val rep = Ivf.append(batch, idxPath, m)
+    assert(rep.appended == batch.count() && !rep.drifted,
+      s"in-distribution batch flagged drifted: $rep")
+    // the appended store is bit-identical in content to indexing the
+    // full corpus from scratch with the same model — assignment is a
+    // pure function of (vector, model), so even PRUNED-probe search
+    // must agree exactly (stronger than a recall bound)
+    val stored = spark.read.parquet(idxPath)
+    val scratch = Ivf.index(emb, m)
+    val a = asPairs(Ivf.search(queries, stored, m, topK = 5, nProbe = 2))
+    val b = asPairs(Ivf.search(queries, scratch, m, topK = 5, nProbe = 2))
+    assert(a == b)
+    // stats sidecar rolled forward and invisible to index readers
+    val st1 = Ivf.readIndexStats(idxPath)
+    assert(st1.n == emb.count())
+    assert(stored.count() == emb.count(), "sidecar leaked into the index scan")
+    // a distribution-shifted batch must trip the refit signal
+    val shifted = batch
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(5.0f)).cast("float")))
+    val rep2 = Ivf.append(shifted, idxPath, m)
+    assert(rep2.drifted,
+      s"shifted batch (mean ${rep2.batchMeanDist} vs ${rep2.indexMeanDist}) must signal refit")
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
