@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only harness (like ScaleProbe — NOT part of the driver
+  * contract): time the slowest GATE queries themselves at k× sf0.1,
+  * with the operating envelope's partition-scaling rule applied
+  * (README "Operating envelope" #1: shuffle partitions ∝ corpus
+  * factor, `max(32, 32·k/10)`). ScaleProbe validated the rule on the
+  * wide *shapes*; this validates it on the gate queries as deployed —
+  * the evidence that the published per-query numbers extrapolate
+  * ~linearly for the non-iterative entries.
+  *
+  * The k× corpus is synthesized as id-offset shards (ScaleProbe's
+  * scaffold): documents get a per-shard text marker (near- not
+  * byte-dups), lineitem offsets both join keys (k isolated
+  * co-occurrence components), events offsets event/user ids (k× users,
+  * sessions scale linearly). Tables the probed queries never read are
+  * copied 1×.
+  *
+  * Usage: runMain graft.ScaleBench [k] [comma-separated query names]
+  * Writes target/scale_bench.json and prints one line per query.
+  */
+object ScaleBench {
+
+  /** The 10 slowest entries of BENCH_r07 at sf0.1. */
+  private val DefaultNames = Seq(
+    "q110_pagerank", "q59_dedup_survivors", "q47_dedup_clusters",
+    "q94_streaming_join", "q98_fluency", "q120_pmi", "q107_span_dedup",
+    "q116_pareto_frontier", "q89_streaming_sessions", "q43_jaccard_join")
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args(1).split(',').toSeq else DefaultNames
+    val sf = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+
+    // ---- synthesize the k× dir (id-offset shards, ScaleProbe scaffold)
+    val scaled = TempArtifacts.dir(s"graft_scale${k}x")
+    def shard(base: DataFrame, k: Int)(one: Int => DataFrame): DataFrame =
+      (0 until k).map(one).reduce(_ unionByName _)
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    write(shard(docs, k) { s =>
+      docs.withColumn("doc_id", col("doc_id") + lit(s * nDocs))
+        .withColumn("text", concat(col("text"), lit(s" shard$s marker$s")))
+    }, "documents")
+
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    write(shard(li, k) { s =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(s.toLong * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(s * maxPart))
+    }, "lineitem")
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nEv = ev.count()
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    write(shard(ev, k) { s =>
+      ev.withColumn("event_id", col("event_id") + lit(s * nEv))
+        .withColumn("user_id", col("user_id") + lit(s * maxUser))
+    }, "events")
+
+    // 1× passthrough for everything else the entries might touch
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "embeddings")) {
+      write(spark.read.parquet(s"$sf/$t.parquet"), t)
+    }
+
+    // ---- timing (Bench's discipline: noop sink = full materialization,
+    // cache/checkpoint hygiene between runs, min of 2)
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"SCALEBENCH FAIL $name: $e"); -1.0
+      } finally {
+        spark.catalog.clearCache()
+        Checkpoints.releaseAll(spark)
+      }
+    }
+    def best(name: String, dir: String): Double = {
+      val ts = Seq(timeOnce(name, dir), timeOnce(name, dir)).filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
+
+    // warm-up at the smallest SF (JIT + codegen, Bench's discipline)
+    names.foreach { n =>
+      try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"warmup $n failed: ${e.getMessage}") }
+      spark.catalog.clearCache(); Checkpoints.releaseAll(spark)
+    }
+
+    val results = names.map { name =>
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val t1 = best(name, sf)
+      // the envelope rule, applied for the k× pass
+      val parts = math.max(32, 32 * k / 10)
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val tk = best(name, scaled)
+      val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
+      println(f"SCALEBENCH $name%-24s 1x $t1%7.2fs  ${k}x $tk%7.2fs  ratio ${ratio}%6.2f")
+      (name, t1, tk, ratio)
+    }
+
+    def fmt(d: Double) = f"$d%.3f"
+    val json = results.map { case (n, t1, tk, r) =>
+      s""""$n":{"x1":${fmt(t1)},"x$k":${fmt(tk)},"ratio":${fmt(r)}}"""
+    }.mkString(s"""{"k":$k,"parts_rule":"max(32, 32*k/10)","queries":{""", ",", "}}")
+    val out = new java.io.PrintWriter(new java.io.File("target/scale_bench.json"))
+    try out.println(json) finally out.close()
+    println(json)
+    spark.stop()
+  }
+}

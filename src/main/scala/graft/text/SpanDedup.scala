@@ -117,13 +117,59 @@ object SpanDedup {
       .withColumn("__isl", sum(col("__new")).over(byPos))
     val spans = islands.groupBy(col(idCol), col("__isl"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    assembleClean(docs, idCol, textCol, spans)
+  }
+
+  /** (id, clean_text, n_spans, chars_removed): span-level
+    * DECONTAMINATION — excise from `docs` every winnow-fingerprint span
+    * whose hash occurs anywhere in `refDocs` (the held-out benchmark
+    * set), keeping the rest of the document. Whole-doc decontamination
+    * (q39's flag-and-drop) throws away a 50 KB document over one quoted
+    * benchmark sentence; span excision keeps the clean 99%.
+    *
+    * Same interval/merge/reassembly machinery as
+    * [[removeSharedSpans]], but the removal trigger is membership in
+    * the reference hash set (no keeper rule — corpus docs never "own" a
+    * benchmark span), and the reference side collapses to a DISTINCT
+    * hash set before the join, so the join's build side is bounded by
+    * the benchmark's fingerprint vocabulary, not its size. */
+  def removeSpansMatching(docs: DataFrame, idCol: String, textCol: Column,
+                          refDocs: DataFrame, refTextCol: Column,
+                          k: Int = K, w: Int = W,
+                          scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = scope.cache(
+      fingerprints(docs, idCol, textCol, k, w).distinct())
+    val refHashes = refDocs
+      .select(call_function("winnow_fp", refTextCol, lit(k), lit(w)).as("__fps"))
+      .select(explode_outer(col("__fps")).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .select(col("__fp.h").as("h")).distinct()
+    val rm = fp.join(refHashes, Seq("h"))
+      .select(col(idCol), col("p").cast("int").as("s"),
+        (col("p") + lit(k - 1)).cast("int").as("e"))
+      .distinct()
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val islands = rm
+      .withColumn("__maxe",
+        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("s") > col("__maxe") + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byPos))
+    val spans = islands.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    assembleClean(docs, idCol, textCol, spans)
+  }
+
+  /** Shared reassembly tail of the two span-removal forms: merge span
+    * lists per doc, fold out the kept segments, carry provenance. */
+  private def assembleClean(docs: DataFrame, idCol: String, textCol: Column,
+                            spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
         count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("chars_removed"))
     val text = col("__text")
-    // fold over sorted spans: carry (cursor, acc); emit the kept
-    // segment before each span, then the tail past the last span
     val reassembled = aggregate(col("__spans"),
       struct(lit(0).as("cur"), lit("").as("acc")),
       (acc, sp) => struct(

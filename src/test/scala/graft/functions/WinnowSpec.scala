@@ -147,6 +147,28 @@ class WinnowSpec extends SparkTestBase {
     assert(removed1 > 0 && clean1.length == t.length - removed1)
   }
 
+  test("removeSpansMatching: benchmark-quoting span excised, no keeper rule, rest kept") {
+    val benchLine = "the quick brown fox jumps over the lazy dog repeatedly"
+    val corpus = Seq(
+      (10L, s"prefix text here $benchLine suffix text here"),
+      (11L, "a completely clean document with no benchmark overlap at all"))
+    val bench = Seq((0L, s"Q: complete this: $benchLine"))
+    val out = graft.text.SpanDedup.removeSpansMatching(
+        corpus.toDF("doc_id", "text"), "doc_id", col("text"),
+        bench.toDF("doc_id", "text"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // corpus doc 10 quotes the benchmark line -> span excised even
+    // though doc 10's id is lower than nothing (no keeper rule here)
+    val (clean10, n10, rm10) = out(10L)
+    assert(n10 >= 1 && rm10 > 0)
+    assert(!clean10.contains(benchLine))
+    assert(clean10.startsWith("prefix"))
+    assert(clean10.endsWith("here"))
+    // clean doc untouched
+    assert(out(11L) == (("a completely clean document with no benchmark overlap at all", 0L, 0L)))
+  }
+
   test("sharedSpanPairs: planted clone pair found, boilerplate df-capped out") {
     // 12 docs share one boilerplate sentence (df 12 > cap 4) — that
     // alone must NOT produce pairs; docs 100/101 also share a long
