@@ -212,6 +212,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate"), s"expected the window explode:\n$p")
   }
 
+  test("q121/q122 span removal: hash equi-joins only, no cartesian, no global sort") {
+    // the span-removal family's scale story: fingerprint→hash joins and
+    // per-doc windows/folds — a cartesian or a corpus-wide range sort
+    // would mean the interval machinery degenerated
+    for (q <- Seq(DedupOps.q121SpanRemoval _, DedupOps.q122DecontaminateSpans _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"span removal degenerated to all-pairs:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"span removal acquired a global sort:\n$p")
+    }
+  }
+
   test("q87 fuzzy pairs: candidates via equi-join — no cartesian/nested-loop") {
     // the FastSS point: a levenshtein(a,b)<=k predicate alone would force
     // a BroadcastNestedLoopJoin/CartesianProduct; the deletion-variant
