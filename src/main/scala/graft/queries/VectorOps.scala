@@ -346,7 +346,52 @@ object VectorOps {
        |FROM q""".stripMargin
   }
 
+  /** q123: the IVF probe RANKING itself (similarity.Clustering
+    * .nearestCids → the native top-n `nearest_cids` codegen
+    * expression), oracle-gated: each vector's 3 nearest of q86's 8
+    * seed centroids in (fixed-point dist asc, cid asc) order. q86
+    * gates the top-1 assignment; this gates the top-n selection loop —
+    * order, ties, and early-abandon correctness — against an
+    * independent engine rather than only the composed-fold twin. */
+  private val ProbeN = 3
+
+  def q123ProbeRank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.similarity.Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    Tables.spread(s, emb)
+      .select(col("vec_id"),
+        // posexplode_outer, not posexplode (the q41 trap): the probe
+        // array is computed, and the non-outer generator would let
+        // InferFiltersFromGenerate re-inline it into a Filter
+        posexplode_outer(
+          graft.similarity.Clustering.nearestCids(col("embedding"), cents, ProbeN))
+          .as(Seq("probe_rank", "cid")))
+      .filter(col("cid").isNotNull)
+      .select(col("vec_id"), col("probe_rank").cast("long").as("probe_rank"),
+        col("cid"))
+  }
+
+  val q123Sql: String =
+    s"""WITH f AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fx
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, fx AS cfx FROM f ORDER BY vec_id LIMIT 8),
+       |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cfx FROM c),
+       |d AS (
+       |  SELECT f.vec_id, cc.cid,
+       |    CAST(list_sum(list_transform(range(1, len(f.fx) + 1),
+       |      i -> (f.fx[i] - cc.cfx[i]) * (f.fx[i] - cc.cfx[i]))) AS BIGINT) AS dist
+       |  FROM f CROSS JOIN cc),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) - 1 AS probe_rank
+       |  FROM d)
+       |SELECT vec_id, probe_rank::BIGINT AS probe_rank, cid FROM r
+       |WHERE probe_rank < $ProbeN""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_probe_rank" -> q123ProbeRank,
     "q111_random_projection" -> q111RandomProjection,
     "q50_ann_topk"    -> q50AnnTopK,
     "q55_group_centroid" -> q55GroupCentroid,
@@ -359,6 +404,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_probe_rank" -> q123Sql,
     "q111_random_projection" -> q111Sql,
     "q50_ann_topk"    -> q50Sql,
     "q55_group_centroid" -> q55Sql,
