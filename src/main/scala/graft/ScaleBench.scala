@@ -32,7 +32,12 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val names = if (args.length > 1) args(1).split(',').toSeq else DefaultNames
+    // name args resolve by substring against the gate inventory (same
+    // dev convenience as Verify's third arg)
+    val names = if (args.length > 1)
+      args(1).split(',').toSeq.flatMap(frag =>
+        SparkEntry.queries.keys.filter(_.contains(frag)).toSeq.sorted)
+    else DefaultNames
     val sf = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -29,19 +29,82 @@ object Pareto {
   /** Rows of `df` on the Pareto frontier of (`x` max, `y` max) within
     * each `group`. Ties on both axes are mutually non-dominating (no
     * strict axis) and are all kept. Null `x`/`y` rows are dropped first:
-    * dominance is undefined on missing criteria. */
-  def frontier(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    * dominance is undefined on missing criteria.
+    *
+    * `buckets` > 1 selects the TWO-PHASE form for coarse group keys: a
+    * group-partitioned window parallelizes at most |groups|-way (the
+    * 30× scale run measured exactly this — 5 language groups pinned
+    * q116 to 5 cores, SCALE30_r08.json), so the wide form splits each
+    * group into `buckets` x-ranges (equal-width over the group's x
+    * span — a deterministic, monotone, same-x-same-bucket map), runs
+    * the same two windows per (group, bucket), and resolves
+    * cross-bucket dominance through a |groups|×|buckets|-row bucket-max
+    * summary joined back broadcast: every x in a higher bucket is
+    * strictly larger, so a row is cross-bucket dominated iff the
+    * suffix max of later buckets' y reaches its y. Bit-identical
+    * results to the narrow form (ParetoSpec property) at
+    * groups×buckets-way parallelism. */
+  def frontier(df: DataFrame, group: Column, x: Column, y: Column,
+               buckets: Int = 1): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    if (buckets == 1) frontierNarrow(df, group, x, y)
+    else frontierWide(df, group, x, y, buckets)
+  }
+
+  private def fresh(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
+  private def frontierWide(df: DataFrame, group: Column, x: Column, y: Column,
+                           buckets: Int): DataFrame = {
+    val gN = fresh(df, "_pareto_g"); val xN = fresh(df, "_pareto_x")
+    val yN = fresh(df, "_pareto_y"); val bN = fresh(df, "_pareto_b")
+    val loN = fresh(df, "_pareto_lo"); val hiN = fresh(df, "_pareto_hi")
+    val inLargerN = fresh(df, "_pareto_in_larger")
+    val inSameN = fresh(df, "_pareto_in_same")
+    val bmaxN = fresh(df, "_pareto_bmax"); val sfxN = fresh(df, "_pareto_sfx")
+    val in = df.where(x.isNotNull && y.isNotNull)
+      .withColumn(gN, group).withColumn(xN, x).withColumn(yN, y)
+    // per-group x span: |groups| rows — the model, not the data
+    val ranges = in.groupBy(col(gN))
+      .agg(min(col(xN)).as(loN), max(col(xN)).as(hiN))
+    // width_bucket over [lo, hi+1) maps x ∈ [lo, hi] to 1..buckets;
+    // the double cast is monotone and value-deterministic, so equal x
+    // always shares a bucket and higher buckets hold strictly larger x
+    val bucketed = in.join(broadcast(ranges), Seq(gN))
+      .withColumn(bN, width_bucket(col(xN).cast("double"),
+        col(loN).cast("double"), col(hiN).cast("double") + 1d, lit(buckets)))
+      .drop(loN, hiN)
+    // phase 1: the narrow form's two windows, per (group, bucket)
+    val byX     = Window.partitionBy(col(gN), col(bN)).orderBy(col(xN).asc)
+    val largerX = byX.rangeBetween(1, Window.unboundedFollowing)
+    val sameX   = byX.rangeBetween(Window.currentRow, Window.currentRow)
+    val staged = bucketed
+      .withColumn(inLargerN, max(col(yN)).over(largerX))
+      .withColumn(inSameN, max(col(yN)).over(sameX))
+    // phase 2: cross-bucket suffix max of per-bucket y maxes (tiny)
+    val bmax = bucketed.groupBy(col(gN), col(bN)).agg(max(col(yN)).as(bmaxN))
+    val suffix = bmax.withColumn(sfxN,
+        max(col(bmaxN)).over(Window.partitionBy(col(gN)).orderBy(col(bN).asc)
+          .rowsBetween(1, Window.unboundedFollowing)))
+      .select(col(gN), col(bN), col(sfxN))
+    staged.join(broadcast(suffix), Seq(gN, bN))
+      .where(
+        (col(inLargerN).isNull || col(inLargerN) < col(yN)) &&
+          !(col(inSameN) > col(yN)) &&
+          (col(sfxN).isNull || col(sfxN) < col(yN)))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  private def frontierNarrow(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
     val byX      = Window.partitionBy(group).orderBy(x.asc)
     val largerX  = byX.rangeBetween(1, Window.unboundedFollowing)
     val sameX    = byX.rangeBetween(Window.currentRow, Window.currentRow)
     // collision-free scratch names: an input that already carries a
     // column with the bare name would be silently overwritten and then
     // dropped from the output
-    def fresh(base: String): String =
-      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
-        .find(n => !df.columns.contains(n)).get
-    val yMaxLarger = fresh("_y_max_larger_x")
-    val yMaxSame   = fresh("_y_max_same_x")
+    val yMaxLarger = fresh(df, "_y_max_larger_x")
+    val yMaxSame   = fresh(df, "_y_max_same_x")
     df.where(x.isNotNull && y.isNotNull)
       .withColumn(yMaxLarger, max(y).over(largerX))
       .withColumn(yMaxSame, max(y).over(sameX))

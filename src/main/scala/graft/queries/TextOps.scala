@@ -428,13 +428,22 @@ object TextOps {
     * dominated on (n_chars, quality_bp): see [[graft.operators.Pareto]]
     * for the sort-and-scan shape (one exchange, no self-join). Oracle
     * mirrors the two RANGE-frame window maxes verbatim; all-integer
-    * criteria make dominance exact in both engines. */
+    * criteria make dominance exact in both engines.
+    *
+    * buckets = 32: the documents table has FIVE language groups, so
+    * the plain group-partitioned window parallelizes at most 5-way —
+    * the 30× scale run measured q116 pinned to those 5 cores
+    * (SCALE30_r08.json). The two-phase form runs the same windows per
+    * (lang, x-bucket) — 160-way — and resolves cross-bucket dominance
+    * through a tiny broadcast summary; results are bit-identical
+    * (ParetoSpec property, and this gate's oracle is the NARROW
+    * form's SQL). */
   def q116ParetoFrontier(s: SparkSession, dir: String): DataFrame =
     graft.operators.Pareto.frontier(
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang"), col("n_chars"),
         TextAnalysis.qualityScore(col("text")).as("quality_bp")),
-      col("lang"), col("n_chars"), col("quality_bp"))
+      col("lang"), col("n_chars"), col("quality_bp"), buckets = 32)
 
   val q116Sql: String = {
     val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted

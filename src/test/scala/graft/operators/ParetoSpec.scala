@@ -63,6 +63,30 @@ class ParetoSpec extends SparkTestBase {
     assert(frontierIds(rows: _*) === expected)
   }
 
+  test("two-phase bucketed form is bit-identical to the narrow form") {
+    // adversarial grid: duplicate points, x-ties spanning would-be
+    // bucket boundaries, per-group x spans of different widths, a
+    // single-x group (every row lands in one bucket), negative values
+    val rows = (for (i <- 0 until 400) yield
+      ("g" + (i % 4), i, ((i * 7919) % 29) - 7, ((i * 104729) % 23) - 3)) ++
+      Seq(("gsame", 1000, 5, 9), ("gsame", 1001, 5, 9), ("gsame", 1002, 5, 3))
+    val in = rows.toDF("g", "id", "x", "y")
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"))
+      .select("id").as[Int].collect().toSet
+    for (buckets <- Seq(2, 7, 32, 1000)) {
+      val wide = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets)
+        .select("id").as[Int].collect().toSet
+      assert(wide === narrow, s"buckets=$buckets diverged from narrow")
+    }
+  }
+
+  test("wide form: output columns and rows match the input schema contract") {
+    val in = df(("a", 1, 3, 3), ("a", 2, 2, 2), ("b", 3, 1, 1))
+    val out = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 4)
+    assert(out.columns.toSeq === in.columns.toSeq)
+    assert(out.select("id").as[Int].collect().toSet === Set(1, 3))
+  }
+
   test("plan: ONE hash exchange, no join node") {
     val plan = Pareto.frontier(
       df(("a", 1, 1, 1), ("a", 2, 2, 2)), col("g"), col("x"), col("y"))
