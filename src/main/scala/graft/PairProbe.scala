@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only harness: measure the LSH candidate-pair count (the CC
+  * chain's true input) for the k×-sharded synthetic corpus ScaleBench
+  * times q47/q59 on. The sharding appends a per-shard marker to each
+  * document, so a base document's k copies are near- not byte-dups and
+  * MOSTLY pair up — pair counts grow ~k² while rows grow k. This probe
+  * turns SCALE30_r08.json's "super-linear in input, not in work" claim
+  * from argued to measured: divide the CC chain's time ratio by the
+  * pair ratio to see the per-edge cost.
+  *
+  * Usage: runMain graft.PairProbe [k]   (default 30)
+  */
+object PairProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(30)
+    val sf = "/root/testdata/sf0.1"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", math.max(32, 32 * k / 10).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    def pairs(kk: Int): Long = {
+      val sharded = (0 until kk).map { s =>
+        docs.select((col("doc_id") + lit(s * n)).as("doc_id"),
+          concat(col("text"), lit(s" shard$s marker$s")).as("text"))
+      }.reduce(_ unionByName _)
+      val c = graft.queries.DedupOps.lshCandidatePairCount(spark, sharded)
+      spark.catalog.clearCache()
+      c
+    }
+    val p1 = pairs(1)
+    val pk = pairs(k)
+    println(f"PAIRPROBE rows 1x=$n%d ${k}x=${n * k}%d (x$k)")
+    println(f"PAIRPROBE lsh_pairs 1x=$p1%d ${k}x=$pk%d (x${pk.toDouble / p1}%.1f)")
+    spark.stop()
+  }
+}

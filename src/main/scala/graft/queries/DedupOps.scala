@@ -106,6 +106,24 @@ object DedupOps {
         .agg(count(lit(1)).as("shared_bands")))
   }
 
+  /** Dev-probe surface (graft.PairProbe): q42's distinct candidate-pair
+    * COUNT over an arbitrary (doc_id, text) frame — the CC chain's true
+    * input size, measured rather than argued at k× shardings. */
+  def lshCandidatePairCount(s: SparkSession, docsIn: org.apache.spark.sql.DataFrame): Long = {
+    val docs = spread(s, docsIn)
+      .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
+    val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
+      .select(col("doc_id"), col("sig"))
+    val scope = graft.CacheScope.scoped()
+    val bands = scope.cache(sig.select(col("doc_id"),
+      posexplode_outer(Dedup.lshBands(col("sig"), K, RowsPerBand)).as(Seq("band", "bh"))))
+    val a = bands.toDF("id_a", "band", "bh")
+    val b = bands.toDF("id_b", "band", "bh")
+    scope.materializeAndRelease(
+      a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()).count()
+  }
+
   val q42Sql: String = {
     val perms = Dedup.minhashParams(K).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
