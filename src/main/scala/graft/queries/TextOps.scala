@@ -552,7 +552,57 @@ object TextOps {
        |FROM per_source, totals""".stripMargin
   }
 
+  // -------------------------------------------- q124 BPE merge training
+
+  private val BpeRounds = 6
+
+  /** q124: BPE tokenizer training (text.BpeTrainer) — six merge rounds
+    * over the documents corpus, gate = the learned merge table itself
+    * (round, left, right, cnt). The oracle replays the identical
+    * algorithm as chained CTEs (the PageRank pattern): per round, a
+    * pair-count aggregate, a 1-row argmax with the same
+    * (cnt DESC, l, r) tiebreak, and the greedy left-to-right merge
+    * fold via `list_reduce` — the fold state rides as a FLAT varchar
+    * list (flag slot + output symbols) because DuckDB 1.0's
+    * list_reduce drops list fields inside a struct accumulator. */
+  def q124BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeTrainer.mergesDf(s,
+      graft.text.BpeTrainer.train(
+        Tables.spread(s, Tables.documents(s, dir)), col("text"), BpeRounds))
+
+  val q124Sql: String = {
+    def mergeFold(prev: String, b: String): String =
+      s"""SELECT list_reduce(
+         |  list_prepend([''],
+         |    list_transform(range(1, len(sym) + 1), i ->
+         |      [sym[i], coalesce(sym[i+1], '')])),
+         |  (acc, x) -> CASE WHEN acc[1] = 'S' THEN list_concat([''], acc[2:])
+         |                   WHEN x[1] = $b.l AND x[2] = $b.r
+         |                     THEN list_concat(['S'], list_concat(acc[2:], [$b.l || $b.r]))
+         |                   ELSE list_concat([''], list_concat(acc[2:], [x[1]])) END
+         |)[2:] AS sym, n FROM $prev CROSS JOIN $b""".stripMargin
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),
+      |w0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS sym, n FROM wc)""".stripMargin
+    for (i <- 1 to BpeRounds) {
+      sb ++= s""",
+        |p$i AS (SELECT sym[i] AS l, sym[i+1] AS r, sum(n)::BIGINT AS cnt
+        |        FROM w${i - 1}, LATERAL (SELECT unnest(range(1, len(sym))) AS i)
+        |        GROUP BY 1, 2),
+        |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$i AS (${mergeFold(s"w${i - 1}", s"b$i")})""".stripMargin
+    }
+    sb ++= "\n" + (1 to BpeRounds).map(i =>
+      s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", cnt FROM b$i""")
+      .mkString(" UNION ALL ")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_bpe_merges" -> q124BpeMerges,
     "q116_pareto_frontier" -> q116ParetoFrontier,
     "q117_source_entropy"  -> q117SourceEntropy,
     "q99_mix_sample"  -> q99MixSample,
@@ -571,6 +621,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_bpe_merges" -> q124Sql,
     "q116_pareto_frontier" -> q116Sql,
     "q117_source_entropy"  -> q117Sql,
     "q54_repetition"  -> q54Sql,

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al. 2016, word-internal
+  * byte-pair encoding) — the merge-rule learner every training-data
+  * pipeline runs before tokenizing a corpus.
+  *
+  * Scale design: ONE corpus aggregation reduces the data to the
+  * word-frequency table (vocab-bounded — the classic BPE trainer
+  * posture), then each merge round operates on the VOCAB, not the
+  * corpus: adjacent-pair counts weighted by word frequency (one
+  * vocab-sized aggregation), a 1-row argmax to the driver (the model,
+  * not data), and a map-only merge apply. R rounds = R vocab-sized
+  * shuffles after the single corpus pass.
+  *
+  * Determinism (oracle-exact): the winning pair each round is
+  * (count DESC, left ASC, right ASC) — binary string order on both
+  * engines; overlapping pairs count per occurrence ("aaa" counts
+  * (a,a) twice, the reference convention); the merge APPLY is the
+  * greedy left-to-right non-overlapping pairing of reference BPE
+  * ("aaaa" → [aa, aa], "abab" + (a,b) → [ab, ab]), implemented as a
+  * sequential fold over the symbol array carrying (output, skip-next)
+  * — a string-replace formulation would silently mis-merge repeating
+  * pair sequences because each replacement consumes the boundary the
+  * next match needs. The DuckDB oracle runs the IDENTICAL fold via
+  * `list_reduce` with a prepended sentinel accumulator.
+  */
+object BpeTrainer {
+
+  case class MergeRule(round: Int, left: String, right: String, count: Long)
+
+  /** (sym, n): symbol array per DISTINCT word with its corpus
+    * frequency — the vocab-bounded table every round consumes. */
+  def wordSymbols(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("n"))
+      .select(
+        transform(sequence(lit(1), length(col("__w"))),
+          i => substring(col("__w"), i, lit(1))).as("sym"),
+        col("n"))
+
+  /** Weighted adjacent-pair counts of the current symbolization
+    * (overlaps count per occurrence). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      // single-symbol words contribute no pairs; without the guard,
+      // sequence(0, -1) would DESCEND and element_at(_, 0) throw
+      .filter(size(col("sym")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("sym")) - 2),
+          i => struct(element_at(col("sym"), i + 1).as("l"),
+            element_at(col("sym"), i + 2).as("r")))).as("__p"), col("n"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("n")).cast("long").as("cnt"))
+
+  /** Reference BPE merge apply: greedy left-to-right non-overlapping
+    * pairing, as a sequential fold carrying (out, skipNext). Symbols
+    * are never empty strings, so "" is a safe no-successor sentinel. */
+  private def mergeFold(sym: Column, l: String, r: String): Column = {
+    val zipped = transform(sequence(lit(0), size(sym) - 1), i =>
+      struct(element_at(sym, i + 1).as("s"),
+        when(i < size(sym) - 1, element_at(sym, i + 2))
+          .otherwise(lit("")).as("nx")))
+    aggregate(zipped,
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, x) =>
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+        .when(x.getField("s") === l && x.getField("nx") === r,
+          struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+            lit(true).as("skip")))
+        .otherwise(
+          struct(concat(acc.getField("out"), array(x.getField("s"))).as("out"),
+            lit(false).as("skip"))),
+      acc => acc.getField("out"))
+  }
+
+  /** Learn `rounds` merge rules. Each round collects ONE row (the
+    * argmax pair) to the driver and rewrites the vocab table map-only.
+    * Returns the rules in learned order; fewer than `rounds` if the
+    * vocab runs out of pairs. */
+  def train(docs: DataFrame, textCol: Column, rounds: Int): Seq[MergeRule] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var words = wordSymbols(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += MergeRule(round, l, r, c)
+        val next = words
+          .select(mergeFold(col("sym"), l, r).as("sym"), col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+      }
+    }
+    words.unpersist(blocking = false)
+    rules.toSeq
+  }
+
+  /** The learned merge table as a DataFrame — the gate/output shape. */
+  def mergesDf(spark: SparkSession, rules: Seq[MergeRule]): DataFrame = {
+    import spark.implicits._
+    rules.map(r => (r.round, r.left, r.right, r.count))
+      .toDF("round", "left", "right", "cnt")
+      .select(col("round").cast("long").as("round"),
+        col("left"), col("right"), col("cnt"))
+  }
+}
