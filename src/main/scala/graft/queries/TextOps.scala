@@ -570,9 +570,13 @@ object TextOps {
       graft.text.BpeTrainer.train(
         Tables.spread(s, Tables.documents(s, dir)), col("text"), BpeRounds))
 
-  val q124Sql: String = {
+  /** The shared CTE chain replaying BpeRounds of training (toks → wc →
+    * w0, then per round pair counts pN, argmax bN, merged vocab wN);
+    * the word string `w` rides through every round so the encoding
+    * entry can read the final segmentation. */
+  private def bpeCtes: String = {
     def mergeFold(prev: String, b: String): String =
-      s"""SELECT list_reduce(
+      s"""SELECT w, list_reduce(
          |  list_prepend([''],
          |    list_transform(range(1, len(sym) + 1), i ->
          |      [sym[i], coalesce(sym[i+1], '')])),
@@ -586,7 +590,7 @@ object TextOps {
       |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
       |  FROM documents),
       |wc AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),
-      |w0 AS (SELECT list_transform(range(1, length(w) + 1), i -> w[i]) AS sym, n FROM wc)""".stripMargin
+      |w0 AS (SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS sym, n FROM wc)""".stripMargin
     for (i <- 1 to BpeRounds) {
       sb ++= s""",
         |p$i AS (SELECT sym[i] AS l, sym[i+1] AS r, sum(n)::BIGINT AS cnt
@@ -595,13 +599,35 @@ object TextOps {
         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
         |w$i AS (${mergeFold(s"w${i - 1}", s"b$i")})""".stripMargin
     }
-    sb ++= "\n" + (1 to BpeRounds).map(i =>
-      s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", cnt FROM b$i""")
-      .mkString(" UNION ALL ")
     sb.toString
   }
 
+  val q124Sql: String =
+    bpeCtes + "\n" + (1 to BpeRounds).map(i =>
+      s"""SELECT $i::BIGINT AS round, l AS "left", r AS "right", cnt FROM b$i""")
+      .mkString(" UNION ALL ")
+
+  /** q125: BPE ENCODING — the corpus vocab segmented by the six
+    * learned rules (the tokenizer's apply half). Gate shape is the
+    * per-word map (word, n, n_tokens, segmented): segmented joins the
+    * symbol array with spaces because the driver hashes scalar cells. */
+  def q125BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val rules = graft.text.BpeTrainer.train(docs, col("text"), BpeRounds)
+    graft.text.BpeTrainer.encodeWords(docs, col("text"), rules)
+      .select(col("word"), col("n"), col("n_tokens"),
+        concat_ws(" ", col("sym")).as("segmented"))
+  }
+
+  val q125Sql: String =
+    bpeCtes +
+      s"""
+         |SELECT w AS word, n, len(sym)::BIGINT AS n_tokens,
+         |  array_to_string(sym, ' ') AS segmented
+         |FROM w$BpeRounds""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_bpe_encode" -> q125BpeEncode,
     "q124_bpe_merges" -> q124BpeMerges,
     "q116_pareto_frontier" -> q116ParetoFrontier,
     "q117_source_entropy"  -> q117SourceEntropy,
@@ -621,6 +647,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_bpe_encode" -> q125Sql,
     "q124_bpe_merges" -> q124Sql,
     "q116_pareto_frontier" -> q116Sql,
     "q117_source_entropy"  -> q117Sql,

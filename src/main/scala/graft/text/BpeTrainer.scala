@@ -31,16 +31,29 @@ object BpeTrainer {
 
   case class MergeRule(round: Int, left: String, right: String, count: Long)
 
-  /** (sym, n): symbol array per DISTINCT word with its corpus
+  /** (word, sym, n): symbol array per DISTINCT word with its corpus
     * frequency — the vocab-bounded table every round consumes. */
   def wordSymbols(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(textCol)).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("n"))
-      .select(
-        transform(sequence(lit(1), length(col("__w"))),
-          i => substring(col("__w"), i, lit(1))).as("sym"),
+    docs.select(explode(TextAnalysis.tokens(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("n"))
+      .select(col("word"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => substring(col("word"), i, lit(1))).as("sym"),
         col("n"))
+
+  /** BPE ENCODING — apply learned rules in order to the corpus vocab:
+    * (word, sym, n, n_tokens). R chained map-only folds = ONE pass over
+    * the vocab table when materialized (the deployment tokenizes the
+    * corpus itself the same way, word by word, via this vocab map). */
+  def encodeWords(docs: DataFrame, textCol: Column,
+                  rules: Seq[MergeRule]): DataFrame = {
+    var words = wordSymbols(docs, textCol)
+    for (rule <- rules)
+      words = words.select(col("word"),
+        mergeFold(col("sym"), rule.left, rule.right).as("sym"), col("n"))
+    words.withColumn("n_tokens", size(col("sym")).cast("long"))
+  }
 
   /** Weighted adjacent-pair counts of the current symbolization
     * (overlaps count per occurrence). */
