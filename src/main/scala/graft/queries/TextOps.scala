@@ -637,7 +637,45 @@ object TextOps {
          |  array_to_string(sym, ' ') AS segmented
          |FROM w$BpeRounds""".stripMargin
 
+  /** q126: corpus compression under the learned tokenizer — per-source
+    * chars-per-BPE-token, the metric tokenizer quality is judged by
+    * (and a mixing diagnostic: a source that compresses poorly costs
+    * more tokens per char of signal). One corpus pass joined to the
+    * broadcast vocab→segmentation map (vocab-bounded build side). */
+  def q126BpeStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val enc = graft.text.BpeTrainer
+      .encodeWords(docs, col("text"), bpeRules(s, dir))
+      .select(col("word"), col("n_tokens"))
+    docs.select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+  }
+
+  val q126Sql: String =
+    bpeCtes +
+      s""",
+         |occ AS (
+         |  SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |enc AS (SELECT w, len(sym)::BIGINT AS t FROM w$BpeRounds)
+         |SELECT source, count(*)::BIGINT AS n_words,
+         |  sum(length(w))::BIGINT AS n_chars,
+         |  sum(t)::BIGINT AS n_bpe_tokens,
+         |  round(sum(length(w))::DOUBLE / sum(t), 4) AS chars_per_token
+         |FROM occ JOIN enc USING (w)
+         |GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_bpe_stats" -> q126BpeStats,
     "q125_bpe_encode" -> q125BpeEncode,
     "q124_bpe_merges" -> q124BpeMerges,
     "q116_pareto_frontier" -> q116ParetoFrontier,
@@ -658,6 +696,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_bpe_stats" -> q126Sql,
     "q125_bpe_encode" -> q125Sql,
     "q124_bpe_merges" -> q124Sql,
     "q116_pareto_frontier" -> q116Sql,
