@@ -390,7 +390,56 @@ object VectorOps {
        |SELECT vec_id, probe_rank::BIGINT AS probe_rank, cid FROM r
        |WHERE probe_rank < $ProbeN""".stripMargin
 
+  /** q127: hard-negative mining — for each anchor vector, the top-k
+    * most-similar vectors with a DIFFERENT label (the contrastive-
+    * training data-prep primitive: negatives that are hard precisely
+    * because they are near). Same scoring/ranking discipline as q50
+    * (broadcast anchors, corpus-partitioned scoring, round(4) ties to
+    * corpus_id) plus the label-mismatch predicate pushed below the
+    * ranking window; at production scale the anchor set rides the IVF
+    * probe path instead of brute force — the label filter composes
+    * identically there. */
+  def q127HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val c = Tables.spread(s, emb)
+      .select(col("vec_id").as("corpus_id"), col("label").as("clabel"),
+        col("embedding").as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") &&
+        col("qlabel") =!= col("clabel"))
+      .withColumn("rcos", round(Similarity.cosine(col("qvec"), col("cvec")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rcos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("clabel").cast("long").as("neg_label"),
+        col("rcos"))
+  }
+
+  val q127Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS corpus_id, label AS clabel, embedding AS cvec
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, corpus_id, clabel,
+       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |  FROM c CROSS JOIN q
+       |  WHERE query_id <> corpus_id AND qlabel <> clabel),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rcos DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, clabel::BIGINT AS neg_label, rcos
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q127_hard_negatives" -> q127HardNegatives,
     "q123_probe_rank" -> q123ProbeRank,
     "q111_random_projection" -> q111RandomProjection,
     "q50_ann_topk"    -> q50AnnTopK,
@@ -404,6 +453,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_hard_negatives" -> q127Sql,
     "q123_probe_rank" -> q123Sql,
     "q111_random_projection" -> q111Sql,
     "q50_ann_topk"    -> q50Sql,
