@@ -27,13 +27,11 @@ object PairProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
     val n = docs.count()
     def pairs(kk: Int): Long = {
-      val sharded = (0 until kk).map { s =>
-        docs.select((col("doc_id") + lit(s * n)).as("doc_id"),
-          concat(col("text"), lit(s" shard$s marker$s")).as("text"))
-      }.reduce(_ unionByName _)
-      val c = graft.queries.DedupOps.lshCandidatePairCount(spark, sharded)
+      val c = graft.queries.DedupOps.lshCandidatePairCount(
+        spark, Sharding.documents(docs, kk))
       spark.catalog.clearCache()
       c
     }

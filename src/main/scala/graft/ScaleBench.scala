@@ -51,34 +51,18 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
-    // ---- synthesize the k× dir (id-offset shards, ScaleProbe scaffold)
+    // ---- synthesize the k× dir (graft.Sharding — the one scaffold all
+    // scale harnesses share, keeping their published numbers comparable)
     val scaled = TempArtifacts.dir(s"graft_scale${k}x")
-    def shard(base: DataFrame, k: Int)(one: Int => DataFrame): DataFrame =
-      (0 until k).map(one).reduce(_ unionByName _)
     def write(df: DataFrame, table: String): Unit =
       df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
 
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val nDocs = docs.count()
-    write(shard(docs, k) { s =>
-      docs.withColumn("doc_id", col("doc_id") + lit(s * nDocs))
-        .withColumn("text", concat(col("text"), lit(s" shard$s marker$s")))
-    }, "documents")
-
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
-    write(shard(li, k) { s =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(s.toLong * 100000000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(s * maxPart))
-    }, "lineitem")
-
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val nEv = ev.count()
-    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
-    write(shard(ev, k) { s =>
-      ev.withColumn("event_id", col("event_id") + lit(s * nEv))
-        .withColumn("user_id", col("user_id") + lit(s * maxUser))
-    }, "events")
+    write(Sharding.documents(
+      spark.read.parquet(s"$sf/documents.parquet"), k), "documents")
+    write(Sharding.lineitem(
+      spark.read.parquet(s"$sf/lineitem.parquet"), k), "lineitem")
+    write(Sharding.events(
+      spark.read.parquet(s"$sf/events.parquet"), k), "events")
 
     // 1× passthrough for everything else the entries might touch
     for (t <- Seq("region", "nation", "customer", "supplier", "part",

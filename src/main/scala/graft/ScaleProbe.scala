@@ -28,20 +28,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
-    // one sharding scaffold for both tables: id-offset unions with a
-    // per-shard perturbation so cross-shard rows are near- not byte-dups
-    def sharded(base: DataFrame, idCol: String, k: Int)
-               (perturb: Int => Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val total = base.count()
-      (0 until k).map { s =>
-        base.select((col(idCol) + lit(s * total)).as(idCol) +: perturb(s): _*)
-      }.reduce(_ unionByName _)
-    }
-
+    // graft.Sharding: the one scaffold all scale harnesses share
     def shardedDocs(k: Int): DataFrame =
-      sharded(Tables.documents(spark, sf), "doc_id", k)(s => Seq(
-        concat(col("text"), lit(s" shard$s marker$s")).as("text"),
-        col("lang"), col("source"), col("n_chars")))
+      Sharding.documents(Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), k)
 
     def time[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -51,10 +42,8 @@ object ScaleProbe {
     }
 
     def shardedEmb(k: Int): DataFrame =
-      sharded(Tables.embeddings(spark, sf), "vec_id", k)(s => Seq(
-        transform(col("embedding"),
-          x => (x.cast("double") + lit(s * 1e-4)).cast("float")).as("embedding"),
-        col("label")))
+      Sharding.embeddings(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"), col("label")), k)
 
     for (k <- Seq(1, n)) {
       println(s"=== corpus ${k}x")

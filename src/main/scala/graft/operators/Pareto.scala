@@ -45,10 +45,11 @@ object Pareto {
     * results to the narrow form (ParetoSpec property) at
     * groups×buckets-way parallelism. */
   def frontier(df: DataFrame, group: Column, x: Column, y: Column,
-               buckets: Int = 1): DataFrame = {
+               buckets: Int = 1,
+               scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     if (buckets == 1) frontierNarrow(df, group, x, y)
-    else frontierWide(df, group, x, y, buckets)
+    else frontierWide(df, group, x, y, buckets, scope)
   }
 
   private def fresh(df: DataFrame, base: String): String =
@@ -56,25 +57,35 @@ object Pareto {
       .find(n => !df.columns.contains(n)).get
 
   private def frontierWide(df: DataFrame, group: Column, x: Column, y: Column,
-                           buckets: Int): DataFrame = {
+                           buckets: Int, scope: graft.CacheScope): DataFrame = {
     val gN = fresh(df, "_pareto_g"); val xN = fresh(df, "_pareto_x")
     val yN = fresh(df, "_pareto_y"); val bN = fresh(df, "_pareto_b")
     val loN = fresh(df, "_pareto_lo"); val hiN = fresh(df, "_pareto_hi")
     val inLargerN = fresh(df, "_pareto_in_larger")
     val inSameN = fresh(df, "_pareto_in_same")
     val bmaxN = fresh(df, "_pareto_bmax"); val sfxN = fresh(df, "_pareto_sfx")
+    val gR = fresh(df, "_pareto_gr")
     val in = df.where(x.isNotNull && y.isNotNull)
       .withColumn(gN, group).withColumn(xN, x).withColumn(yN, y)
     // per-group x span: |groups| rows — the model, not the data
     val ranges = in.groupBy(col(gN))
       .agg(min(col(xN)).as(loN), max(col(xN)).as(hiN))
+      .withColumnRenamed(gN, gR)
+    // NULL-SAFE group join: the narrow form's window keeps a NULL group
+    // as its own partition (and so does the oracle's PARTITION BY), so
+    // an inner EqualTo join here would silently drop those rows and
+    // break the bit-identical contract — <=> preserves them
     // width_bucket over [lo, hi+1) maps x ∈ [lo, hi] to 1..buckets;
     // the double cast is monotone and value-deterministic, so equal x
     // always shares a bucket and higher buckets hold strictly larger x
-    val bucketed = in.join(broadcast(ranges), Seq(gN))
-      .withColumn(bN, width_bucket(col(xN).cast("double"),
-        col(loN).cast("double"), col(hiN).cast("double") + 1d, lit(buckets)))
-      .drop(loN, hiN)
+    // cached (scope): bucketed feeds the window stage AND the bucket-max
+    // summary — uncached, the whole upstream (including a potentially
+    // expensive y expression) would execute twice
+    val bucketed = scope.cache(
+      in.join(broadcast(ranges), col(gN) <=> col(gR))
+        .withColumn(bN, width_bucket(col(xN).cast("double"),
+          col(loN).cast("double"), col(hiN).cast("double") + 1d, lit(buckets)))
+        .drop(gR, loN, hiN))
     // phase 1: the narrow form's two windows, per (group, bucket)
     val byX     = Window.partitionBy(col(gN), col(bN)).orderBy(col(xN).asc)
     val largerX = byX.rangeBetween(1, Window.unboundedFollowing)
@@ -82,13 +93,17 @@ object Pareto {
     val staged = bucketed
       .withColumn(inLargerN, max(col(yN)).over(largerX))
       .withColumn(inSameN, max(col(yN)).over(sameX))
-    // phase 2: cross-bucket suffix max of per-bucket y maxes (tiny)
+    // phase 2: cross-bucket suffix max of per-bucket y maxes (tiny);
+    // the join back is null-safe on the group for the same reason as
+    // the ranges join (bucket ids are never null — x is filtered)
+    val bR = fresh(df, "_pareto_br")
     val bmax = bucketed.groupBy(col(gN), col(bN)).agg(max(col(yN)).as(bmaxN))
     val suffix = bmax.withColumn(sfxN,
         max(col(bmaxN)).over(Window.partitionBy(col(gN)).orderBy(col(bN).asc)
           .rowsBetween(1, Window.unboundedFollowing)))
-      .select(col(gN), col(bN), col(sfxN))
-    staged.join(broadcast(suffix), Seq(gN, bN))
+      .select(col(gN).as(gR), col(bN).as(bR), col(sfxN))
+    staged.join(broadcast(suffix),
+        col(gN) <=> col(gR) && col(bN) === col(bR))
       .where(
         (col(inLargerN).isNull || col(inLargerN) < col(yN)) &&
           !(col(inSameN) > col(yN)) &&

@@ -578,11 +578,20 @@ object DedupOps {
         scope = scope))
   }
 
-  val q121Sql: String = {
+  /** Shared oracle scaffold for the two span-removal deliverables:
+    * the winnow position/selection/fingerprint CTE prefix, then a
+    * caller-supplied removal-trigger section defining `rm (doc_id, s,
+    * e)`, then the island merge / provenance / per-character
+    * reassembly — ONE place, mirroring SpanDedup.mergeIntervals +
+    * assembleClean exactly. `docPredicate` scopes which documents are
+    * cleaned/emitted (q122 restricts to the non-benchmark slice). */
+  private def spanRemovalSql(rmCtes: String, docPredicate: Option[String]): String = {
     import graft.functions.WinnowFingerprints.{B, M}
     val K = graft.text.SpanDedup.K
     val W = graft.text.SpanDedup.W
     val pows = Array.iterate(1L, K)(p => p * B % M).reverse.mkString(", ")
+    val charsWhere = docPredicate.map(p => s"\n       |  WHERE $p").getOrElse("")
+    val finalWhere = docPredicate.map(p => s"\n       |WHERE d.$p").getOrElse("")
     s"""WITH pos AS (
        |  SELECT doc_id, p,
        |    list_sum(list_transform(range(0, $K), i ->
@@ -599,12 +608,7 @@ object DedupOps {
        |  SELECT DISTINCT doc_id, mk // 2097152 AS h,
        |    1048576 - (mk % 2097152) AS p
        |  FROM sel),
-       |own AS (
-       |  SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
-       |  FROM fpos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |rm AS (
-       |  SELECT DISTINCT f.doc_id, f.p AS s, f.p + ${K - 1} AS e
-       |  FROM fpos f JOIN own o USING (h) WHERE f.doc_id <> o.keeper),
+       |$rmCtes,
        |mi AS (
        |  SELECT doc_id, s, e,
        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -622,7 +626,7 @@ object DedupOps {
        |  FROM sp GROUP BY doc_id),
        |chars AS (
        |  SELECT doc_id, i, text[i + 1] AS ch
-       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)),
+       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)$charsWhere),
        |cov AS (
        |  SELECT DISTINCT c.doc_id, c.i
        |  FROM chars c JOIN sp ON sp.doc_id = c.doc_id AND c.i BETWEEN sp.s AND sp.e),
@@ -635,7 +639,19 @@ object DedupOps {
        |  coalesce(pr.chars_removed, 0)::BIGINT AS chars_removed
        |FROM documents d
        |LEFT JOIN clean cl USING (doc_id)
-       |LEFT JOIN prov pr USING (doc_id)""".stripMargin
+       |LEFT JOIN prov pr USING (doc_id)$finalWhere""".stripMargin
+  }
+
+  val q121Sql: String = {
+    val K = graft.text.SpanDedup.K
+    spanRemovalSql(
+      s"""own AS (
+         |  SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
+         |  FROM fpos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |rm AS (
+         |  SELECT DISTINCT f.doc_id, f.p AS s, f.p + ${K - 1} AS e
+         |  FROM fpos f JOIN own o USING (h) WHERE f.doc_id <> o.keeper)""".stripMargin,
+      docPredicate = None)
   }
 
   /** Span-level decontamination (text.SpanDedup.removeSpansMatching):
@@ -656,63 +672,13 @@ object DedupOps {
   }
 
   val q122Sql: String = {
-    import graft.functions.WinnowFingerprints.{B, M}
     val K = graft.text.SpanDedup.K
-    val W = graft.text.SpanDedup.W
-    val pows = Array.iterate(1L, K)(p => p * B % M).reverse.mkString(", ")
-    s"""WITH pos AS (
-       |  SELECT doc_id, p,
-       |    list_sum(list_transform(range(0, $K), i ->
-       |      (ord(text[p + 1 + i])::BIGINT * ([$pows])[i + 1]) % $M)) % $M AS h,
-       |    length(text) AS len
-       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text) - $K + 1)) AS p)),
-       |sel AS (
-       |  SELECT doc_id, p AS s,
-       |    min(h * 2097152 + (1048576 - p)) OVER (
-       |      PARTITION BY doc_id ORDER BY p
-       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mk
-       |  FROM pos QUALIFY s <= len - $K - $W + 1),
-       |fpos AS (
-       |  SELECT DISTINCT doc_id, mk // 2097152 AS h,
-       |    1048576 - (mk % 2097152) AS p
-       |  FROM sel),
-       |ref AS (SELECT DISTINCT h FROM fpos WHERE doc_id % 41 = 0),
-       |rm AS (
-       |  SELECT DISTINCT f.doc_id, f.p AS s, f.p + ${K - 1} AS e
-       |  FROM fpos f JOIN ref USING (h) WHERE f.doc_id % 41 <> 0),
-       |mi AS (
-       |  SELECT doc_id, s, e,
-       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
-       |  FROM rm),
-       |isl AS (
-       |  SELECT doc_id, s, e,
-       |    sum(CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY s, e) AS g
-       |  FROM mi),
-       |sp AS (SELECT doc_id, g, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
-       |prov AS (
-       |  SELECT doc_id, count(*)::BIGINT AS n_spans,
-       |    sum(e - s + 1)::BIGINT AS chars_removed
-       |  FROM sp GROUP BY doc_id),
-       |chars AS (
-       |  SELECT doc_id, i, text[i + 1] AS ch
-       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)
-       |  WHERE doc_id % 41 <> 0),
-       |cov AS (
-       |  SELECT DISTINCT c.doc_id, c.i
-       |  FROM chars c JOIN sp ON sp.doc_id = c.doc_id AND c.i BETWEEN sp.s AND sp.e),
-       |clean AS (
-       |  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS t
-       |  FROM chars c LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.i
-       |  WHERE cov.i IS NULL GROUP BY c.doc_id)
-       |SELECT d.doc_id, coalesce(cl.t, '') AS clean_text,
-       |  coalesce(pr.n_spans, 0)::BIGINT AS n_spans,
-       |  coalesce(pr.chars_removed, 0)::BIGINT AS chars_removed
-       |FROM documents d
-       |LEFT JOIN clean cl USING (doc_id)
-       |LEFT JOIN prov pr USING (doc_id)
-       |WHERE d.doc_id % 41 <> 0""".stripMargin
+    spanRemovalSql(
+      s"""ref AS (SELECT DISTINCT h FROM fpos WHERE doc_id % 41 = 0),
+         |rm AS (
+         |  SELECT DISTINCT f.doc_id, f.p AS s, f.p + ${K - 1} AS e
+         |  FROM fpos f JOIN ref USING (h) WHERE f.doc_id % 41 <> 0)""".stripMargin,
+      docPredicate = Some("doc_id % 41 <> 0"))
   }
 
   val queries: Map[String, Q] = Map(

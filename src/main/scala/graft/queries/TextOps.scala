@@ -438,12 +438,16 @@ object TextOps {
     * through a tiny broadcast summary; results are bit-identical
     * (ParetoSpec property, and this gate's oracle is the NARROW
     * form's SQL). */
-  def q116ParetoFrontier(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pareto.frontier(
-      Tables.documents(s, dir).select(
-        col("doc_id"), col("lang"), col("n_chars"),
-        TextAnalysis.qualityScore(col("text")).as("quality_bp")),
-      col("lang"), col("n_chars"), col("quality_bp"), buckets = 32)
+  def q116ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.operators.Pareto.frontier(
+        Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("quality_bp")),
+        col("lang"), col("n_chars"), col("quality_bp"), buckets = 32,
+        scope = scope))
+  }
 
   val q116Sql: String = {
     val all = TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
@@ -587,6 +591,13 @@ object TextOps {
     * the word string `w` rides through every round so the encoding
     * entry can read the final segmentation. */
   private def bpeCtes: String = {
+    // LEFT JOIN ON TRUE, not CROSS JOIN: if a round finds no pairs
+    // (vocab exhausted before BpeRounds — the engine's train() stops
+    // early), bN is EMPTY and a cross join would annihilate every
+    // subsequent vocab CTE, collapsing the q125/q126 oracles to zero
+    // rows while the engine returns the full encoding. With the left
+    // join, NULL l/r make the fold's merge WHEN never true — an
+    // identity pass, exactly matching the engine's shorter rule list.
     def mergeFold(prev: String, b: String): String =
       s"""SELECT w, list_reduce(
          |  list_prepend([''],
@@ -596,7 +607,7 @@ object TextOps {
          |                   WHEN x[1] = $b.l AND x[2] = $b.r
          |                     THEN list_concat(['S'], list_concat(acc[2:], [$b.l || $b.r]))
          |                   ELSE list_concat([''], list_concat(acc[2:], [x[1]])) END
-         |)[2:] AS sym, n FROM $prev CROSS JOIN $b""".stripMargin
+         |)[2:] AS sym, n FROM $prev LEFT JOIN $b ON TRUE""".stripMargin
     val sb = new StringBuilder
     sb ++= """WITH toks AS (
       |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w

@@ -192,11 +192,26 @@ object Ivf {
 
   /** (Re)compute and persist the stats sidecar from the stored index —
     * one aggregation pass; call once after the initial bulk index
-    * write. */
-  def writeIndexStats(indexPath: String)(implicit spark: org.apache.spark.sql.SparkSession): IndexStats = {
+    * write. An index written before `adist` existed (cid-only) is
+    * still supported WHEN the quantizer is supplied: the distance is
+    * recomputed on the fly for the aggregate (same native expression,
+    * nothing rewritten on disk). Without a model, a cid-only index
+    * fails loudly instead of silently recording zero distances. */
+  def writeIndexStats(indexPath: String, model: Option[Model] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): IndexStats = {
     import spark.implicits._
-    val r = spark.read.parquet(indexPath)
-      .agg(count(lit(1)), sum(col("adist").cast("double"))).head()
+    val stored = spark.read.parquet(indexPath)
+    val withDist =
+      if (stored.columns.contains("adist")) stored
+      else model match {
+        case Some(m) => stored.withColumn("adist",
+          Clustering.nearestStruct(col("embedding"), fxCentroids(m))
+            .getField("dist"))
+        case None => throw new IllegalStateException(
+          s"index at $indexPath has no adist column (pre-maintenance layout); " +
+            "pass the quantizer model so stats can be recomputed")
+      }
+    val r = withDist.agg(count(lit(1)), sum(col("adist").cast("double"))).head()
     val st = IndexStats(r.getLong(0),
       if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     Seq((st.n, st.sumDist)).toDF("n", "sum_dist")
@@ -205,13 +220,15 @@ object Ivf {
   }
 
   /** Stored stats, backfilled from the index itself when the sidecar
-    * does not exist yet (pre-maintenance indexes). */
-  def readIndexStats(indexPath: String)(implicit spark: org.apache.spark.sql.SparkSession): IndexStats =
+    * does not exist yet (pre-maintenance indexes — including cid-only
+    * layouts when `model` is supplied). */
+  def readIndexStats(indexPath: String, model: Option[Model] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): IndexStats =
     try {
       val r = spark.read.parquet(statsPath(indexPath)).head()
       IndexStats(r.getLong(0), r.getDouble(1))
     } catch { case _: org.apache.spark.sql.AnalysisException =>
-      writeIndexStats(indexPath)
+      writeIndexStats(indexPath, model)
     }
 
   /** Append-only maintenance of a persisted index: assign `newVectors`
@@ -230,14 +247,20 @@ object Ivf {
   def append(newVectors: DataFrame, indexPath: String, model: Model,
              driftFactor: Double = 1.5)(implicit spark: org.apache.spark.sql.SparkSession): AppendReport = {
     import spark.implicits._
-    val prior = readIndexStats(indexPath) // before the append — a
-    // backfill after the write would double-count the batch
+    val prior = readIndexStats(indexPath, Some(model)) // before the
+    // append — a backfill after the write would double-count the batch
     val batch = index(newVectors, model)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = batch.agg(count(lit(1)), sum(col("adist").cast("double"))).head()
     val nb = r.getLong(0)
     val sb = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
-    batch.write.mode("append").parquet(indexPath)
+    // match the stored layout: appending adist rows into a cid-only
+    // index would mix file schemas in one directory (and a default,
+    // non-mergeSchema read could then drop or mis-resolve the column)
+    val toWrite =
+      if (spark.read.parquet(indexPath).columns.contains("adist")) batch
+      else batch.drop("adist")
+    toWrite.write.mode("append").parquet(indexPath)
     batch.unpersist(blocking = false)
     Seq((prior.n + nb, prior.sumDist + sb)).toDF("n", "sum_dist")
       .coalesce(1).write.mode("overwrite").parquet(statsPath(indexPath))

@@ -91,7 +91,6 @@ object SpanDedup {
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: Column,
                         k: Int = K, w: Int = W,
                         scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // every selected (doc, position, hash) — position multiplicity
     // matters here (each occurrence covers its own interval), unlike
     // the pair query's (doc, h) distinct
@@ -106,18 +105,7 @@ object SpanDedup {
       .select(col(idCol), col("p").cast("int").as("s"),
         (col("p") + lit(k - 1)).cast("int").as("e"))
       .distinct()
-    // merge overlapping/adjacent intervals: island starts where the
-    // running max end of all earlier intervals leaves a gap
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
-    val islands = rm
-      .withColumn("__maxe",
-        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("__new",
-        when(col("__maxe").isNull || col("s") > col("__maxe") + 1, 1).otherwise(0))
-      .withColumn("__isl", sum(col("__new")).over(byPos))
-    val spans = islands.groupBy(col(idCol), col("__isl"))
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-    assembleClean(docs, idCol, textCol, spans)
+    assembleClean(docs, idCol, textCol, mergeIntervals(rm, idCol))
   }
 
   /** (id, clean_text, n_spans, chars_removed): span-level
@@ -137,7 +125,6 @@ object SpanDedup {
                           refDocs: DataFrame, refTextCol: Column,
                           k: Int = K, w: Int = W,
                           scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = scope.cache(
       fingerprints(docs, idCol, textCol, k, w).distinct())
     val refHashes = refDocs
@@ -149,16 +136,24 @@ object SpanDedup {
       .select(col(idCol), col("p").cast("int").as("s"),
         (col("p") + lit(k - 1)).cast("int").as("e"))
       .distinct()
+    assembleClean(docs, idCol, textCol, mergeIntervals(rm, idCol))
+  }
+
+  /** Merge overlapping/ADJACENT `[s, e]` intervals per document into
+    * maximal spans (sort-and-scan islands: an island starts where the
+    * running max end of all earlier intervals leaves a gap). ONE place
+    * on purpose — both span-removal deliverables share these merge
+    * semantics, and the oracles mirror this exact rule. */
+  private def mergeIntervals(rm: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
-    val islands = rm
-      .withColumn("__maxe",
+    rm.withColumn("__maxe",
         max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
         when(col("__maxe").isNull || col("s") > col("__maxe") + 1, 1).otherwise(0))
       .withColumn("__isl", sum(col("__new")).over(byPos))
-    val spans = islands.groupBy(col(idCol), col("__isl"))
+      .groupBy(col(idCol), col("__isl"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-    assembleClean(docs, idCol, textCol, spans)
   }
 
   /** Shared reassembly tail of the two span-removal forms: merge span

@@ -80,6 +80,24 @@ class ParetoSpec extends SparkTestBase {
     }
   }
 
+  test("NULL group is its own partition in BOTH forms (wide joins are null-safe)") {
+    // the narrow window (and the oracle's PARTITION BY) keep NULL-group
+    // rows as a partition of their own; the wide form's group joins
+    // must be null-safe or those rows silently vanish
+    val in = Seq(
+      (Some("a"), 1, 3, 3), (Some("a"), 2, 2, 2),
+      (None, 3, 5, 5), (None, 4, 4, 4), (None, 5, 5, 5))
+      .toDF("g", "id", "x", "y")
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"))
+      .select("id").as[Int].collect().toSet
+    assert(narrow === Set(1, 3, 5))
+    for (buckets <- Seq(2, 3, 16)) {
+      val wide = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets)
+        .select("id").as[Int].collect().toSet
+      assert(wide === narrow, s"buckets=$buckets dropped NULL-group rows")
+    }
+  }
+
   test("wide form: output columns and rows match the input schema contract") {
     val in = df(("a", 1, 3, 3), ("a", 2, 2, 2), ("b", 3, 1, 1))
     val out = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 4)

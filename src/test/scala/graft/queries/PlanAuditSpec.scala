@@ -215,14 +215,28 @@ class PlanAuditSpec extends SparkTestBase {
   test("q121/q122 span removal: hash equi-joins only, no cartesian, no global sort") {
     // the span-removal family's scale story: fingerprint→hash joins and
     // per-doc windows/folds — a cartesian or a corpus-wide range sort
-    // would mean the interval machinery degenerated
-    for (q <- Seq(DedupOps.q121SpanRemoval _, DedupOps.q122DecontaminateSpans _)) {
-      val p = plan(q(spark, dir))
+    // would mean the interval machinery degenerated. Audited on the
+    // OPERATORS directly (unmanaged scope): the gate entries wrap the
+    // result in materializeAndRelease, whose checkpoint truncates
+    // lineage to a Scan ExistingRDD — auditing THAT plan asserts
+    // nothing.
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = graft.Tables.documents(spark, dir)
+    val frames = Seq(
+      graft.text.SpanDedup.removeSharedSpans(docs, "doc_id", col("text")),
+      graft.text.SpanDedup.removeSpansMatching(
+        docs.filter(pmod(col("doc_id"), lit(41)) =!= 0), "doc_id", col("text"),
+        docs.filter(pmod(col("doc_id"), lit(41)) === 0), col("text")))
+    for (df <- frames) {
+      val p = plan(df)
+      assert(!p.contains("Scan ExistingRDD"),
+        s"audit target is lineage-truncated — the assertions below would be vacuous:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"span removal degenerated to all-pairs:\n$p")
       assert(!p.contains("rangepartitioning"),
         s"span removal acquired a global sort:\n$p")
     }
+    spark.catalog.clearCache()
   }
 
   test("q87 fuzzy pairs: candidates via equi-join — no cartesian/nested-loop") {

@@ -119,6 +119,29 @@ class IvfSpec extends SparkTestBase {
       s"shifted batch (mean ${rep2.batchMeanDist} vs ${rep2.indexMeanDist}) must signal refit")
   }
 
+  test("append onto a pre-maintenance cid-only index: stats recomputed from the model, layout matched") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val m = Ivf.fit(base, k = 4, iters = 1)
+    val idxPath = scratchDir("ivf-legacy").toString + "/index"
+    // an index written before adist existed: cid-only layout, no sidecar
+    Ivf.index(base, m).drop("adist").write.parquet(idxPath)
+    val rep = Ivf.append(batch, idxPath, m)
+    assert(rep.appended == batch.count() && rep.indexMeanDist > 0,
+      s"legacy backfill did not recompute distances: $rep")
+    // appended rows matched the stored layout — no schema mixing
+    val stored = spark.read.parquet(idxPath)
+    assert(!stored.columns.contains("adist"),
+      s"append mixed adist into a cid-only index: ${stored.columns.toSeq}")
+    assert(stored.count() == emb.count())
+    // without a model, a cid-only backfill must fail loudly
+    val bare = scratchDir("ivf-legacy2").toString + "/index"
+    Ivf.index(base, m).drop("adist").write.parquet(bare)
+    val ex = intercept[IllegalStateException] { Ivf.writeIndexStats(bare) }
+    assert(ex.getMessage.contains("adist"), ex.getMessage)
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
