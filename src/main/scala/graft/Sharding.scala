@@ -38,11 +38,16 @@ object Sharding {
         x => (x.cast("double") + lit(s * 1e-4)).cast("float"))))
 
   /** Lineitem: both join keys offset → k isolated co-occurrence
-    * components (the graph harness shape). */
+    * components (the graph harness shape). Both spans are derived from
+    * the base data's own key maxima (a fixed orderkey span would
+    * silently collide shards — merging components and distorting the
+    * harness numbers — on any base with keys above it). */
   def lineitem(li: DataFrame, k: Int): DataFrame = {
-    val span = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
-    sharded(li, "l_orderkey", k, 100000000L)(s => Seq(
-      "l_partkey" -> (col("l_partkey") + lit(s * span))))
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_orderkey"))).head()
+    val pSpan = maxes.getLong(0) + 1
+    val oSpan = maxes.getLong(1) + 1
+    sharded(li, "l_orderkey", k, oSpan)(s => Seq(
+      "l_partkey" -> (col("l_partkey") + lit(s * pSpan))))
   }
 
   /** Events: event and user ids offset → k× users, sessions scale

@@ -59,5 +59,5 @@ object SparkEntry {
     * interference. */
   def artifactEntries: Seq[String] = Seq(
     "q52_ivf_topk", "q103_bucketed_join",
-    "q124_bpe_merges", "q125_bpe_encode")
+    "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats")
 }

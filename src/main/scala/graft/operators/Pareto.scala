@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Pareto {
 
+  /** `buckets` sentinel: derive the bucket count from cluster
+    * parallelism and the (approximate) group cardinality. */
+  val AutoBuckets: Int = 0
+
   /** Rows of `df` on the Pareto frontier of (`x` max, `y` max) within
     * each `group`. Ties on both axes are mutually non-dominating (no
-    * strict axis) and are all kept. Null `x`/`y` rows are dropped first:
-    * dominance is undefined on missing criteria.
+    * strict axis) and are all kept. Null or NaN `x`/`y` rows are
+    * dropped first: dominance is undefined on missing criteria, and a
+    * NaN criterion is a missing criterion (NaN also breaks the wide
+    * form's width_bucket map — it returns NULL — so filtering keeps the
+    * two forms bit-identical instead of silently diverging on it).
     *
     * `buckets` > 1 selects the TWO-PHASE form for coarse group keys: a
     * group-partitioned window parallelizes at most |groups|-way (the
@@ -43,14 +50,34 @@ object Pareto {
     * strictly larger, so a row is cross-bucket dominated iff the
     * suffix max of later buckets' y reaches its y. Bit-identical
     * results to the narrow form (ParetoSpec property) at
-    * groups×buckets-way parallelism. */
+    * groups×buckets-way parallelism.
+    *
+    * The default ([[AutoBuckets]]) derives `buckets` as
+    * `clamp(defaultParallelism / approxGroups)` so callers get the
+    * coarse-group parallelism fix without knowing the 30× lesson:
+    * plenty of distinct groups → 1 (the narrow single-exchange form);
+    * few coarse groups → enough buckets to fill the cluster. The group
+    * cardinality comes from one column-pruned approx_count_distinct
+    * pass over the input; a caller whose upstream is expensive to
+    * recompute should pass `buckets` explicitly (or a caching `scope`). */
   def frontier(df: DataFrame, group: Column, x: Column, y: Column,
-               buckets: Int = 1,
+               buckets: Int = AutoBuckets,
                scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    if (buckets == 1) frontierNarrow(df, group, x, y)
-    else frontierWide(df, group, x, y, buckets, scope)
+    require(buckets >= 0, s"buckets must be >= 0 (0 = auto), got $buckets")
+    val b = if (buckets != AutoBuckets) buckets else {
+      val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val groups = math.max(1L,
+        df.agg(approx_count_distinct(group)).head().getLong(0))
+      math.max(1L, math.min(par.toLong, (par + groups - 1) / groups)).toInt
+    }
+    if (b == 1) frontierNarrow(df, group, x, y)
+    else frontierWide(df, group, x, y, b, scope)
   }
+
+  /** Null-or-NaN-criterion filter shared by both forms (NaN compares
+    * via the double cast, a no-op on integer axes). */
+  private def valid(x: Column, y: Column): Column =
+    x.isNotNull && y.isNotNull && !x.cast("double").isNaN && !y.cast("double").isNaN
 
   private def fresh(df: DataFrame, base: String): String =
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
@@ -65,7 +92,7 @@ object Pareto {
     val inSameN = fresh(df, "_pareto_in_same")
     val bmaxN = fresh(df, "_pareto_bmax"); val sfxN = fresh(df, "_pareto_sfx")
     val gR = fresh(df, "_pareto_gr")
-    val in = df.where(x.isNotNull && y.isNotNull)
+    val in = df.where(valid(x, y))
       .withColumn(gN, group).withColumn(xN, x).withColumn(yN, y)
     // per-group x span: |groups| rows — the model, not the data
     val ranges = in.groupBy(col(gN))
@@ -120,7 +147,7 @@ object Pareto {
     // dropped from the output
     val yMaxLarger = fresh(df, "_y_max_larger_x")
     val yMaxSame   = fresh(df, "_y_max_same_x")
-    df.where(x.isNotNull && y.isNotNull)
+    df.where(valid(x, y))
       .withColumn(yMaxLarger, max(y).over(largerX))
       .withColumn(yMaxSame, max(y).over(sameX))
       .where(

@@ -262,8 +262,21 @@ object Ivf {
       else batch.drop("adist")
     toWrite.write.mode("append").parquet(indexPath)
     batch.unpersist(blocking = false)
-    Seq((prior.n + nb, prior.sumDist + sb)).toDF("n", "sum_dist")
-      .coalesce(1).write.mode("overwrite").parquet(statsPath(indexPath))
+    // Roll the sidecar forward. The index append above and this tiny
+    // overwrite are two non-atomic writes; if the sidecar write dies
+    // AFTER the batch landed, the rolled stats would silently
+    // undercount that batch forever — so on failure fall back to a full
+    // recompute from the stored index itself (one aggregation pass —
+    // self-healing, never silently stale). Concurrency: `append` is
+    // read-modify-write on the sidecar and assumes a SINGLE writer (the
+    // normal posture for an index-maintenance job); concurrent appends
+    // must be serialized by the caller.
+    try
+      Seq((prior.n + nb, prior.sumDist + sb)).toDF("n", "sum_dist")
+        .coalesce(1).write.mode("overwrite").parquet(statsPath(indexPath))
+    catch { case scala.util.control.NonFatal(_) =>
+      writeIndexStats(indexPath, Some(model))
+    }
     val meanB = if (nb == 0) 0.0 else sb / nb
     AppendReport(nb, meanB, prior.meanDist,
       drifted = prior.n > 0 && nb > 0 && meanB > driftFactor * prior.meanDist)

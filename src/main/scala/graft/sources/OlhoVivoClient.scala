@@ -36,12 +36,17 @@ class OlhoVivoClient(
   private def uri(path: String): URI = URI.create(s"$baseUrl/$path")
 
   /** POST Login/Autenticar?token=…; the client's CookieHandler retains
-    * the session cookie for subsequent requests. True iff HTTP 200 —
-    * the reference's exact success criterion. */
+    * the session cookie for subsequent requests. The reference checks
+    * HTTP 200 only (get-bus-data.py:22) — but the live API answers 200
+    * with body "false" for an invalid token, so that check alone lets a
+    * bad key "pass" auth and surface later as a confusing Posicao
+    * failure. Checking the body too makes a bad key fail HERE, at the
+    * auth seam. */
   def authenticate(): Boolean = {
     val req = HttpRequest.newBuilder(uri(s"Login/Autenticar?token=$apiKey"))
       .POST(HttpRequest.BodyPublishers.noBody()).build()
-    http.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() == 200 && resp.body().trim == "true"
   }
 
   /** GET Posicao on the authenticated session; the raw JSON body.

@@ -14,7 +14,7 @@ class ParetoSpec extends SparkTestBase {
     rows.toDF("g", "id", "x", "y")
 
   private def frontierIds(rows: (String, Int, Int, Int)*): Set[Int] =
-    Pareto.frontier(df(rows: _*), col("g"), col("x"), col("y"))
+    Pareto.frontier(df(rows: _*), col("g"), col("x"), col("y"), buckets = 1)
       .select("id").as[Int].collect().toSet
 
   test("strict dominance on either axis drops the dominated row") {
@@ -46,7 +46,7 @@ class ParetoSpec extends SparkTestBase {
       ("b", 3, Some(2), Some(2)),
       ("b", 4, None, Some(9)), ("b", 5, Some(9), None))
       .toDF("g", "id", "x", "y")
-    val got = Pareto.frontier(in, col("g"), col("x"), col("y"))
+    val got = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 1)
       .select("id").as[Int].collect().toSet
     assert(got === Set(1, 3))
   }
@@ -71,7 +71,7 @@ class ParetoSpec extends SparkTestBase {
       ("g" + (i % 4), i, ((i * 7919) % 29) - 7, ((i * 104729) % 23) - 3)) ++
       Seq(("gsame", 1000, 5, 9), ("gsame", 1001, 5, 9), ("gsame", 1002, 5, 3))
     val in = rows.toDF("g", "id", "x", "y")
-    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"))
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 1)
       .select("id").as[Int].collect().toSet
     for (buckets <- Seq(2, 7, 32, 1000)) {
       val wide = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets)
@@ -88,7 +88,7 @@ class ParetoSpec extends SparkTestBase {
       (Some("a"), 1, 3, 3), (Some("a"), 2, 2, 2),
       (None, 3, 5, 5), (None, 4, 4, 4), (None, 5, 5, 5))
       .toDF("g", "id", "x", "y")
-    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"))
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 1)
       .select("id").as[Int].collect().toSet
     assert(narrow === Set(1, 3, 5))
     for (buckets <- Seq(2, 3, 16)) {
@@ -105,11 +105,57 @@ class ParetoSpec extends SparkTestBase {
     assert(out.select("id").as[Int].collect().toSet === Set(1, 3))
   }
 
-  test("plan: ONE hash exchange, no join node") {
+  test("plan: ONE hash exchange, no join node (narrow form)") {
     val plan = Pareto.frontier(
-      df(("a", 1, 1, 1), ("a", 2, 2, 2)), col("g"), col("x"), col("y"))
+      df(("a", 1, 1, 1), ("a", 2, 2, 2)), col("g"), col("x"), col("y"),
+      buckets = 1)
       .queryExecution.executedPlan.toString
     assert(countOf(plan, "Exchange hashpartitioning") === 1, plan)
     assert(!plan.contains("Join"), plan)
+  }
+
+  test("NaN criteria rows are dropped identically in BOTH forms") {
+    // NaN x breaks width_bucket (returns NULL) — without the up-front
+    // filter the wide form would silently drop those rows while the
+    // narrow form's window kept them (NaN sorts above every double)
+    val nan = Double.NaN
+    val in = Seq(
+      ("a", 1, 3.0, 3.0), ("a", 2, 2.0, 2.0),
+      ("a", 3, nan, 9.0), ("a", 4, 9.0, nan),
+      ("b", 5, 1.0, 1.0), ("b", 6, nan, nan))
+      .toDF("g", "id", "x", "y")
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 1)
+      .select("id").as[Int].collect().toSet
+    assert(narrow === Set(1, 5))
+    for (buckets <- Seq(2, 8)) {
+      val wide = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets)
+        .select("id").as[Int].collect().toSet
+      assert(wide === narrow, s"buckets=$buckets diverged on NaN rows")
+    }
+  }
+
+  test("auto mode (default) matches explicit forms and picks buckets from parallelism/groups") {
+    val rows = (for (i <- 0 until 200) yield
+      ("g" + (i % 2), i, ((i * 7919) % 29) - 7, ((i * 104729) % 23) - 3))
+    val in = rows.toDF("g", "id", "x", "y")
+    val narrow = Pareto.frontier(in, col("g"), col("x"), col("y"), buckets = 1)
+      .select("id").as[Int].collect().toSet
+    val auto = Pareto.frontier(in, col("g"), col("x"), col("y"))
+      .select("id").as[Int].collect().toSet
+    assert(auto === narrow)
+    // 2 coarse groups on a multi-core session must select the wide form
+    // (the whole point of the heuristic); with many distinct groups the
+    // heuristic must fall back to the narrow single-exchange plan
+    if (spark.sparkContext.defaultParallelism >= 4) {
+      val plan = Pareto.frontier(in, col("g"), col("x"), col("y"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected wide form for 2 groups:\n$plan")
+    }
+    val manyGroups = rows.map { case (_, id, x, y) => ("g" + id, id, x, y) }
+      .toDF("g", "id", "x", "y")
+    val planMany = Pareto.frontier(manyGroups, col("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!planMany.contains("Join"), s"expected narrow form for 200 groups:\n$planMany")
+    spark.catalog.clearCache() // auto-wide cached via the default unmanaged scope
   }
 }

@@ -61,6 +61,24 @@ class OlhoVivoClientSpec extends SparkTestBase {
     }
   }
 
+  test("authenticate: HTTP 200 with body 'false' (invalid key) fails at the auth seam") {
+    // the live API answers 200 + "false" for a bad token — status alone
+    // would let the bad key through to a confusing Posicao failure
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v2.1/Login/Autenticar", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = "false".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        try ex.getResponseBody.write(bytes) finally ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v2.1"
+      assert(!new OlhoVivoClient(base, "expired-key").authenticate())
+    } finally server.stop(0)
+  }
+
   test("fetchPositions without auth is rejected loudly (cookie is load-bearing)") {
     withStub { (base, _) =>
       val ex = intercept[IllegalStateException] {
