@@ -142,6 +142,126 @@ class IvfSpec extends SparkTestBase {
     assert(ex.getMessage.contains("adist"), ex.getMessage)
   }
 
+  test("lifecycle: fit → append → drift=true → refit → pruned-probe recall recovers") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // ---- day 0: fit + index + stats on the base corpus
+    val base = emb.filter(col("vec_id") < 400)
+    val m0 = Ivf.fit(base, k = 4, iters = 3)
+    val idxPath = scratchDir("ivf-lifecycle").toString + "/index"
+    Ivf.index(base, m0).write.parquet(idxPath)
+    Ivf.writeIndexStats(idxPath)
+    // ---- day 1: a drifted batch, ENGINEERED to be the worst case for
+    // the stale quantizer: a tight blob centered at
+    // `mid + s·u` where mid is the bisector midpoint of stale centroids
+    // c0/c1 and u ⊥ (c1−c0) — equidistant from c0 and c1 (so members
+    // split across BOTH lists) yet, thanks to the orthogonal push s,
+    // FAR from every centroid (so drift must fire; the bare midpoint is
+    // actually CLOSER to the centroids than a typical base point).
+    // Each member is nudged ±0.2·|w| along w by vec_id parity — a
+    // deterministic half/half split — plus 0.01× of its original
+    // coordinates as jitter. The blob is internally near-parallel, so
+    // by cosine its members are each other's true top-5; with
+    // nProbe = 1 a + side query never sees its − side neighbors: the
+    // stale-quantizer recall hole refit must close.
+    val st0 = Ivf.readIndexStats(idxPath)
+    val meanIdx = st0.meanDist / 1e12 // fixed point → double units
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // Try every centroid pair (i, j): push from the pair's bisector
+    // midpoint along u = away-from-the-OTHER-centroids, orthogonalized
+    // against w = cj − ci (orthogonality preserves the ci/cj tie; the
+    // away component keeps the other centroids from becoming nearest as
+    // s grows). Keep the first pair whose blob center has exactly
+    // {ci, cj} as its nearest two.
+    val pairs = for {
+      i <- m0.centroids.indices; j <- m0.centroids.indices if i < j
+    } yield (i, j)
+    val (pi, pj, target, w) = pairs.iterator.map { case (i, j) =>
+      val ci = m0.centroids(i); val cj = m0.centroids(j)
+      val wij = cj.zip(ci).map { case (a, b) => a - b }
+      val wN = math.sqrt(wij.map(x => x * x).sum)
+      val mid = ci.zip(cj).map { case (a, b) => (a + b) / 2 }
+      val others = m0.centroids.indices.filter(x => x != i && x != j)
+      val u0 = mid.indices.map(d =>
+        others.map(o => mid(d) - m0.centroids(o)(d)).sum).toArray
+      val proj = u0.zip(wij).map { case (a, b) => a * b }.sum / (wN * wN)
+      val ortho = u0.zip(wij).map { case (a, b) => a - proj * b }
+      val oN = math.sqrt(ortho.map(x => x * x).sum)
+      // distance² to ci/cj becomes |w|²/4 + s²: pick s for ≈ 4× the
+      // index mean — far past the 1.5× drift trigger
+      val s = math.sqrt(math.max(4 * meanIdx - wN * wN / 4, meanIdx))
+      val t = mid.zip(ortho).map { case (m, o) => m + s * o / math.max(oN, 1e-12) }
+      (i, j, t, wij)
+    }.find { case (i, j, t, _) =>
+      val d = m0.centroids.map(c => sq(t, c))
+      d.zipWithIndex.sortBy(_._1).take(2).map(_._2).toSet == Set(i, j)
+    }.getOrElse(fail("no centroid pair admits an equidistant far blob — data pathology"))
+    info(s"blob straddles stale lists $pi/$pj")
+    // Blob member = target + α·e (α = 0.05 of the original embedding as
+    // jitter). Which SIDE of the ci/cj bisector a member falls on is
+    // decided by the signed along-w component of its own jitter — one
+    // direction out of `dim` — while its cosine top-5 follow overall
+    // jitter similarity, which is nearly independent of that one
+    // component: so each query's true neighbors land ~half in the list
+    // it does NOT probe. The jitter's MEAN along w is cancelled out of
+    // the target (otherwise a biased corpus mean would push the whole
+    // blob onto one side and the split — the point of the test — would
+    // silently vanish).
+    val alpha = 0.05
+    val batchBase = emb.filter(col("vec_id") >= 400)
+    val batchVecs = batchBase.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val mu = batchVecs.transpose.map(xs => xs.sum / xs.length)
+    val wNorm2 = w.map(x => x * x).sum
+    val muAlongW = mu.zip(w).map { case (a, b) => a * b }.sum / wNorm2
+    val center = target.zip(w).map { case (t, wi) => t - alpha * muAlongW * wi }
+    val centerCol = array(center.map(v => lit(v.toFloat)): _*)
+    val batch = batchBase
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("embedding",
+        zip_with(col("embedding"), centerCol,
+          (x, c) => (x * lit(alpha.toFloat) + c).cast("float")))
+    val rep = Ivf.append(batch, idxPath, m0)
+    assert(rep.drifted,
+      s"blob at the centroid bisector must trip drift: $rep")
+    // ---- stale pruned-probe recall on blob queries, vs brute force
+    // over the FULL stored corpus (the search contract after append)
+    def recallAt5(indexed: org.apache.spark.sql.DataFrame, m: Ivf.Model): Double = {
+      val corpus = indexed.select(col("vec_id"), col("embedding"))
+      val bf = Similarity.bruteForceTopK(batch, corpus, 5)
+        .select(col("query_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Ivf.search(batch, indexed, m, topK = 5, nProbe = 1)
+        .select(col("query_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val stored = spark.read.parquet(idxPath)
+    val staleRecall = recallAt5(stored, m0)
+    // ---- the drift signal drives the loop: refit on the stored corpus,
+    // re-index, re-baseline the stats — the caller's refit step verbatim
+    val m1 = Ivf.fit(stored.select(col("vec_id"), col("embedding")), k = 4, iters = 3)
+    val refitPath = scratchDir("ivf-lifecycle").toString + "/index_refit"
+    Ivf.index(stored.select(col("vec_id"), col("embedding")), m1)
+      .write.parquet(refitPath)
+    val stRefit = Ivf.writeIndexStats(refitPath)
+    assert(stRefit.n == stored.count())
+    val refitRecall = recallAt5(spark.read.parquet(refitPath), m1)
+    info(s"pruned-probe recall@5, nProbe=1: stale=$staleRecall refit=$refitRecall")
+    // refit must materially recover what the stale split lost: the new
+    // quantizer gives the blob its own list(s), so blob queries find
+    // their blob neighbors again
+    assert(staleRecall < 0.9,
+      s"stale recall $staleRecall — the engineered split did not degrade recall; test is vacuous")
+    assert(refitRecall > staleRecall + 0.1 && refitRecall > 0.9,
+      s"refit did not recover recall: stale=$staleRecall refit=$refitRecall")
+    // and a post-refit batch from the SAME (new) distribution no longer drifts
+    val steady = batch.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val rep2 = Ivf.append(steady, refitPath, m1)
+    assert(!rep2.drifted,
+      s"in-distribution batch after refit must not re-trip drift: $rep2")
+  }
+
   test("every corpus row lands in exactly one inverted list") {
     assert(indexed.filter(col("cid").isNull || col("cid") < 0 ||
       col("cid") >= model.k).count() == 0)
