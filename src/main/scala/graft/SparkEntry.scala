@@ -59,5 +59,6 @@ object SparkEntry {
     * interference. */
   def artifactEntries: Seq[String] = Seq(
     "q52_ivf_topk", "q103_bucketed_join",
-    "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats")
+    "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats",
+    "q128_hard_negatives_ivf")
 }

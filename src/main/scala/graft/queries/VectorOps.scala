@@ -438,7 +438,42 @@ object VectorOps {
        |SELECT query_id, rank, corpus_id, clabel::BIGINT AS neg_label, rcos
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** q128: hard-negative mining OVER THE IVF PROBE PATH — the scale
+    * composition q127's Scaladoc promises ("at production scale the
+    * anchor set rides the IVF probe"), now oracle-gated instead of
+    * argued: the same stored index artifact q52 serves, searched via
+    * Ivf.searchWhere with the label-mismatch predicate below the
+    * ranking window and the negative's label carried through. Full
+    * probe (nProbe = k) keeps the result EXACT — bit-identical to the
+    * brute-force q127 oracle — so the gate pins that the predicate
+    * composes with probed search without perturbing scores, ranks, or
+    * tie-breaks. At deployed scale the same plan runs with
+    * nProbe ≪ k: the probed join's shape (only probed lists scored) is
+    * precisely what this entry executes. */
+  def q128HardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
+    val (model, indexPath) = ivfArtifact.computeIfAbsent(dir, { _ =>
+      val emb = Tables.embeddings(s, dir)
+      val m = graft.similarity.Ivf.fit(emb, k = 8, iters = 3, fitOneIn = 4)
+      val base = graft.TempArtifacts.dir("graft_ivf")
+      graft.similarity.Ivf.save(m, s"$base/model")(s)
+      graft.similarity.Ivf.index(Tables.spread(s, emb), m)
+        .write.parquet(s"$base/index")
+      (graft.similarity.Ivf.load(s"$base/model")(s), s"$base/index")
+    })
+    val anchors = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding"), col("label").as("qlabel"))
+    graft.similarity.Ivf.searchWhere(
+      anchors, s.read.parquet(indexPath), model,
+      topK = TopK, nProbe = 8,
+      pairFilter = col("qlabel") =!= col("label"),
+      carry = Seq("label"))
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("label").cast("long").as("neg_label"), col("rcos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q128_hard_negatives_ivf" -> q128HardNegativesIvf,
     "q127_hard_negatives" -> q127HardNegatives,
     "q123_probe_rank" -> q123ProbeRank,
     "q111_random_projection" -> q111RandomProjection,
@@ -453,6 +488,9 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // full-probe IVF hard negatives are exact, so the ORACLE is the
+    // brute-force q127 SQL verbatim — the equivalence IS the gate
+    "q128_hard_negatives_ivf" -> q127Sql,
     "q127_hard_negatives" -> q127Sql,
     "q123_probe_rank" -> q123Sql,
     "q111_random_projection" -> q111Sql,

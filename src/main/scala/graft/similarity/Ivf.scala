@@ -284,23 +284,51 @@ object Ivf {
 
   /** Top-k cosine search probing the nProbe nearest lists per query. */
   def search(queries: DataFrame, indexed: DataFrame, model: Model,
-             topK: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    // nProbe nearest centroids per query, as an exploded (query, cid) set
+             topK: Int, nProbe: Int): DataFrame =
+    // project queries down first: plain search must not drag unrelated
+    // query columns through the probed join's shuffle
+    searchWhere(queries.select(col("vec_id"), col("embedding")),
+      indexed, model, topK, nProbe, lit(true))
+
+  /** [[search]] generalized with a per-pair predicate and carried corpus
+    * columns — the composition hard-negative mining needs: `pairFilter`
+    * is applied to the (query × probed-candidate) pairs BELOW the
+    * ranking window (so ranks are assigned over the already-filtered
+    * candidate set — a negative's rank counts only negatives), and may
+    * reference any extra column of `queries` (kept under its own name,
+    * e.g. a query label) and any `carry` column of `indexed` (which
+    * also rides through to the output, e.g. the negative's label).
+    *
+    * Scale shape is unchanged from [[search]]: the predicate is one
+    * more conjunct on the probed join — corpus rows outside probed
+    * lists are never scored, and Catalyst pushes the filter below the
+    * window exactly as in the brute-force form (q127). With
+    * nProbe = k this is EXACT hard-negative mining (probe covers every
+    * list), which is what the q128 oracle gate pins bit-for-bit. */
+  def searchWhere(queries: DataFrame, indexed: DataFrame, model: Model,
+                  topK: Int, nProbe: Int, pairFilter: Column,
+                  carry: Seq[String] = Nil): DataFrame = {
+    val qExtra = queries.columns.toSeq
+      .filterNot(Set("vec_id", "embedding")).map(col)
+    val q = queries.select(
+      (Seq(col("vec_id").as("query_id"), col("embedding").as("qvec")) ++ qExtra): _*)
+    // nProbe nearest centroids per query, as an exploded (query, cid)
+    // set (generator first, cast in a separate select — generators
+    // cannot nest inside expressions)
     val probed = q
-      .withColumn("probe", probeExpr(col("qvec"), model, nProbe))
-      .select(col("query_id"), col("qvec"), explode(col("probe")).as("__cid"))
-      .select(col("query_id"), col("qvec"), col("__cid").cast("int").as("cid"))
-    val c = indexed.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("cvec"), col("cid"))
+      .withColumn("__cid", explode(probeExpr(col("qvec"), model, nProbe)))
+      .withColumn("cid", col("__cid").cast("int")).drop("__cid")
+    val c = indexed.select(
+      (Seq(col("vec_id").as("corpus_id"), col("embedding").as("cvec"),
+        col("cid")) ++ carry.map(col)): _*)
     val scored = probed.join(c, Seq("cid"))
-      .filter(col("query_id") =!= col("corpus_id"))
+      .filter(col("query_id") =!= col("corpus_id") && pairFilter)
       .withColumn("rcos", round(Similarity.cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rcos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("corpus_id"), col("rcos"))
+      .select((Seq(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id")) ++ carry.map(col) :+ col("rcos")): _*)
   }
 }
