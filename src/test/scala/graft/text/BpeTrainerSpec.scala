@@ -44,6 +44,43 @@ class BpeTrainerSpec extends SparkTestBase {
       ("a", "b", 6L), ("ab", "ab", 4L)))
   }
 
+  test("trainMany with batch=1 is bit-identical to the sequential trainer") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val seqRules = BpeTrainer.train(docs, col("text"), 5)
+    val batched = BpeTrainer.trainMany(docs, col("text"), 5, batch = 1)
+    assert(batched == seqRules)
+  }
+
+  test("trainMany batches symbol-disjoint rules per sweep with pre-sweep counts") {
+    // textbook corpus, batch = 4, 6 rules. Hand-derived sweeps:
+    //   sweep 1 counts: (e,s)9 (s,t)9 (w,e)8 (l,o)7 (o,w)7, the 6-ties
+    //     (e,w) (n,e), then the 3-ties in left-lex order (d,e) (i,d) (w,i).
+    //     disjointness walk: take (e,s); (s,t) shares s, (w,e) shares e;
+    //     take (l,o); (o,w) shares o; (n,e)/(e,w)/(d,e) share e;
+    //     take (i,d) — candidates exhausted at 3 of 4
+    //   sweep 2 (after the three merges): (es,t)9 (lo,w)7 then the 6-count
+    //     ties (e,w) (n,e) (w,es) in left-lex order: take (es,t);
+    //     take (lo,w); (e,w) shares w; take (n,e)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val rules = BpeTrainer.trainMany(docs, col("text"), 6, batch = 4)
+    assert(rules.map(r => (r.left, r.right, r.count)) == Seq(
+      ("e", "s", 9L), ("l", "o", 7L), ("i", "d", 3L),
+      ("es", "t", 9L), ("lo", "w", 7L), ("n", "e", 6L)))
+    assert(rules.map(_.round) == Seq(1, 2, 3, 4, 5, 6))
+  }
+
+  test("trainMany: vocab exhaustion stops the sweep loop early") {
+    val docs = Seq((1L, "ab a b")).toDF("doc_id", "text")
+    val rules = BpeTrainer.trainMany(docs, col("text"), 10, batch = 4)
+    assert(rules.map(r => (r.left, r.right, r.count)) == Seq(("a", "b", 1L)))
+  }
+
   test("vocab exhaustion stops early instead of looping") {
     val docs = Seq((1L, "ab a b")).toDF("doc_id", "text")
     // only one mergeable pair exists ("ab" has (a,b); "a"/"b" have none)
