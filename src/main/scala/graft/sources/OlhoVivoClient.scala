@@ -77,6 +77,24 @@ class OlhoVivoClient(
     finally out.close()
     path
   }
+
+  /** [[pollOnce]] on a fixed interval — the reference's cron cadence
+    * (get-bus-data.py is scheduled externally; this makes the poller a
+    * self-contained process that composes with the streaming ingestion:
+    * each landed snapshot is discovered incrementally by
+    * StreamingSpeeds.positionsFromRawZone over the same zone). `clock`
+    * and `sleep` are injectable so tests drive a fake timeline with
+    * zero wall-clock wait. Returns the landed paths in poll order. */
+  def pollLoop(zoneRoot: String, polls: Int, intervalMillis: Long,
+               clock: () => Instant = () => Instant.now(),
+               sleep: Long => Unit = Thread.sleep,
+               hadoopConf: org.apache.hadoop.conf.Configuration =
+                 new org.apache.hadoop.conf.Configuration()): Seq[String] =
+    (1 to polls).map { i =>
+      val landed = pollOnce(zoneRoot, clock(), hadoopConf)
+      if (i < polls) sleep(intervalMillis)
+      landed
+    }
 }
 
 object OlhoVivoClient {
