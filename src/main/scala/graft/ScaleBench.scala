@@ -85,10 +85,16 @@ object ScaleBench {
         Checkpoints.releaseAll(spark)
       }
     }
-    def best(name: String, dir: String): Double = {
-      val ts = Seq(timeOnce(name, dir), timeOnce(name, dir)).filter(_ >= 0)
+    def best(name: String, dir: String, attempts: Int = 2): Double = {
+      val ts = (1 to attempts).map(_ => timeOnce(name, dir)).filter(_ >= 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
+    // k×-pass attempts: min-of-2 matches Bench's discipline and is the
+    // default; at very large k a single attempt runs tens of minutes —
+    // far longer than any observed shared-VM interference window — so
+    // SPARK_GRAFT_KX_ATTEMPTS=1 trades the (tiny) noise insurance for
+    // half the wall clock. The 1× baselines always stay min-of-2.
+    val kxAttempts = sys.env.getOrElse("SPARK_GRAFT_KX_ATTEMPTS", "2").toInt
 
     // warm-up at the smallest SF (JIT + codegen, Bench's discipline)
     names.foreach { n =>
@@ -105,7 +111,7 @@ object ScaleBench {
       // the envelope rule, applied for the k× pass
       val parts = math.max(32, 32 * k / 10)
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      val tk = best(name, scaled)
+      val tk = best(name, scaled, kxAttempts)
       val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
       println(f"SCALEBENCH $name%-24s 1x $t1%7.2fs  ${k}x $tk%7.2fs  ratio ${ratio}%6.2f")
       (name, t1, tk, ratio)
