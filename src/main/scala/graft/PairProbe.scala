@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   * from argued to measured: divide the CC chain's time ratio by the
   * pair ratio to see the per-edge cost.
   *
-  * Usage: runMain graft.PairProbe [k]   (default 30)
+  * With mode `distinct` (Sharding.documentsDistinct) the probe instead
+  * measures the REALISTIC growth law — shard-salted tokens, constant
+  * duplication rate — where pairs should grow ~k, not ~k².
+  *
+  * Usage: runMain graft.PairProbe [k] [neardup|distinct]   (default 30 neardup)
   */
 object PairProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(30)
+    val mode = args.lift(1).getOrElse("neardup")
+    val shardDocs: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame =
+      if (mode == "distinct") Sharding.documentsDistinct else Sharding.documents
     val sf = "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -31,14 +38,14 @@ object PairProbe {
     val n = docs.count()
     def pairs(kk: Int): Long = {
       val c = graft.queries.DedupOps.lshCandidatePairCount(
-        spark, Sharding.documents(docs, kk))
+        spark, shardDocs(docs, kk))
       spark.catalog.clearCache()
       c
     }
     val p1 = pairs(1)
     val pk = pairs(k)
-    println(f"PAIRPROBE rows 1x=$n%d ${k}x=${n * k}%d (x$k)")
-    println(f"PAIRPROBE lsh_pairs 1x=$p1%d ${k}x=$pk%d (x${pk.toDouble / p1}%.1f)")
+    println(f"PAIRPROBE mode=$mode%s rows 1x=$n%d ${k}x=${n * k}%d (x$k)")
+    println(f"PAIRPROBE mode=$mode%s lsh_pairs 1x=$p1%d ${k}x=$pk%d (x${pk.toDouble / p1}%.1f)")
     spark.stop()
   }
 }

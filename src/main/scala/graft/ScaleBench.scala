@@ -53,11 +53,19 @@ object ScaleBench {
 
     // ---- synthesize the k× dir (graft.Sharding — the one scaffold all
     // scale harnesses share, keeping their published numbers comparable)
-    val scaled = TempArtifacts.dir(s"graft_scale${k}x")
+    // docs growth law: "neardup" (default — every base doc's k copies
+    // pair up, ~k² candidate pairs, the adversarial stress shape) or
+    // "distinct" (shard-salted tokens: constant duplication RATE, the
+    // realistic law — candidate pairs grow ~k). Publish both for the
+    // dedup-chain entries; mode is recorded in the output JSON.
+    val docsMode = sys.env.getOrElse("SPARK_GRAFT_DOCS_MODE", "neardup")
+    val scaled = TempArtifacts.dir(s"graft_scale${k}x_$docsMode")
     def write(df: DataFrame, table: String): Unit =
       df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
 
-    write(Sharding.documents(
+    val shardDocs: (DataFrame, Int) => DataFrame =
+      if (docsMode == "distinct") Sharding.documentsDistinct else Sharding.documents
+    write(shardDocs(
       spark.read.parquet(s"$sf/documents.parquet"), k), "documents")
     write(Sharding.lineitem(
       spark.read.parquet(s"$sf/lineitem.parquet"), k), "lineitem")
@@ -120,7 +128,7 @@ object ScaleBench {
     def fmt(d: Double) = f"$d%.3f"
     val json = results.map { case (n, t1, tk, r) =>
       s""""$n":{"x1":${fmt(t1)},"x$k":${fmt(tk)},"ratio":${fmt(r)}}"""
-    }.mkString(s"""{"k":$k,"parts_rule":"max(32, 32*k/10)","queries":{""", ",", "}}")
+    }.mkString(s"""{"k":$k,"docs_mode":"$docsMode","parts_rule":"max(32, 32*k/10)","queries":{""", ",", "}}")
     val out = new java.io.PrintWriter(new java.io.File("target/scale_bench.json"))
     try out.println(json) finally out.close()
     println(json)

@@ -30,6 +30,21 @@ object Sharding {
     sharded(docs, "doc_id", k, docs.count())(s => Seq(
       "text" -> concat(col("text"), lit(s" shard$s marker$s"))))
 
+  /** Documents, DISTINCT mode: every token is shard-salted (injective
+    * per-token rewrite, so the shingle-equality structure WITHIN a shard
+    * is exactly the base corpus's), which zeroes cross-shard word-n-gram
+    * overlap. This is the realistic corpus growth law — duplication rate
+    * held constant as the corpus grows (each shard contributes only the
+    * base corpus's own near-dup structure) — against which the dedup
+    * chain should scale ~linearly; `documents` above is the adversarial
+    * stress shape where every base doc's k copies all pair up (~k²
+    * candidate pairs). Scale harnesses publish both. */
+  def documentsDistinct(docs: DataFrame, k: Int): DataFrame =
+    sharded(docs, "doc_id", k, docs.count())(s => Seq(
+      "text" -> array_join(
+        transform(split(col("text"), "\\s+"),
+          w => concat(lit(s"s${s}_"), w)), " ")))
+
   /** Embeddings: vec_id offset by corpus size, +s·1e-4 coordinate
     * perturbation (cosine ≈ 1 across shards — semantic-dedup stress). */
   def embeddings(emb: DataFrame, k: Int): DataFrame =

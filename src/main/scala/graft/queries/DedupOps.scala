@@ -106,10 +106,12 @@ object DedupOps {
         .agg(count(lit(1)).as("shared_bands")))
   }
 
-  /** Dev-probe surface (graft.PairProbe): q42's distinct candidate-pair
-    * COUNT over an arbitrary (doc_id, text) frame — the CC chain's true
-    * input size, measured rather than argued at k× shardings. */
-  def lshCandidatePairCount(s: SparkSession, docsIn: org.apache.spark.sql.DataFrame): Long = {
+  /** Dev-probe surface (graft.PairProbe, ShardingSpec): q42's distinct
+    * candidate PAIRS (id_a < id_b) over an arbitrary (doc_id, text)
+    * frame — the CC chain's true input, exposed as a frame so harnesses
+    * can measure its size AND assert where the pairs fall (e.g. zero
+    * cross-shard pairs under Sharding.documentsDistinct). */
+  def lshCandidatePairs(s: SparkSession, docsIn: org.apache.spark.sql.DataFrame): DataFrame = {
     val docs = spread(s, docsIn)
       .filter(size(graft.text.TextAnalysis.tokens(col("text"))) >= ShingleN)
     val sig = Dedup.withMinhashSignature(docs, col("text"), K, ShingleN, "sig")
@@ -121,8 +123,13 @@ object DedupOps {
     val b = bands.toDF("id_b", "band", "bh")
     scope.materializeAndRelease(
       a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()).count()
+        .select(col("id_a"), col("id_b")).distinct())
   }
+
+  /** The CC chain's true-input SIZE at k× shardings, measured rather
+    * than argued. */
+  def lshCandidatePairCount(s: SparkSession, docsIn: org.apache.spark.sql.DataFrame): Long =
+    lshCandidatePairs(s, docsIn).count()
 
   val q42Sql: String = {
     val perms = Dedup.minhashParams(K).zipWithIndex
