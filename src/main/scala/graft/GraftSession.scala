@@ -47,6 +47,46 @@ object GraftSession {
     spark
   }
 
+  /** Per-operator-family shuffle-volume expansion factors for
+    * [[tuneForInput]]: how many bytes of shuffle input a byte of on-disk
+    * parquet becomes in the family's widest stage. Calibrated against
+    * the scale harness, not guessed:
+    *  - `relational`: joins/aggs shuffle a column-pruned, still-compressed
+    *    row payload — a few × the parquet bytes.
+    *  - `textDedup`: the LSH chain explodes each document into band rows
+    *    and pair aggregations; at 100× sf0.1 (~1.2 GB of documents) the
+    *    measured OOM boundary was 32 partitions and the working setting
+    *    320 (README "Operating envelope" #1), implying ~64× expansion
+    *    against the 200 MB/partition target.
+    */
+  object ShuffleExpansion {
+    val relational: Double = 3.0
+    val textDedup: Double = 64.0
+  }
+
+  /** README "Operating envelope" rule #1 as code: size
+    * `spark.sql.shuffle.partitions` from the INPUT CORPUS, not the
+    * cluster. Sums the on-disk bytes under `dir` (driver-side FS
+    * metadata only), multiplies by the operator family's `expansion`,
+    * and targets ≤ `targetPartitionBytes` of shuffle input per
+    * partition, flooring at the session's default parallelism (never
+    * fewer partitions than cores). Oversizing is cheap — AQE coalesces
+    * quiet stages back down — while undersizing OOMs the wide stages,
+    * so callers should pick the LARGEST expansion among the operator
+    * families they run. Returns the partition count it set. */
+  def tuneForInput(spark: SparkSession, dir: String,
+                   expansion: Double = ShuffleExpansion.textDedup,
+                   targetPartitionBytes: Long = 200L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val floor = math.max(32, spark.sparkContext.defaultParallelism)
+    val parts = math.max(floor,
+      math.ceil(bytes * expansion / targetPartitionBytes).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    parts
+  }
+
   /** Apply the must-have configs to an externally built session (e.g. the
     * driver's own). Runtime-settable confs + function registration only. */
   def tune(spark: SparkSession): SparkSession = {

@@ -59,9 +59,14 @@ object ScaleBench {
     // realistic law — candidate pairs grow ~k). Publish both for the
     // dedup-chain entries; mode is recorded in the output JSON.
     val docsMode = sys.env.getOrElse("SPARK_GRAFT_DOCS_MODE", "neardup")
-    val scaled = TempArtifacts.dir(s"graft_scale${k}x_$docsMode")
+    // SPARK_GRAFT_SCALED_DIR reuses an already-synthesized k× dir across
+    // harness invocations (the synthesis is ~10 min at 100×); the caller
+    // owns mode/k consistency with the dir's contents.
+    val reuse = sys.env.get("SPARK_GRAFT_SCALED_DIR")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    val scaled = reuse.getOrElse(TempArtifacts.dir(s"graft_scale${k}x_$docsMode"))
     def write(df: DataFrame, table: String): Unit =
-      df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
+      if (reuse.isEmpty) df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
 
     val shardDocs: (DataFrame, Int) => DataFrame =
       if (docsMode == "distinct") Sharding.documentsDistinct else Sharding.documents

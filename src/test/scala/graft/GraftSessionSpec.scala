@@ -34,6 +34,30 @@ class GraftSessionSpec extends SparkTestBase {
     assert(plan.contains("AsOfMergeJoin"), s"native exec missing:\n$plan")
   }
 
+  test("tuneForInput sizes shuffle partitions from corpus bytes with a core floor") {
+    SparkTestBase.sessionConfLock.synchronized {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // tiny corpus → the floor (max(32, cores)) wins
+        val floor = math.max(32, spark.sparkContext.defaultParallelism)
+        assert(GraftSession.tuneForInput(spark, "/root/testdata/sf0.001") === floor)
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === floor.toString)
+        // a corpus big enough to clear the floor: exact formula, computed
+        // from the same FS metadata the helper reads
+        val dir = "/root/testdata/sf0.1"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        val target = 1L << 20 // 1 MB/partition so sf0.1 clears the floor
+        val expect = math.max(floor, math.ceil(
+          bytes * GraftSession.ShuffleExpansion.relational / target).toInt)
+        assert(GraftSession.tuneForInput(spark, dir,
+          GraftSession.ShuffleExpansion.relational, target) === expect)
+        assert(expect > floor, "sf0.1 at 1 MB/partition must exceed the floor")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
   test("events table reads through a tuned session at every granularity") {
     SparkTestBase.sessionConfLock.synchronized {
       GraftSession.tune(spark)
