@@ -59,14 +59,17 @@ object ScaleBench {
     // realistic law — candidate pairs grow ~k). Publish both for the
     // dedup-chain entries; mode is recorded in the output JSON.
     val docsMode = sys.env.getOrElse("SPARK_GRAFT_DOCS_MODE", "neardup")
-    // SPARK_GRAFT_SCALED_DIR reuses an already-synthesized k× dir across
-    // harness invocations (the synthesis is ~10 min at 100×); the caller
-    // owns mode/k consistency with the dir's contents.
-    val reuse = sys.env.get("SPARK_GRAFT_SCALED_DIR")
-      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
-    val scaled = reuse.getOrElse(TempArtifacts.dir(s"graft_scale${k}x_$docsMode"))
+    // SPARK_GRAFT_SCALED_DIR names a PERSISTENT k× dir shared across
+    // harness invocations (the synthesis is ~10 min at 100×): if it
+    // already holds documents.parquet it is reused as-is, otherwise the
+    // synthesis writes INTO it and leaves it behind for the next run.
+    // The caller owns mode/k consistency with the dir's contents.
+    // Unset → a temp dir, deleted at JVM exit (the one-shot behavior).
+    val scaled = sys.env.get("SPARK_GRAFT_SCALED_DIR")
+      .getOrElse(TempArtifacts.dir(s"graft_scale${k}x_$docsMode"))
+    val reuse = new java.io.File(s"$scaled/documents.parquet").exists()
     def write(df: DataFrame, table: String): Unit =
-      if (reuse.isEmpty) df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
+      if (!reuse) df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
 
     val shardDocs: (DataFrame, Int) => DataFrame =
       if (docsMode == "distinct") Sharding.documentsDistinct else Sharding.documents

@@ -12,7 +12,8 @@ object Scratch {
     val names = args.drop(1).filterNot(_ == "explain")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -20,6 +21,20 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
+    // SPARK_GRAFT_STAGES=1 → per-stage wall/task summary after each run
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = (i.completionTime.getOrElse(0L) -
+              i.submissionTime.getOrElse(0L)) / 1e3
+            if (wall > 1.0)
+              println(f"  STAGE ${i.stageId}%4d ${i.numTasks}%5d tasks " +
+                f"wall=$wall%7.1fs  ${i.name.takeWhile(_ != '\n').take(90)}")
+          }
+        })
     val sel = SparkEntry.queries.filter { case (k, _) =>
       names.isEmpty || names.exists(k.startsWith) }
     sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
