@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * scaffold): documents get a per-shard text marker (near- not
   * byte-dups), lineitem offsets both join keys (k isolated
   * co-occurrence components), events offsets event/user ids (k× users,
-  * sessions scale linearly). Tables the probed queries never read are
-  * copied 1×.
+  * sessions scale linearly), embeddings get a per-shard ±1e-4 coordinate
+  * nudge (cross-shard cosine ≈ 1 — the ANN stress shape). Dimension
+  * tables the probed queries never read are copied 1×.
   *
   * Usage: runMain graft.ScaleBench [k] [comma-separated query names]
   * Writes target/scale_bench.json and prints one line per query.
@@ -79,10 +80,15 @@ object ScaleBench {
       spark.read.parquet(s"$sf/lineitem.parquet"), k), "lineitem")
     write(Sharding.events(
       spark.read.parquet(s"$sf/events.parquet"), k), "events")
+    // embeddings shard with ±s·1e-4 coordinate perturbation (cosine ≈ 1
+    // across shards): the ANN/IVF/semantic-dedup entries see a k× corpus
+    // whose near-dup structure stresses bucketed paths, not a 1× copy
+    write(Sharding.embeddings(
+      spark.read.parquet(s"$sf/embeddings.parquet"), k), "embeddings")
 
     // 1× passthrough for everything else the entries might touch
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "embeddings")) {
+                  "orders")) {
       write(spark.read.parquet(s"$sf/$t.parquet"), t)
     }
 
@@ -121,11 +127,33 @@ object ScaleBench {
       spark.catalog.clearCache(); Checkpoints.releaseAll(spark)
     }
 
+    // Artifact-cached entries (stored IVF index, bucketed layout, BPE
+    // rules) build on the FIRST construction per dir; pre-building here
+    // keeps the one-time cost out of the timed attempts (Bench's
+    // discipline) while still REPORTING the k×-dir build time — at scale
+    // the index build is itself a measured quantity, not noise.
+    val parts = math.max(32, 32 * k / 10)
+    val buildTimes: Map[String, Double] =
+      names.filter(SparkEntry.artifactEntries.contains).map { n =>
+        def buildOnce(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(n)(spark, dir); () }
+          catch { case e: Throwable =>
+            System.err.println(s"artifact warm $n failed: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        buildOnce(sf)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val bk = buildOnce(scaled)
+        println(f"SCALEBENCH-ARTIFACT $n%-24s ${k}x build $bk%7.2fs")
+        (n, bk)
+      }.toMap
+
     val results = names.map { name =>
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val t1 = best(name, sf)
       // the envelope rule, applied for the k× pass
-      val parts = math.max(32, 32 * k / 10)
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val tk = best(name, scaled, kxAttempts)
       val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
@@ -135,7 +163,8 @@ object ScaleBench {
 
     def fmt(d: Double) = f"$d%.3f"
     val json = results.map { case (n, t1, tk, r) =>
-      s""""$n":{"x1":${fmt(t1)},"x$k":${fmt(tk)},"ratio":${fmt(r)}}"""
+      val build = buildTimes.get(n).map(b => s""","build_x$k":${fmt(b)}""").getOrElse("")
+      s""""$n":{"x1":${fmt(t1)},"x$k":${fmt(tk)},"ratio":${fmt(r)}$build}"""
     }.mkString(s"""{"k":$k,"docs_mode":"$docsMode","parts_rule":"max(32, 32*k/10)","queries":{""", ",", "}}")
     val out = new java.io.PrintWriter(new java.io.File("target/scale_bench.json"))
     try out.println(json) finally out.close()
