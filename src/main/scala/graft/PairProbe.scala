@@ -36,16 +36,27 @@ object PairProbe {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
     val n = docs.count()
-    def pairs(kk: Int): Long = {
+    def lshPairs(kk: Int): Long = {
       val c = graft.queries.DedupOps.lshCandidatePairCount(
         spark, shardDocs(docs, kk))
       spark.catalog.clearCache()
       c
     }
-    val p1 = pairs(1)
-    val pk = pairs(k)
+    def simStats(kk: Int): (Int, Long, Long) = {
+      val st = graft.queries.DedupOps.simhashPairStats(spark, shardDocs(docs, kk))
+      spark.catalog.clearCache()
+      Checkpoints.releaseAll(spark)
+      st
+    }
+    val p1 = lshPairs(1)
+    val pk = lshPairs(k)
+    val (b1, c1, e1) = simStats(1)
+    val (bk, ck, ek) = simStats(k)
     println(f"PAIRPROBE mode=$mode%s rows 1x=$n%d ${k}x=${n * k}%d (x$k)")
-    println(f"PAIRPROBE mode=$mode%s lsh_pairs 1x=$p1%d ${k}x=$pk%d (x${pk.toDouble / p1}%.1f)")
+    println(f"PAIRPROBE mode=$mode%s lsh_pairs 1x=$p1%d ${k}x=$pk%d (x${pk.toDouble / math.max(p1, 1)}%.1f)")
+    println(f"PAIRPROBE mode=$mode%s simhash 1x bits=$b1%d candidates=$c1%d edges=$e1%d")
+    println(f"PAIRPROBE mode=$mode%s simhash ${k}x bits=$bk%d candidates=$ck%d edges=$ek%d " +
+      f"(cand x${ck.toDouble / math.max(c1, 1)}%.1f, edges x${ek.toDouble / math.max(e1, 1)}%.1f)")
     spark.stop()
   }
 }

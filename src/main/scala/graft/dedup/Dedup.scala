@@ -176,6 +176,69 @@ object Dedup {
   /** Hamming distance between two simhash values (xor + bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Corpus-adaptive SimHash signature width. Banded candidate
+    * generation puts every document into `bands` buckets of
+    * 2^(bits/bands) values each; with the width FIXED, bucket occupancy
+    * grows linearly with the corpus and candidate pairs grow
+    * quadratically — the 100× scale run measured exactly that (3 bands
+    * of 8 bits = 256 buckets → ~1.5B candidate pairs at 500k docs,
+    * >75 GB of shuffle). Worse, a narrow signature is statistically
+    * broken at scale regardless of cost: at 24 bits and 500k docs,
+    * C(n,2)·P[hamming ≤ 2] ≈ 2M pairs arise from RANDOM collisions
+    * alone. Standard SimHash practice scales signature bits with
+    * log(corpus); this picks the smallest per-band width that keeps
+    * expected bucket occupancy ≤ `targetOccupancy`, floored at 8 (the
+    * legacy width — gate corpora ≤ 32·2⁸ docs are unaffected, so the
+    * static DuckDB oracles remain exact there) and capped so
+    * bands·width stays in signed-long math. */
+  def simhashBitsFor(nDocs: Long, bands: Int = 3,
+                     targetOccupancy: Int = 32): Int = {
+    val maxWidth = 62 / bands
+    val need = math.ceil(
+      math.log(math.max(nDocs, 1L).toDouble / targetOccupancy) /
+        math.log(2.0)).toInt
+    bands * math.max(8, math.min(maxWidth, need))
+  }
+
+  /** Banded Hamming near-dup pairs: (id_a, id_b, hamming) for every
+    * pair with hamming(simhash_a, simhash_b) ≤ `maxHamming`. EXACT —
+    * not approximate — for maxHamming ≤ bands−1: flipping ≤ maxHamming
+    * bits can corrupt at most maxHamming of the `bands` disjoint bands,
+    * so every qualifying pair still agrees on ≥1 full band (pigeonhole)
+    * and is generated by the band equi-join; the explicit Hamming
+    * filter then removes false candidates. `bits` must be divisible by
+    * `bands`; pick it with [[simhashBitsFor]] so bucket occupancy (and
+    * with it the candidate-pair volume) stays bounded as the corpus
+    * grows. */
+  def simhashBandedPairs(df: DataFrame, idCol: String, textCol: Column,
+                         bits: Int, bands: Int = 3, maxHamming: Int = 2,
+                         scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs bands ≥ ${maxHamming + 1} for pigeonhole exactness")
+    val width = bits / bands
+    // cache: the banded self-join consumes the signature twice; the
+    // per-token-hash fold is the expensive stage.
+    val sig = scope.cache(
+      withSimhash(df, textCol, bits, "simhash")
+        .select(col(idCol), col("simhash")))
+    // band value j = bits [j·width, (j+1)·width) of the signature;
+    // simhash ≥ 0 (bits ≤ 62), so % matches the oracle's // and %
+    val bandVals = (0 until bands).map { j =>
+      shiftrightunsigned(col("simhash"), j * width) % (1L << width)
+    }
+    val bandRows = sig.select(col(idCol), col("simhash"),
+      posexplode_outer(array(bandVals: _*)).as(Seq("band", "bv")))
+    val a = bandRows.toDF("id_a", "sim_a", "band", "bv")
+    val b = bandRows.toDF("id_b", "sim_b", "band", "bv")
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct() // dedupe multi-band candidates BEFORE the hamming compute
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------------- n-gram Jaccard join
 
   /** Hashed distinct-shingle posting lists with the document-frequency

@@ -126,10 +126,40 @@ object DedupOps {
         .select(col("id_a"), col("id_b")).distinct())
   }
 
-  /** The CC chain's true-input SIZE at k× shardings, measured rather
-    * than argued. */
+  /** MinHash-LSH candidate-pair SIZE at k× shardings, measured rather
+    * than argued (q42's banding — a PROXY for dedup-chain input growth;
+    * the CC chain q47/q59 actually consumes q45's SIMHASH pairs, see
+    * simhashPairStats). */
   def lshCandidatePairCount(s: SparkSession, docsIn: org.apache.spark.sql.DataFrame): Long =
     lshCandidatePairs(s, docsIn).count()
+
+  /** The CC chain's TRUE input, measured: q45's simhash layout applied
+    * to an arbitrary (probe-synthesized) corpus. Returns (bits chosen
+    * by the adaptive rule, banded candidate pairs = Σ_buckets C(n,2)
+    * computed WITHOUT running the self-join — this is the volume the
+    * join shuffles — and surviving hamming-≤2 edges). */
+  def simhashPairStats(s: SparkSession,
+                       docsIn: org.apache.spark.sql.DataFrame): (Int, Long, Long) = {
+    val bits = Dedup.simhashBitsFor(docsIn.count())
+    val bands = 3
+    val width = bits / bands
+    val scope = graft.CacheScope.scoped()
+    val sig = scope.cache(
+      Dedup.withSimhash(spread(s, docsIn), col("text"), bits, "simhash")
+        .select(col("doc_id"), col("simhash")))
+    val bandVals = (0 until bands).map { j =>
+      shiftrightunsigned(col("simhash"), j * width) % (1L << width)
+    }
+    val candidates = sig
+      .select(posexplode_outer(array(bandVals: _*)).as(Seq("band", "bv")))
+      .groupBy(col("band"), col("bv")).count()
+      // n·(n−1) summed as longs (Column./ is double division), halved last
+      .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+    val edges = scope.materializeAndRelease(
+      Dedup.simhashBandedPairs(spread(s, docsIn), "doc_id", col("text"),
+        bits, bands, maxHamming = 2, scope = scope)).count()
+    (bits, candidates, edges)
+  }
 
   val q42Sql: String = {
     val perms = Dedup.minhashParams(K).zipWithIndex
@@ -222,31 +252,31 @@ object DedupOps {
 
   // ------------------------------------------- q45 simhash hamming pairs
 
-  /** Banded Hamming near-dup: candidates share one of the three 8-bit
-    * bands of the 24-bit simhash (a hamming-≤2 pair must agree on ≥1
-    * band by pigeonhole), then exact Hamming ≤ 2 filters. */
+  /** Memoized per-dir corpus size. q45/q47/q59 pick their SimHash width
+    * from it (Dedup.simhashBitsFor); the count is one metadata-cheap job
+    * per dir, and the bench/gate dirs are immutable for a session —
+    * same per-dir caching contract as SparkEntry.artifactEntries. */
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nDocs(s: SparkSession, dir: String): Long =
+    docCounts.computeIfAbsent(dir,
+      _ => Tables.documents(s, dir).count()).longValue()
+
+  /** Banded Hamming near-dup: candidates share one of the three bands
+    * of the simhash (a hamming-≤2 pair must agree on ≥1 band by
+    * pigeonhole), then exact Hamming ≤ 2 filters. The signature width
+    * is corpus-adaptive (Dedup.simhashBitsFor — the 100× scale run
+    * showed fixed 8-bit bands generate quadratically-growing candidate
+    * pairs AND ~2M random-collision false near-dups at 500k docs): gate
+    * corpora (≤ 8192 docs) stay at the legacy 24-bit/3×8 layout the
+    * static oracle mirrors; larger corpora widen per log₂(n). */
   def q45SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // cache: the banded self-join consumes the signature twice; the
-    // 24-bit fold over per-token hashes is the expensive stage. Scoped —
-    // released once the result is materialized.
     val scope = graft.CacheScope.scoped()
-    val sig = scope.cache(
-      Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
-        .select(col("doc_id"), col("simhash")))
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      posexplode_outer(array(
-        col("simhash") % 256,
-        shiftrightunsigned(col("simhash"), 8) % 256,
-        shiftrightunsigned(col("simhash"), 16) % 256)).as(Seq("band", "bv")))
-    val a = bands.toDF("id_a", "sim_a", "band", "bv")
-    val b = bands.toDF("id_b", "sim_b", "band", "bv")
     scope.materializeAndRelease(
-      a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-        .distinct() // dedupe multi-band candidates BEFORE the hamming compute
-        .select(col("id_a"), col("id_b"),
-          Dedup.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
-        .filter(col("hamming") <= 2))
+      Dedup.simhashBandedPairs(
+        spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
+        bits = Dedup.simhashBitsFor(nDocs(s, dir)),
+        bands = 3, maxHamming = 2, scope = scope))
   }
 
   private val q45Cte: String =

@@ -44,6 +44,40 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("simhashBandedPairs ≡ brute-force hamming ≤ 2 at legacy and widened widths") {
+    // banding is EXACT for hamming ≤ bands−1 (pigeonhole) — assert it
+    // against the all-pairs compute at the legacy 24-bit layout and at
+    // the widened layout the adaptive rule picks for large corpora
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (bits <- Seq(24, 48)) {
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+      val banded = key(
+        Dedup.simhashBandedPairs(real, "doc_id", col("text"), bits))
+      val sig = Dedup.withSimhash(real, col("text"), bits, "simhash")
+        .select(col("doc_id"), col("simhash"))
+      val a = sig.toDF("id_a", "sim_a")
+      val b = sig.toDF("id_b", "sim_b")
+      val brute = key(
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            Dedup.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+          .filter(col("hamming") <= 2))
+      assert(banded == brute,
+        s"bits=$bits: banded lost ${brute -- banded}, extra ${banded -- brute}")
+    }
+  }
+
+  test("simhashBitsFor: legacy width through gate sizes, log-scaled beyond, capped") {
+    assert(Dedup.simhashBitsFor(1) == 24)
+    assert(Dedup.simhashBitsFor(500) == 24)
+    assert(Dedup.simhashBitsFor(5000) == 24)    // sf0.1 — bench unchanged
+    assert(Dedup.simhashBitsFor(8192) == 24)    // last corpus in the legacy regime
+    assert(Dedup.simhashBitsFor(8193) == 27)
+    assert(Dedup.simhashBitsFor(500000) == 42)  // the 100× scale corpus
+    assert(Dedup.simhashBitsFor(Long.MaxValue) == 60) // signed-long cap
+  }
+
   test("hashed co-occurrence ≡ hashed prefix-filtered ≡ string all-pairs on real docs") {
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
