@@ -261,17 +261,31 @@ object VectorOps {
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
 
   /** SemDeDup (similarity.SemDedup): within-cluster cosine near-dup
-    * drop, greedy keep-lowest-id. k = 8 seed centroids (q86's model);
-    * threshold 0.35 is tuned to the synthetic embeddings' cosine range
-    * (max within-cluster cosine ≈ 0.49 — real sentence embeddings would
+    * drop, greedy keep-lowest-id. The cluster count is corpus-adaptive
+    * (Clustering.adaptiveK — the 100× scale run measured the fixed-k
+    * form super-linear at ratio ~393, because mean cluster size and
+    * with it the within-cluster pair scan grew with the corpus): gate
+    * corpora (≤ 2048 vectors) stay at the k = 8 the static oracle
+    * mirrors; larger corpora hold mean cluster size ≈ 256. Threshold
+    * 0.35 is tuned to the synthetic embeddings' cosine range (max
+    * within-cluster cosine ≈ 0.49 — real sentence embeddings would
     * use 0.9+); ~15% of rows drop at sf0.01, so the kept flag carries
     * real signal for the hash compare. */
   private val SemK = 8
   private val SemT = 0.35
 
+  /** Memoized per-dir embedding count — same per-dir caching contract
+    * as DedupOps' document count (immutable bench/gate dirs). */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nEmb(s: SparkSession, dir: String): Long =
+    embCounts.computeIfAbsent(dir,
+      _ => Tables.embeddings(s, dir).count()).longValue()
+
   def q106SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cents = graft.similarity.Clustering.seedCentroids(emb, "vec_id", "embedding", SemK)
+    val k = graft.similarity.Clustering.adaptiveK(nEmb(s, dir), kMin = SemK)
+    val cents = graft.similarity.Clustering.seedCentroids(emb, "vec_id", "embedding", k)
     val scope = graft.CacheScope.scoped()
     scope.materializeAndRelease(
       graft.similarity.SemDedup.semanticDedup(

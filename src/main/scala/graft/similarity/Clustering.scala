@@ -37,6 +37,24 @@ object Clustering {
       zip_with(fx, lit(centroid), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Corpus-adaptive cluster count for cluster-bounded quadratic work
+    * (SemDeDup's within-cluster pair scan, and any operator whose cost
+    * is Σ_clusters |c|²). With k FIXED, mean cluster size grows
+    * linearly in the corpus and the pair step grows quadratically —
+    * the 100× scale run measured q106 at ratio ~393 (342 s for a 0.9 s
+    * base) with k=8 over 200k vectors. Scaling k to hold mean cluster
+    * size at `targetClusterSize` makes the pair step linear again:
+    * Σ|c|² ≈ n·targetClusterSize. Floored at `kMin` so gate corpora
+    * (≤ kMin·target vectors) keep their static oracle's k; capped so
+    * the plan-literal centroid model stays serializable — beyond the
+    * cap (≈1M vectors at the defaults) the stored-index path
+    * ([[Ivf]]) is the right tool, same model, artifact instead of
+    * literal. */
+  def adaptiveK(n: Long, kMin: Int = 8, targetClusterSize: Int = 256,
+                kMax: Int = 4096): Int =
+    math.max(kMin, math.min(kMax,
+      math.ceil(math.max(n, 1L).toDouble / targetClusterSize).toInt))
+
   /** Deterministic seed centroids: the k lowest-id vectors, quantized.
     * (Driver-side model fetch — k rows, not data.) */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,

@@ -34,6 +34,15 @@ class ClusteringSpec extends SparkTestBase {
     assert(out.getLong(1) == 0L) // dist 0.25e12 to both → cid 0
   }
 
+  test("adaptiveK: gate floor, corpus-proportional middle, literal-model cap") {
+    assert(Clustering.adaptiveK(20) == 8)      // sf0.001
+    assert(Clustering.adaptiveK(2000) == 8)    // sf0.1 — gate k unchanged
+    assert(Clustering.adaptiveK(2048) == 8)    // last corpus at the floor
+    assert(Clustering.adaptiveK(2049) == 9)
+    assert(Clustering.adaptiveK(200000) == 782)  // the 100× scale corpus
+    assert(Clustering.adaptiveK(100000000) == 4096) // cap → stored-index territory
+  }
+
   test("fixedPoint: floor(x*1e6 + 0.5) — half-up, negative-correct") {
     val fx = Seq((1L, Seq(0.000001f, -0.0000005f, -1.25f)))
       .toDF("id", "v")
