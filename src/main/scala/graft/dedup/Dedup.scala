@@ -231,12 +231,18 @@ object Dedup {
       posexplode_outer(array(bandVals: _*)).as(Seq("band", "bv")))
     val a = bandRows.toDF("id_a", "sim_a", "band", "bv")
     val b = bandRows.toDF("id_b", "sim_b", "band", "bv")
+    // Hamming-filter BEFORE the distinct: the filter is one map-side
+    // xor+bit_count on the join output, while distinct is a full
+    // shuffle of every candidate row — and candidates outnumber
+    // surviving edges ~56:1 at the 100× measurement (2.9B vs 52M,
+    // PairProbe). Filtering first shrinks the distinct's shuffle by
+    // that factor; multi-band duplicates of a surviving pair agree on
+    // hamming, so the post-distinct row set is identical.
     a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct() // dedupe multi-band candidates BEFORE the hamming compute
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // -------------------------------------------------- n-gram Jaccard join
