@@ -194,9 +194,10 @@ object Dedup {
   def simhashBitsFor(nDocs: Long, bands: Int = 3,
                      targetOccupancy: Int = 32): Int = {
     val maxWidth = 62 / bands
-    val need = math.ceil(
-      math.log(math.max(nDocs, 1L).toDouble / targetOccupancy) /
-        math.log(2.0)).toInt
+    // exact ceil(log2(n / occ)) in integer bit math — the double
+    // ln-ratio is off by one at exact powers of two
+    val m = (math.max(nDocs, 1L) - 1L) / targetOccupancy + 1L
+    val need = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
     bands * math.max(8, math.min(maxWidth, need))
   }
 

@@ -98,11 +98,16 @@ object VectorOps {
        |SELECT query_id, rank, corpus_id, qdot, round(adot_raw, 4) AS adot
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
+  /** Plane count is corpus-adaptive (Similarity.planesFor — fixed
+    * planes give quadratically-growing candidate pairs, the sign-LSH
+    * twin of the SimHash-width scale bug): gate corpora (≤ 8192
+    * vectors) stay at the legacy 8-plane layout the static oracle
+    * mirrors; larger corpora widen per log₂(n). */
   def q51LshNearDup(s: SparkSession, dir: String): DataFrame = {
     val scope = graft.CacheScope.scoped()
     scope.materializeAndRelease(
       Similarity.lshNearDupPairs(Tables.spread(s, Tables.embeddings(s, dir)),
-        Planes, Dim, MinCos, scope = scope))
+        Similarity.planesFor(nEmb(s, dir)), Dim, MinCos, scope = scope))
   }
 
   val q51Sql: String = {
@@ -141,9 +146,12 @@ object VectorOps {
   def q52IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val (model, indexPath) = ivfArtifact.computeIfAbsent(dir, { _ =>
       // quantizer fit on a deterministic 1-in-4 slice — the 100 TB
-      // posture; full probe keeps the result exact regardless of fit
+      // posture; full probe keeps the result exact regardless of fit.
+      // Centroid count is corpus-adaptive (Ivf.kFor): gate dirs stay
+      // at the legacy k=8, larger corpora keep lists at Θ(√n)
       val emb = Tables.embeddings(s, dir)
-      val m = graft.similarity.Ivf.fit(emb, k = 8, iters = 3, fitOneIn = 4)
+      val m = graft.similarity.Ivf.fit(emb,
+        k = graft.similarity.Ivf.kFor(nEmb(s, dir)), iters = 3, fitOneIn = 4)
       val base = graft.TempArtifacts.dir("graft_ivf")
       graft.similarity.Ivf.save(m, s"$base/model")(s)
       graft.similarity.Ivf.index(Tables.spread(s, emb), m)
@@ -153,7 +161,7 @@ object VectorOps {
     graft.similarity.Ivf.search(
       Tables.embeddings(s, dir).filter(col("vec_id") >= 20 && col("vec_id") < 40),
       s.read.parquet(indexPath), model,
-      topK = TopK, nProbe = 8)
+      topK = TopK, nProbe = model.k) // full probe = exact at any k
   }
 
   /** dir → (reloaded quantizer, stored index path); concurrent-safe
@@ -467,7 +475,8 @@ object VectorOps {
   def q128HardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
     val (model, indexPath) = ivfArtifact.computeIfAbsent(dir, { _ =>
       val emb = Tables.embeddings(s, dir)
-      val m = graft.similarity.Ivf.fit(emb, k = 8, iters = 3, fitOneIn = 4)
+      val m = graft.similarity.Ivf.fit(emb,
+        k = graft.similarity.Ivf.kFor(nEmb(s, dir)), iters = 3, fitOneIn = 4)
       val base = graft.TempArtifacts.dir("graft_ivf")
       graft.similarity.Ivf.save(m, s"$base/model")(s)
       graft.similarity.Ivf.index(Tables.spread(s, emb), m)
@@ -479,7 +488,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label").as("qlabel"))
     graft.similarity.Ivf.searchWhere(
       anchors, s.read.parquet(indexPath), model,
-      topK = TopK, nProbe = 8,
+      topK = TopK, nProbe = model.k, // full probe = exact at any k
       pairFilter = col("qlabel") =!= col("label"),
       carry = Seq("label"))
       .select(col("query_id"), col("rank"), col("corpus_id"),

@@ -131,6 +131,21 @@ object Ivf {
     * duration of the fit — it is consumed `iters + 1` times, and Lloyd
     * iterations over a re-read corpus are the classic iterative-ML
     * anti-pattern Spark caching exists for. */
+  /** Corpus-adaptive centroid count for [[fit]]. With k FIXED, inverted-
+    * list length grows linearly with the corpus, so a pruned probe
+    * (nProbe < k) degrades toward a linear scan — the index-shaped twin
+    * of SemDeDup's fixed-cluster-count bug the 100× scale run measured
+    * (342 s → 6.4 s once adaptive). k = ⌈√(n/64)⌉ keeps the centroid
+    * count AND the expected list length both Θ(√n) (a probe touches
+    * nProbe lists of ~8√n vectors each), floored at `kMin` (the legacy 8
+    * — gate corpora ≤ 4096 vectors are unaffected, so full-probe results
+    * and their static oracles are byte-identical there) and capped at
+    * `kMax` so the driver-held quantizer stays model-sized (4096 × dim
+    * doubles ≈ 2 MB at dim 64). */
+  def kFor(nVectors: Long, kMin: Int = 8, kMax: Int = 4096): Int =
+    math.max(kMin, math.min(kMax,
+      math.ceil(math.sqrt(math.max(nVectors, 1L).toDouble / 64.0)).toInt))
+
   def fit(corpus: DataFrame, k: Int, iters: Int = 5, fitOneIn: Int = 1): Model = {
     val projected = corpus.select(col("vec_id"), col("embedding"))
     val sampled = if (fitOneIn <= 1) projected

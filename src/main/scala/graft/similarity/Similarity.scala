@@ -95,10 +95,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("rcos"))
   }
 
+  /** Corpus-adaptive hyperplane count for [[signLshSignature]] /
+    * [[lshNearDupPairs]]. The bucket join puts every vector into one of
+    * 2^planes buckets; with `planes` FIXED, bucket occupancy grows
+    * linearly with the corpus and the self-join's candidate pairs grow
+    * quadratically — the exact failure mode the 100× scale run measured
+    * for the fixed-width SimHash banding (Dedup.simhashBitsFor). Picks
+    * the smallest plane count that keeps expected bucket occupancy
+    * ≤ `targetOccupancy`, floored at 8 (the legacy count — gate corpora
+    * ≤ 32·2⁸ vectors are unaffected, so the static DuckDB oracle remains
+    * exact there) and capped at 62 (the bucket id is a signed-long bit
+    * sum). Unlike the banded SimHash join, sign-LSH recall is defined BY
+    * its bucketing (the oracle mirrors the same hyperplanes), so widening
+    * only tightens the candidate set — near-dup vectors with cosine → 1
+    * still collide on every plane. */
+  def planesFor(nVectors: Long, targetOccupancy: Int = 32): Int = {
+    // exact ceil(log2(n / occ)) in integer bit math — the double ln-ratio
+    // is off by one at exact powers of two (ln(2^58)/ln(2) → 58.000…007)
+    val m = (math.max(nVectors, 1L) - 1L) / targetOccupancy + 1L
+    val need = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(8, math.min(62, need))
+  }
+
   /** LSH-blocked near-duplicate pairs: candidates share a bucket
     * signature (equi-join), then exact rounded cosine ≥ minCos filters.
     * The scale path: bucket count grows with `planes`, so bucket size —
-    * and the quadratic term — is tunable. */
+    * and the quadratic term — is tunable; pick `planes` with
+    * [[planesFor]] so occupancy stays bounded as the corpus grows. */
   def lshNearDupPairs(df: DataFrame, planes: Int, dim: Int, minCos: Double,
                       scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     // cache: both self-join sides consume the signature relation;
