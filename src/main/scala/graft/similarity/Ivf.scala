@@ -195,10 +195,17 @@ object Ivf {
   }
 
   /** What [[append]] did: batch size, the batch's mean assignment
-    * distance vs the index's, and whether the drift threshold fired —
-    * the caller's refit trigger. */
+    * distance vs the index's, and the two refit cues — `drifted` (the
+    * batch's distribution moved away from the fitted centroids) and
+    * `outgrown` (the corpus has grown past the [[kFor]] sizing rule for
+    * the stored quantizer: appends reuse the fit-time k, so pure growth
+    * — no drift at all — still lets list lengths outgrow the Θ(√n)
+    * contract and pruned-probe cost creep back toward linear).
+    * `recommendedK` is [[kFor]] of the post-append corpus, the k a
+    * refit should use. */
   case class AppendReport(appended: Long, batchMeanDist: Double,
-                          indexMeanDist: Double, drifted: Boolean)
+                          indexMeanDist: Double, drifted: Boolean,
+                          outgrown: Boolean, recommendedK: Int)
 
   /** Underscore-prefixed sidecar dir: invisible to parquet scans of the
     * index (Spark's listing skips `_*`, the _spark_metadata convention),
@@ -260,7 +267,8 @@ object Ivf {
     * (exactness of full-probe search never depends on where centroids
     * sit; drift only degrades the pruned-probe recall/cost trade). */
   def append(newVectors: DataFrame, indexPath: String, model: Model,
-             driftFactor: Double = 1.5)(implicit spark: org.apache.spark.sql.SparkSession): AppendReport = {
+             driftFactor: Double = 1.5, growthFactor: Double = 2.0)(
+      implicit spark: org.apache.spark.sql.SparkSession): AppendReport = {
     import spark.implicits._
     val prior = readIndexStats(indexPath, Some(model)) // before the
     // append — a backfill after the write would double-count the batch
@@ -293,8 +301,13 @@ object Ivf {
       writeIndexStats(indexPath, Some(model))
     }
     val meanB = if (nb == 0) 0.0 else sb / nb
+    // growth cue: kFor is Θ(√n), so recommendedK > growthFactor·k means
+    // the corpus grew ~growthFactor² since fit — refits are expensive,
+    // and the factor keeps the cue from firing on every append
+    val recK = kFor(prior.n + nb)
     AppendReport(nb, meanB, prior.meanDist,
-      drifted = prior.n > 0 && nb > 0 && meanB > driftFactor * prior.meanDist)
+      drifted = prior.n > 0 && nb > 0 && meanB > driftFactor * prior.meanDist,
+      outgrown = recK > growthFactor * model.k, recommendedK = recK)
   }
 
   /** Top-k cosine search probing the nProbe nearest lists per query. */

@@ -55,6 +55,33 @@ class AdaptiveParamsSpec extends SparkTestBase {
     assert(Ivf.kFor(Long.MaxValue) == 4096) // driver model stays bounded
   }
 
+  test("append reports the growth refit cue when the corpus outgrows kFor") {
+    // Pure growth — the appended batch is drawn FROM the indexed
+    // distribution, so drift must stay false while outgrown fires once
+    // the post-append corpus's kFor exceeds growthFactor × the fit k.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val model = Ivf.fit(emb, k = 8, iters = 2)
+    val path = graft.TempArtifacts.dir("graft_adaptive_append") + "/index"
+    Ivf.index(emb, model).write.parquet(path)
+    Ivf.writeIndexStats(path, Some(model))
+    val n0 = emb.count() // 500 at sf0.001
+    // the corpus re-appended once: still far below kFor's floor knee
+    val small = Ivf.append(emb.select(col("vec_id") + 1000000, col("embedding"))
+      .toDF("vec_id", "embedding"), path, model)
+    assert(!small.outgrown && small.recommendedK == 8 && !small.drifted)
+    // a batch that pushes the corpus past kFor⁻¹(2·8) = 16384 vectors:
+    // replicate the in-distribution embeddings via a range cross join
+    val copies = 16384L / n0 + 2
+    val big = emb.select(col("embedding")).crossJoin(
+      spark.range(copies).select(col("id")))
+      .select((monotonically_increasing_id() + 2000000).as("vec_id"), col("embedding"))
+    val r = Ivf.append(big, path, model)
+    val total = 2 * n0 + copies * n0
+    assert(r.outgrown, s"expected outgrown at n=$total, got $r")
+    assert(r.recommendedK == Ivf.kFor(total))
+    assert(!r.drifted, s"in-distribution growth must not read as drift: $r")
+  }
+
   test("full probe stays exact at a non-legacy adaptive k") {
     // k=13 (≠ the legacy 8, not a divisor of the corpus) exercises the
     // arbitrary-k codegen path end to end: full probe ≡ brute force.
