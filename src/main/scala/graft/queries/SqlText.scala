@@ -74,7 +74,7 @@ object SqlText {
         |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
         |      FROM embeddings WHERE vec_id < 500)
         |SELECT query_id, corpus_id,
-        |  round(dot_product(qvec, cvec), 4) AS dot
+        |  round(dot_product(qvec, cvec), 4) + 0.0 AS dot
         |FROM q JOIN c ON corpus_id <> query_id""".stripMargin)
   }
 
@@ -84,7 +84,7 @@ object SqlText {
        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
        |      FROM embeddings WHERE vec_id < 500)
        |SELECT query_id, corpus_id,
-       |  round(${VectorOps.dotSql("qvec", "cvec")}, 4) AS dot
+       |  round(${VectorOps.dotSql("qvec", "cvec")}, 4) + 0.0 AS dot
        |FROM q JOIN c ON corpus_id <> query_id""".stripMargin
 
   /** TPC-H Q5 (local-supplier volume): the 6-table join through the

@@ -257,10 +257,19 @@ object Temporal {
     val states = (0 until 3).map(i =>
       AggMaintenance.state(ev.filter(pmod(col("event_id"), lit(3)) === i),
         Seq("user_id"), "vc"))
+    // avg is rounded in INTEGER 10⁻⁴ units (half away from zero), not
+    // via round(double): a mean landing exactly on a .00005 boundary
+    // rounds differently across engines (Spark rounds the shortest
+    // decimal repr, DuckDB the binary value — observed at sf0.1:
+    // 49.19125 → 49.1913 vs 49.1912). Integer u is identical on both
+    // sides, so u/10000.0 is the same double bit pattern.
+    val avgU = when(col("agg_sum") < 0, -1L).otherwise(lit(1L)) *
+      call_function("div",
+        abs(col("agg_sum")) * 200 + col("agg_n"), col("agg_n") * 2)
     AggMaintenance.merge(states, Seq("user_id"))
       .select(col("user_id"), col("agg_n").as("n"),
         round(col("agg_sum") / 100.0, 2).as("sum_value"),
-        round(col("agg_sum") / (col("agg_n") * 100.0), 4).as("avg_value"),
+        (avgU / 10000.0).as("avg_value"),
         round(col("agg_min") / 100.0, 2).as("min_value"),
         round(col("agg_max") / 100.0, 2).as("max_value"))
   }
@@ -271,7 +280,9 @@ object Temporal {
       |  FROM events)
       |SELECT user_id, count(vc) AS n,
       |  round(sum(vc) / 100.0, 2) AS sum_value,
-      |  round(sum(vc) / (count(vc) * 100.0), 4) AS avg_value,
+      |  (CASE WHEN sum(vc) < 0 THEN -1 ELSE 1 END)
+      |    * ((abs(sum(vc)) * 200 + count(vc)) // (2 * count(vc)))
+      |    / 10000.0 AS avg_value,
       |  round(min(vc) / 100.0, 2) AS min_value,
       |  round(max(vc) / 100.0, 2) AS max_value
       |FROM v GROUP BY user_id""".stripMargin

@@ -95,7 +95,7 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY qdot::DOUBLE / (sq * sc) DESC, corpus_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, corpus_id, qdot, round(adot_raw, 4) AS adot
+       |SELECT query_id, rank, corpus_id, qdot, round(adot_raw, 4) + 0.0 AS adot
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
   /** Plane count is corpus-adaptive (Similarity.planesFor — fixed

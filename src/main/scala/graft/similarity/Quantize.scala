@@ -51,6 +51,9 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("corpus_id"), col("qdot"), round(col("adot"), 4).as("adot"))
+        // + 0.0 normalizes −0.0 (IEEE: −0.0 + 0.0 = +0.0): a tiny
+        // negative dot rounds to −0.0 in DuckDB but +0.0 via Spark's
+        // BigDecimal round — the oracle applies the same normalization
+        col("corpus_id"), col("qdot"), (round(col("adot"), 4) + lit(0.0)).as("adot"))
   }
 }
