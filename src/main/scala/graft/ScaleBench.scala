@@ -135,12 +135,15 @@ object ScaleBench {
     val parts = math.max(32, 32 * k / 10)
     val buildTimes: Map[String, Double] =
       names.filter(SparkEntry.artifactEntries.contains).map { n =>
+        // A failed build must not masquerade as a valid build time: the
+        // first timed attempt would silently pay the (re)build cost and
+        // corrupt both build_x{k} and the ratio. Report -1 instead.
         def buildOnce(dir: String): Double = {
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(n)(spark, dir); () }
+          try { SparkEntry.queries(n)(spark, dir); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
-            System.err.println(s"artifact warm $n failed: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+            System.err.println(s"artifact warm $n FAILED: ${e.getMessage}")
+            -1.0 }
         }
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         buildOnce(sf)

@@ -193,7 +193,11 @@ object Dedup {
     * bands·width stays in signed-long math. */
   def simhashBitsFor(nDocs: Long, bands: Int = 3,
                      targetOccupancy: Int = 32): Int = {
-    val maxWidth = 62 / bands
+    // cap at 60, not 62: Portable.h60 token hashes carry 60 usable
+    // bits, so signature bits past 60 are constant 0 and would
+    // silently weaken the occupancy guarantee (for bands < 3 the
+    // signed-long 62 cap alone admits them)
+    val maxWidth = math.min(62, 60) / bands
     // exact ceil(log2(n / occ)) in integer bit math — the double
     // ln-ratio is off by one at exact powers of two
     val m = (math.max(nDocs, 1L) - 1L) / targetOccupancy + 1L

@@ -153,8 +153,10 @@ object DedupOps {
     val candidates = sig
       .select(posexplode_outer(array(bandVals: _*)).as(Seq("band", "bv")))
       .groupBy(col("band"), col("bv")).count()
-      // n·(n−1) summed as longs (Column./ is double division), halved last
-      .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+      // n·(n−1) summed as longs (Column./ is double division), halved last;
+      // coalesce: sum over zero rows is SQL NULL on an empty corpus
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+      .head().getLong(0) / 2
     val edges = scope.materializeAndRelease(
       Dedup.simhashBandedPairs(spread(s, docsIn), "doc_id", col("text"),
         bits, bands, maxHamming = 2, scope = scope)).count()
