@@ -14,14 +14,38 @@ object Verify {
       case Array(s, o, f) => (s, o, f.split(',').toSeq)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,8192] runs the same gate on
+    // REAL executor JVMs (task/broadcast serialization, shuffle
+    // transport, classloader isolation) — the multi-JVM proof pass.
+    // Default remains in-process local[n] (the driver's contract).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs are spawned from SPARK_HOME and know nothing of
+      // sbt's classpath: ship the graft classes + JDK17 module opens.
+      val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", classDir)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()

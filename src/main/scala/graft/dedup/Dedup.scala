@@ -297,7 +297,7 @@ object Dedup {
   private def finishScore(withSizes: DataFrame, minJ: Double): DataFrame =
     withSizes
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
+        graft.functions.Fx.fx(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"), col("jaccard"))

@@ -48,8 +48,8 @@ object AggMaintenance {
               roundTo: Int = 2): DataFrame =
     state.select(keys.map(col) ++ Seq(
       col("agg_n").as("n"),
-      round(col("agg_sum").cast("double"), roundTo).as("sum_value"),
-      round(col("agg_sum").cast("double") / col("agg_n"), roundTo).as("avg_value"),
+      graft.functions.Fx.fx(col("agg_sum").cast("double"), roundTo).as("sum_value"),
+      graft.functions.Fx.fx(col("agg_sum").cast("double") / col("agg_n"), roundTo).as("avg_value"),
       col("agg_min").as("min_value"),
       col("agg_max").as("max_value")): _*)
 }

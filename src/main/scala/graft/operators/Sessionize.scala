@@ -33,5 +33,5 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(time)).as("start_time"),
         max(col(time)).as("end_time"),
-        round(sum(col(valueCol)), 2).as("sum_value"))
+        graft.functions.Fx.fx(sum(col(valueCol)), 2).as("sum_value"))
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -36,18 +37,18 @@ object Analytics {
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     Tables.customer(s, dir)
       .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("pct_rank", Fx.fx(percent_rank().over(w), 6))
+      .withColumn("cume", Fx.fx(cume_dist().over(w), 6))
       .withColumn("next_cust", lead(col("c_custkey"), 1).over(w))
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         col("quartile"), col("pct_rank"), col("cume"), col("next_cust"))
   }
 
   val q25Sql: String =
-    """SELECT c_mktsegment, c_custkey, c_acctbal,
+    s"""SELECT c_mktsegment, c_custkey, c_acctbal,
       |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cume,
+      |  ${Fx.fxSql("percent_rank() OVER w", 6)} AS pct_rank,
+      |  ${Fx.fxSql("cume_dist() OVER w", 6)} AS cume,
       |  lead(c_custkey, 1) OVER w AS next_cust
       |FROM customer
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
@@ -60,16 +61,16 @@ object Analytics {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
+        Fx.fx(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        Fx.fx(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+        Fx.fx(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
         count(lit(1)).as("n"))
 
   val q26Sql: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+    s"""SELECT l_returnflag,
+      |  ${Fx.fxSql("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty,
+      |  ${Fx.fxSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25_price,
+      |  ${Fx.fxSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75_price,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
@@ -102,9 +103,9 @@ object Analytics {
       .agg(pq.as("pq"), pp.as("pp"), aq.as("aq"), ap.as("ap"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        round(element_at(col("pq"), 2), 4).as("exact_median_qty"),
-        round(element_at(col("pp"), 2), 4).as("exact_p25_price"),
-        round(element_at(col("pp"), 5), 4).as("exact_p75_price"),
+        Fx.fx(element_at(col("pq"), 2), 4).as("exact_median_qty"),
+        Fx.fx(element_at(col("pp"), 2), 4).as("exact_p25_price"),
+        Fx.fx(element_at(col("pp"), 5), 4).as("exact_p75_price"),
         col("n"),
         (col("aq").between(element_at(col("pq"), 1), element_at(col("pq"), 3)) &&
           element_at(col("ap"), 1)
@@ -115,10 +116,10 @@ object Analytics {
   }
 
   val q91Sql: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_median_qty,
-      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_p25_price,
-      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS exact_p75_price,
+    s"""SELECT l_returnflag,
+      |  ${Fx.fxSql("quantile_cont(l_quantity, 0.5)", 4)} AS exact_median_qty,
+      |  ${Fx.fxSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS exact_p25_price,
+      |  ${Fx.fxSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS exact_p75_price,
       |  count(*) AS n,
       |  TRUE AS within_tolerance
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
@@ -132,17 +133,17 @@ object Analytics {
     Tables.lineitem(s, dir)
       .groupBy(col("l_linestatus"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
-        round(stddev_samp(col("l_extendedprice")), 3).as("stddev_price"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        Fx.fx(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        Fx.fx(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
+        Fx.fx(stddev_samp(col("l_extendedprice")), 3).as("stddev_price"),
+        Fx.fx(avg(col("l_extendedprice")), 4).as("avg_price"))
 
   val q27Sql: String =
-    """SELECT l_linestatus,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
-      |  round(stddev_samp(l_extendedprice), 3) AS stddev_price,
-      |  round(avg(l_extendedprice), 4) AS avg_price
+    s"""SELECT l_linestatus,
+      |  ${Fx.fxSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+      |  ${Fx.fxSql("covar_samp(l_quantity, l_extendedprice)", 3)} AS covar_qty_price,
+      |  ${Fx.fxSql("stddev_samp(l_extendedprice)", 3)} AS stddev_price,
+      |  ${Fx.fxSql("avg(l_extendedprice)", 4)} AS avg_price
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ------------------------------------------------- q28 argmin/argmax
@@ -182,17 +183,17 @@ object Analytics {
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       // grouping_id() is only resolvable INSIDE the cube's agg list
       .agg(grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        count(lit(1)).as("n"), Fx.fx(sum(col("o_totalprice")), 2).as("sum_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("gid"), col("n"), col("sum_price"))
 
   val q29Sql: String =
-    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
       |  coalesce(o_orderstatus, 'ALL') AS status,
       |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |  count(*) AS n, ${Fx.fxSql("sum(o_totalprice)", 2)} AS sum_price
       |FROM orders
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
 
@@ -221,11 +222,11 @@ object Analytics {
           sqrt((col("s2") - s1d * col("s1") / col("n")) / (col("n") - 1)))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"),
-        round(col("vc") / 100.0, 2).as("value"), round(col("z"), 4).as("z"))
+        Fx.fx(col("vc") / 100.0, 2).as("value"), Fx.fx(col("z"), 4).as("z"))
   }
 
   val q93Sql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT event_id, event_type,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       |  FROM events),
@@ -237,8 +238,8 @@ object Analytics {
       |    (v.vc - CAST(g.s1 AS DOUBLE) / g.n) /
       |      sqrt((g.s2 - CAST(g.s1 AS DOUBLE) * g.s1 / g.n) / (g.n - 1)) AS z
       |  FROM v JOIN g USING (event_type))
-      |SELECT event_id, event_type, round(vc / 100.0, 2) AS value,
-      |  round(z, 4) AS z
+      |SELECT event_id, event_type, ${Fx.fxSql("vc / 100.0", 2)} AS value,
+      |  ${Fx.fxSql("z", 4)} AS z
       |FROM z WHERE abs(z) > 2.5""".stripMargin
 
   // ------------------------------------------------ q105 time-range frame
@@ -259,14 +260,14 @@ object Analytics {
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         count(lit(1)).over(w).as("trailing_n"),
-        round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        Fx.fx(sum(col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
           .cast("double").as("trailing_spend"))
   }
 
   val q105Sql: String =
-    """SELECT o_orderkey, o_custkey, o_orderdate,
+    s"""SELECT o_orderkey, o_custkey, o_orderdate,
       |  count(*) OVER w AS trailing_n,
-      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS trailing_spend
+      |  CAST(${Fx.fxSql("sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w", 2)} AS DOUBLE) AS trailing_spend
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey
       |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
@@ -298,11 +299,11 @@ object Analytics {
   def q114Histogram(s: SparkSession, dir: String): DataFrame =
     graft.operators.Histogram.equiWidth(
       Tables.lineitem(s, dir),
-      round(col("l_extendedprice") * 100).cast("long"), HistBuckets)
+      Fx.fx(col("l_extendedprice") * 100, 0).cast("long"), HistBuckets)
 
   val q114Sql: String =
     s"""WITH v AS (
-       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  SELECT CAST(${Fx.fxSql("l_extendedprice * 100", 0)} AS BIGINT) AS v
        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
        |pv AS (SELECT v, count(*) AS n FROM v GROUP BY v),
        |s AS (SELECT min(v) AS lo, max(v) AS hi FROM pv)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -140,16 +141,16 @@ object CorpusOps {
 
   /** q120: PMI collocations — see [[graft.text.Collocations]]. Pair
     * df-cap 5 bounds output to pairs with stable signal; the identical
-    * (c_xy·N)/(c_x·c_y) expression shape on both sides makes round(4)
+    * (c_xy·N)/(c_x·c_y) expression shape on both sides makes Fx.fx(4)
     * exact across engines. */
   def q120Pmi(s: SparkSession, dir: String): DataFrame =
     graft.text.Collocations.pmi(
       Tables.documents(s, dir), col("text"), minPairCount = 5L)
 
   val q120Sql: String =
-    """WITH toks_t AS (
+    s"""WITH toks_t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
       |  FROM documents),
       |uc AS (
       |  SELECT tok, count(*) AS c_tok
@@ -168,8 +169,7 @@ object CorpusOps {
       |  SELECT split_part(bg, ' ', 1) AS l_tok, split_part(bg, ' ', 2) AS r_tok,
       |    c_pair FROM pc)
       |SELECT l_tok, r_tok, c_pair, lc.c_tok AS c_l, rc.c_tok AS c_r,
-      |  round(log2((c_pair::DOUBLE * n_tokens::DOUBLE)
-      |             / (lc.c_tok::DOUBLE * rc.c_tok::DOUBLE)), 4) AS pmi
+      |  ${Fx.fxSql("log2((c_pair::DOUBLE * n_tokens::DOUBLE) / (lc.c_tok::DOUBLE * rc.c_tok::DOUBLE))", 4)} AS pmi
       |FROM p2
       |JOIN uc lc ON p2.l_tok = lc.tok
       |JOIN uc rc ON p2.r_tok = rc.tok, n""".stripMargin

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -222,11 +223,11 @@ object DedupOps {
       |  FROM flt a JOIN flt b USING (s)
       |  WHERE a.id < b.id GROUP BY 1, 2)
       |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-      |  round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 4) AS jaccard
+      |  ${Fx.fxSql("inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE", 4)} AS jaccard
       |FROM inter_t
       |JOIN sizes sa ON id_a = sa.id
       |JOIN sizes sb ON id_b = sb.id
-      |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 4) >= 0.2""".stripMargin
+      |WHERE ${Fx.fxSql("inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE", 4)} >= 0.2""".stripMargin
 
   // --------------------------------------------------------- q44 simhash
 

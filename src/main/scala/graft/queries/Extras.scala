@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -212,8 +213,8 @@ object Extras {
   }
 
   val q16Sql: String =
-    """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    s"""SELECT l_orderkey,
+      |  ${Fx.fxSqlPortable("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -233,7 +234,7 @@ object Extras {
   }
 
   val q17Sql: String =
-    """SELECT c_custkey, c_mktsegment, c_acctbal, round(seg_avg, 2) AS seg_avg
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal, ${Fx.fxSqlPortable("seg_avg", 2)} AS seg_avg
       |FROM (
       |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
       |    (SELECT avg(c2.c_acctbal) FROM customer c2
@@ -264,11 +265,11 @@ object Extras {
       sums = Map("l_quantity" -> "sum_qty"),
       countName = "n", saltBuckets = 32)
       .select(col("l_returnflag"), col("l_linestatus"), col("n"),
-        round(col("sum_qty"), 2).as("sum_qty"))
+        Fx.fx(col("sum_qty"), 2).as("sum_qty"))
 
   val q19Sql: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  round(sum(l_quantity), 2) AS sum_qty
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  ${Fx.fxSql("sum(l_quantity)", 2)} AS sum_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** Deterministic content-hash train/val/test split

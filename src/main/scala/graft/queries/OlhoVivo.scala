@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -34,7 +35,7 @@ object OlhoVivo {
       (lit(-46.63) + col("value") / 1500.0).as("px"))
 
   private[queries] val posCte: String =
-    """WITH pos AS (
+    s"""WITH pos AS (
       |  SELECT event_id,
       |    CAST(user_id AS VARCHAR) AS prefixo_veiculo,
       |    'L' || CAST(user_id % 10 AS VARCHAR) AS letreiro,
@@ -81,11 +82,11 @@ object OlhoVivo {
         SpeedConf(), orderTiebreak = Seq(col("event_id")))
       .select(col("prefixo_veiculo"), col("event_id"), col("data"), col("intervalo"),
         col("tempo"), col("distancia"),
-        round(col("velocidade_media"), 4).as("velocidade_media"))
+        Fx.fx(col("velocidade_media"), 4).as("velocidade_media"))
 
   val q20Sql: String = posCte +
-    """SELECT prefixo_veiculo, event_id, data, intervalo, tempo, distancia,
-      |  round(distancia / tempo, 4) AS velocidade_media
+    s"""SELECT prefixo_veiculo, event_id, data, intervalo, tempo, distancia,
+      |  ${Fx.fxSql("distancia / tempo", 4)} AS velocidade_media
       |FROM clean""".stripMargin
 
   /** A1+E7: hash aggregate on the reference keys (minus the two constant
@@ -99,20 +100,20 @@ object OlhoVivo {
     SpeedPipeline.aggregate(clean, keys)
       .select(
         keys.map(col) ++ Seq(
-          round(col("px"), 4).as("px"),
-          round(col("py"), 4).as("py"),
-          round(col("distancia"), 2).as("distancia"),
+          Fx.fx(col("px"), 4).as("px"),
+          Fx.fx(col("py"), 4).as("py"),
+          Fx.fx(col("distancia"), 2).as("distancia"),
           col("tempo"),
-          round(col("velocidade_media"), 4).as("velocidade_media")): _*)
+          Fx.fx(col("velocidade_media"), 4).as("velocidade_media")): _*)
   }
 
   val q21Sql: String = posCte +
-    """SELECT data, intervalo, letreiro, codigo_linha, sentido_linha,
+    s"""SELECT data, intervalo, letreiro, codigo_linha, sentido_linha,
       |  prefixo_veiculo, acessibilidade,
-      |  round(avg(px), 4) AS px, round(avg(py), 4) AS py,
-      |  round(sum(distancia), 2) AS distancia,
+      |  ${Fx.fxSql("avg(px)", 4)} AS px, ${Fx.fxSql("avg(py)", 4)} AS py,
+      |  ${Fx.fxSql("sum(distancia)", 2)} AS distancia,
       |  CAST(sum(tempo) AS BIGINT) AS tempo,
-      |  round(sum(distancia) / sum(tempo), 4) AS velocidade_media
+      |  ${Fx.fxSql("sum(distancia) / sum(tempo)", 4)} AS velocidade_media
       |FROM clean
       |GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
       |  prefixo_veiculo, acessibilidade""".stripMargin
@@ -123,15 +124,15 @@ object OlhoVivo {
       SpeedConf(), orderTiebreak = Seq(col("event_id")))
     SpeedPipeline.slowPoints(clean)
       .select(col("prefixo_veiculo"), col("event_id"), col("data"), col("intervalo"),
-        round(col("px"), 6).as("px"), round(col("py"), 6).as("py"),
+        Fx.fx(col("px"), 6).as("px"), Fx.fx(col("py"), 6).as("py"),
         col("tempo"), col("distancia"),
-        round(col("velocidade_media"), 4).as("velocidade_media"))
+        Fx.fx(col("velocidade_media"), 4).as("velocidade_media"))
   }
 
   val q22Sql: String = posCte +
-    """SELECT prefixo_veiculo, event_id, data, intervalo,
-      |  round(px, 6) AS px, round(py, 6) AS py, tempo, distancia,
-      |  round(distancia / tempo, 4) AS velocidade_media
+    s"""SELECT prefixo_veiculo, event_id, data, intervalo,
+      |  ${Fx.fxSql("px", 6)} AS px, ${Fx.fxSql("py", 6)} AS py, tempo, distancia,
+      |  ${Fx.fxSql("distancia / tempo", 4)} AS velocidade_media
       |FROM clean WHERE distancia / tempo < 1.4""".stripMargin
 
   /** The acessiveis branch: 30-min mean positions + accessibility flag,
@@ -146,14 +147,14 @@ object OlhoVivo {
       .select(
         col("data"), col("intervalo"), col("letreiro"), col("codigo_linha"),
         col("sentido_linha"), col("prefixo_veiculo"),
-        round(col("px"), 4).as("px"), round(col("py"), 4).as("py"),
+        Fx.fx(col("px"), 4).as("px"), Fx.fx(col("py"), 4).as("py"),
         col("acessibilidade"))
   }
 
   val q23Sql: String = posCte +
-    """SELECT data, intervalo, letreiro, codigo_linha, sentido_linha,
+    s"""SELECT data, intervalo, letreiro, codigo_linha, sentido_linha,
       |  prefixo_veiculo,
-      |  round(avg(px), 4) AS px, round(avg(py), 4) AS py, acessibilidade
+      |  ${Fx.fxSql("avg(px)", 4)} AS px, ${Fx.fxSql("avg(py)", 4)} AS py, acessibilidade
       |FROM clean
       |GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
       |  prefixo_veiculo, acessibilidade""".stripMargin

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -34,20 +35,20 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 3).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Fx.fx(sum(col("l_quantity")), 2).as("sum_qty"),
+        Fx.fx(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Fx.fx(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        Fx.fx(avg(col("l_quantity")), 3).as("avg_qty"),
+        Fx.fx(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 3) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${Fx.fxSql("sum(l_quantity)", 2)} AS sum_qty,
+      |  ${Fx.fxSql("sum(l_extendedprice)", 2)} AS sum_base_price,
+      |  ${Fx.fxSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+      |  ${Fx.fxSql("avg(l_quantity)", 3)} AS avg_qty,
+      |  ${Fx.fxSql("avg(l_discount)", 4)} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -80,13 +81,13 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        Fx.fx(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q03Sql: String =
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    s"""SELECT n_name,
+      |  ${Fx.fxSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -166,15 +167,14 @@ object Relational {
       .withColumn("running_value", sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .select(col("event_id"), col("user_id"),
-        round(col("running_value"), 2).as("running_value"),
-        round(col("value") - col("prev_value"), 2).as("delta"))
+        Fx.fx(col("running_value"), 2).as("running_value"),
+        Fx.fx(col("value") - col("prev_value"), 2).as("delta"))
   }
 
   val q07Sql: String =
-    """SELECT event_id, user_id,
-      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
-      |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS delta
+    s"""SELECT event_id, user_id,
+      |  ${Fx.fxSql("sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value,
+      |  ${Fx.fxSql("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)", 2)} AS delta
       |FROM events""".stripMargin
 
   /** Generator/explode: tokenize documents and count words — the classic
@@ -200,11 +200,11 @@ object Relational {
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fx.fx(sum(col("value")), 2).as("sum_value"))
 
   val q09Sql: String =
-    """SELECT event_type, CAST(props->>'k' AS INTEGER) % 10 AS k_mod,
-      |  count(*) AS n, round(sum(value), 2) AS sum_value
+    s"""SELECT event_type, CAST(props->>'k' AS INTEGER) % 10 AS k_mod,
+      |  count(*) AS n, ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |FROM events
       |GROUP BY event_type, CAST(props->>'k' AS INTEGER) % 10""".stripMargin
 
@@ -216,16 +216,16 @@ object Relational {
     val ev = Tables.events(s, dir)
       .withColumn("bucket_start", bucket30mStart(col("ts_sec")))
     ev.groupBy(col("bucket_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fx.fx(sum(col("value")), 2).as("sum_value"))
       .withColumn("intervalo", interval30Label(col("bucket_start")))
       .select(col("bucket_start"), col("intervalo"), col("event_type"), col("n"), col("sum_value"))
   }
 
   val q10Sql: String =
-    """SELECT bucket_start,
+    s"""SELECT bucket_start,
       |  strftime(make_timestamp(bucket_start * 1000000), '%H:%M') || '-' ||
       |    strftime(make_timestamp((bucket_start + 1800) * 1000000), '%H:%M') AS intervalo,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |  event_type, count(*) AS n, ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |FROM (SELECT (epoch_ns(ts) // 1000000000 // 1800) * 1800 AS bucket_start, event_type, value
       |      FROM events) t
       |GROUP BY bucket_start, event_type""".stripMargin
@@ -253,16 +253,16 @@ object Relational {
   def q12Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(Fx.fx(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
 
   val q12Sql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  ${Fx.fxSql("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
@@ -276,13 +276,13 @@ object Relational {
       .agg(sort_array(collect_list(struct(col("ts_ns"), col("event_id"), col("value")))).as("evs"))
     nested.select(col("user_id"), posexplode(col("evs")).as(Seq("pos", "ev")))
       .select(col("user_id"), col("pos"), col("ev.event_id").as("event_id"),
-        round(col("ev.value"), 2).as("value"))
+        Fx.fx(col("ev.value"), 2).as("value"))
   }
 
   val q13Sql: String =
-    """SELECT user_id,
+    s"""SELECT user_id,
       |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) - 1 AS pos,
-      |  event_id, round(value, 2) AS value
+      |  event_id, ${Fx.fxSql("value", 2)} AS value
       |FROM events""".stripMargin
 
   /** Bloom-pruned semi-join (operators.BloomPrune): lineitem rows of
@@ -300,11 +300,11 @@ object Relational {
         // explain/log of the query
         expectedItems = 200000L, numBits = 200000L)
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(Fx.fx(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("n"))
 
   val q57Sql: String =
-    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+    s"""SELECT l_returnflag, ${Fx.fxSql("sum(l_quantity)", 2)} AS sum_qty,
       |  count(*) AS n
       |FROM lineitem l
       |WHERE EXISTS (SELECT 1 FROM orders o
@@ -323,11 +323,11 @@ object Relational {
         saltSource = struct(col("l_orderkey"), col("l_linenumber")),
         salts = 8)
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+      .agg(Fx.fx(sum(col("l_extendedprice")), 2).as("revenue"),
         count(lit(1)).as("n"))
 
   val q58Sql: String =
-    """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+    s"""SELECT p_brand, ${Fx.fxSql("sum(l_extendedprice)", 2)} AS revenue,
       |  count(*) AS n
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
@@ -343,7 +343,7 @@ object Relational {
       .filter(col("o_custkey") % 5 === 0)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        Fx.fx(sum(col("o_totalprice")), 2).as("sum_price"))
     cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -351,11 +351,11 @@ object Relational {
   }
 
   val q92Sql: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
       |o AS (
       |  SELECT o_custkey, count(*) AS n_orders,
-      |    round(sum(o_totalprice), 2) AS sum_price
+      |    ${Fx.fxSql("sum(o_totalprice)", 2)} AS sum_price
       |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
       |SELECT coalesce(c_custkey, o_custkey) AS custkey,
       |  c_mktsegment, n_orders, sum_price

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -47,19 +48,17 @@ object SqlText {
   def q101SqlWindow(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events")
     s.sql(
-      """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
-        |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id), 2)
+      s"""SELECT event_id, user_id,
+        |  ${Fx.fxSqlPortable("sum(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value,
+        |  ${Fx.fxSqlPortable("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)", 2)}
         |    AS delta
         |FROM events""".stripMargin)
   }
 
   val q101Sql: String =
-    """SELECT event_id, user_id,
-      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
-      |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS delta
+    s"""SELECT event_id, user_id,
+      |  ${Fx.fxSqlPortable("sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value,
+      |  ${Fx.fxSqlPortable("value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)", 2)} AS delta
       |FROM events""".stripMargin
 
   /** The similarity hot loop through SQL text: the registered
@@ -69,12 +68,12 @@ object SqlText {
   def q102SqlDot(s: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
     s.sql(
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 4),
         |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
         |      FROM embeddings WHERE vec_id < 500)
         |SELECT query_id, corpus_id,
-        |  round(dot_product(qvec, cvec), 4) + 0.0 AS dot
+        |  ${Fx.fxSqlPortable("dot_product(qvec, cvec)", 4)} AS dot
         |FROM q JOIN c ON corpus_id <> query_id""".stripMargin)
   }
 
@@ -84,7 +83,7 @@ object SqlText {
        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec
        |      FROM embeddings WHERE vec_id < 500)
        |SELECT query_id, corpus_id,
-       |  round(${VectorOps.dotSql("qvec", "cvec")}, 4) + 0.0 AS dot
+       |  ${Fx.fxSql(VectorOps.dotSql("qvec", "cvec"), 4)} AS dot
        |FROM q JOIN c ON corpus_id <> query_id""".stripMargin
 
   /** TPC-H Q5 (local-supplier volume): the 6-table join through the

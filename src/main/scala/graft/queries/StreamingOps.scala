@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -86,8 +87,8 @@ object StreamingOps {
     // gate invocations would otherwise accumulate JSON copies in /tmp)
     val hops = s.table("q75_hops")
       .select(col("prefixo_veiculo"), col("event_id"), col("timestamp"),
-        col("tempo"), round(col("distancia"), 2).as("distancia"),
-        round(col("velocidade_media"), 4).as("velocidade_media"))
+        col("tempo"), Fx.fx(col("distancia"), 2).as("distancia"),
+        Fx.fx(col("velocidade_media"), 4).as("velocidade_media"))
       .localCheckpoint(true)
     deleteRecursively(new java.io.File(zone))
     hops
@@ -96,8 +97,8 @@ object StreamingOps {
   /** Same dataflow as q20's oracle (shared posCte), restricted to the
     * columns the streaming hop carries. */
   val q75Sql: String = OlhoVivo.posCte +
-    """SELECT prefixo_veiculo, event_id, "timestamp", tempo, distancia,
-      |  round(distancia / tempo, 4) AS velocidade_media
+    s"""SELECT prefixo_veiculo, event_id, "timestamp", tempo, distancia,
+      |  ${Fx.fxSql("distancia / tempo", 4)} AS velocidade_media
       |FROM clean""".stripMargin
 
   /** Streaming exact dedup end to end: every document is written to the
@@ -159,7 +160,7 @@ object StreamingOps {
     val snapDir = Files.createTempDirectory("graft_upsert_snap").toString
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
-        col("event_type"), round(col("value"), 2).as("value"))
+        col("event_type"), Fx.fx(col("value"), 2).as("value"))
       .repartition(6).write.mode("overwrite").json(zone)
     val changes = s.readStream
       .schema("event_id LONG, user_id LONG, ts_us LONG, event_type STRING, value DOUBLE")
@@ -203,7 +204,7 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"),
         (lit(t0) + pmod(col("event_id"), lit(5)) * 400
           + pmod(expr("event_id div 5"), lit(4)) * 4000).as("ets"),
-        round(col("value"), 2).as("value"))
+        Fx.fx(col("value"), 2).as("value"))
       .repartition(4).write.mode("overwrite").json(zone)
     // the sentinel file: strictly later modification time → the file
     // source (ordered by mtime) processes it in the LAST micro-batch,
@@ -225,7 +226,7 @@ object StreamingOps {
       .withWatermark("event_time", "1 day")
     val sessionSink = stream
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Fx.fx(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("start_sec"),
         col("n_events"), col("sum_value"))
@@ -245,10 +246,10 @@ object StreamingOps {
   /** The same synthesized grid, sessionized by gaps-and-islands (strict
     * gap ≥ 1800 s starts a new island — the session_window semantics). */
   val q89Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id,
       |    1700000000 + (event_id % 5) * 400 + ((event_id // 5) % 4) * 4000 AS ets,
-      |    round(value, 2) AS value
+      |    ${Fx.fxSql("value", 2)} AS value
       |  FROM events),
       |f AS (
       |  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
@@ -260,7 +261,7 @@ object StreamingOps {
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM f)
       |SELECT user_id, min(ets) AS start_sec, count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   /** Watermarked STREAM-STREAM inner join run to completion: every

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -28,7 +29,7 @@ object Temporal {
       orderTiebreak = Seq(col("event_id")))
 
   val q70Sql: String = eCte +
-    """, f AS (
+    s""", f AS (
       |  SELECT *, CASE WHEN lag(ts_sec) OVER w IS NULL
       |                   OR ts_sec - lag(ts_sec) OVER w > 1800
       |                 THEN 1 ELSE 0 END AS flag
@@ -39,7 +40,7 @@ object Temporal {
       |  FROM f)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  count(*) AS n_events, min(ts_sec) AS start_time, max(ts_sec) AS end_time,
-      |  round(sum(value), 2) AS sum_value
+      |  ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   /** Each error event matched to the user's latest prior (≤, within 1h)
@@ -129,7 +130,7 @@ object Temporal {
   def q73SessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Fx.fx(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("start_sec"),
         col("n_events"), col("sum_value"))
@@ -139,7 +140,7 @@ object Temporal {
     * (micros precision — Spark truncates the ns). Islands form on
     * strict gap ≥ 1800s in MICROseconds. */
   val q73Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
       |f AS (
       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
@@ -151,7 +152,7 @@ object Temporal {
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM f)
       |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  count(*) AS n_events, ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   /** Keyed upsert (operators.Upsert): a snapshot compacted from the
@@ -165,7 +166,7 @@ object Temporal {
     // in the last three digits. event_id breaks any µs tie.
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
-      col("event_type"), round(col("value"), 2).as("value"))
+      col("event_type"), Fx.fx(col("value"), 2).as("value"))
     val snapshot = Upsert.compact(ev.filter(col("event_id") % 2 === 0),
       Seq("user_id"), Seq("ts_us", "event_id"))
     Upsert.latestWins(snapshot, ev.filter(col("event_id") % 2 =!= 0),
@@ -173,9 +174,9 @@ object Temporal {
   }
 
   val q80Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type,
-      |         round(value, 2) AS value
+      |         ${Fx.fxSql("value", 2)} AS value
       |  FROM events)
       |SELECT user_id, event_id, ts_us, event_type, value FROM e
       |QUALIFY row_number() OVER (
@@ -216,20 +217,20 @@ object Temporal {
         graft.functions.Portable.bucket30mStart(col("ts_sec")).as("b"),
         col("value"))
       .groupBy(col("user_id"), col("b"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fx.fx(sum(col("value")), 2).as("sum_value"))
     graft.operators.Resample.gapFill(agg, Seq("user_id"), "b", 1800L,
       zeroFill = Map("n" -> lit(0L), "sum_value" -> lit(0.0)),
       ffill = Seq("sum_value"))
   }
 
   val q95Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id,
       |    (epoch_ns(ts) // 1000000000 // 1800) * 1800 AS b,
       |    value
       |  FROM events WHERE user_id % 20 = 0),
       |agg AS (
-      |  SELECT user_id, b, count(*) AS n, round(sum(value), 2) AS sum_value
+      |  SELECT user_id, b, count(*) AS n, ${Fx.fxSql("sum(value)", 2)} AS sum_value
       |  FROM e GROUP BY 1, 2),
       |spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
       |grid AS (
@@ -258,7 +259,7 @@ object Temporal {
       AggMaintenance.state(ev.filter(pmod(col("event_id"), lit(3)) === i),
         Seq("user_id"), "vc"))
     // avg is rounded in INTEGER 10⁻⁴ units (half away from zero), not
-    // via round(double): a mean landing exactly on a .00005 boundary
+    // via Fx.fx(double): a mean landing exactly on a .00005 boundary
     // rounds differently across engines (Spark rounds the shortest
     // decimal repr, DuckDB the binary value — observed at sf0.1:
     // 49.19125 → 49.1913 vs 49.1912). Integer u is identical on both
@@ -268,23 +269,23 @@ object Temporal {
         abs(col("agg_sum")) * 200 + col("agg_n"), col("agg_n") * 2)
     AggMaintenance.merge(states, Seq("user_id"))
       .select(col("user_id"), col("agg_n").as("n"),
-        round(col("agg_sum") / 100.0, 2).as("sum_value"),
+        Fx.fx(col("agg_sum") / 100.0, 2).as("sum_value"),
         (avgU / 10000.0).as("avg_value"),
-        round(col("agg_min") / 100.0, 2).as("min_value"),
-        round(col("agg_max") / 100.0, 2).as("max_value"))
+        Fx.fx(col("agg_min") / 100.0, 2).as("min_value"),
+        Fx.fx(col("agg_max") / 100.0, 2).as("max_value"))
   }
 
   val q97Sql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
       |  FROM events)
       |SELECT user_id, count(vc) AS n,
-      |  round(sum(vc) / 100.0, 2) AS sum_value,
+      |  ${Fx.fxSql("sum(vc) / 100.0", 2)} AS sum_value,
       |  (CASE WHEN sum(vc) < 0 THEN -1 ELSE 1 END)
       |    * ((abs(sum(vc)) * 200 + count(vc)) // (2 * count(vc)))
       |    / 10000.0 AS avg_value,
-      |  round(min(vc) / 100.0, 2) AS min_value,
-      |  round(max(vc) / 100.0, 2) AS max_value
+      |  ${Fx.fxSql("min(vc) / 100.0", 2)} AS min_value,
+      |  ${Fx.fxSql("max(vc) / 100.0", 2)} AS max_value
       |FROM v GROUP BY user_id""".stripMargin
 
   // ------------------------------------------------ q112 snapshot diff

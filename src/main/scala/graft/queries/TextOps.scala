@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -160,7 +161,7 @@ object TextOps {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        Fx.fx(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -170,7 +171,7 @@ object TextOps {
   }
 
   val q35Sql: String = toksCte.dropRight(1) + "," +
-    """
+    s"""
       |tf_t AS (
       |  SELECT doc_id, t AS term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t) x
@@ -179,7 +180,7 @@ object TextOps {
       |n_t AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, term, tf, df,
-      |    round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+      |    ${Fx.fxSql("tf * ln(n_docs::DOUBLE / df)", 4)} AS tfidf
       |  FROM tf_t JOIN df_t USING (term) CROSS JOIN n_t),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -223,7 +224,7 @@ object TextOps {
          |  FROM toks_t),
          |stats AS (
          |  SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl, $dfAggs FROM base)
-         |SELECT doc_id, dl, round($score, 4) AS bm25
+         |SELECT doc_id, dl, ${Fx.fxSql(score, 4)} AS bm25
          |FROM base CROSS JOIN stats
          |WHERE $anyMatch""".stripMargin
   }
@@ -492,7 +493,7 @@ object TextOps {
     * q14's pivot-arm pattern — no second shuffle per lang), corpus
     * totals re-aggregated from the 10-ish source rows, broadcast back as
     * a 1-row crossJoin (the standing tiny-stats pattern). log2 noise
-    * across engines is ~1 ulp; round(4) absorbs it (haversine/q20
+    * across engines is ~1 ulp; Fx.fx(4) absorbs it (haversine/q20
     * precedent). */
   /** The pinned domain plus a catch-all `other` bucket (any lang
     * outside [[LangDomain]], or null). Without it a driver regeneration
@@ -528,8 +529,8 @@ object TextOps {
     }
     joined.select(
       col("source"), col("n"),
-      round(LangBuckets.map(entTerm).reduce(_ + _), 4).as("entropy_bits"),
-      round(LangBuckets.map(klTerm).reduce(_ + _), 4).as("kl_to_corpus"))
+      Fx.fx(LangBuckets.map(entTerm).reduce(_ + _), 4).as("entropy_bits"),
+      Fx.fx(LangBuckets.map(klTerm).reduce(_ + _), 4).as("kl_to_corpus"))
   }
 
   val q117Sql: String = {
@@ -551,8 +552,8 @@ object TextOps {
        |totals AS (
        |  SELECT sum(n) AS tot_n, $sums FROM per_source)
        |SELECT source, n,
-       |  round(${LangBuckets.map(ent).mkString(" + ")}, 4) AS entropy_bits,
-       |  round(${LangBuckets.map(kl).mkString(" + ")}, 4) AS kl_to_corpus
+       |  ${Fx.fxSql(LangBuckets.map(ent).mkString(" + "), 4)} AS entropy_bits,
+       |  ${Fx.fxSql(LangBuckets.map(kl).mkString(" + "), 4)} AS kl_to_corpus
        |FROM per_source, totals""".stripMargin
   }
 
@@ -667,7 +668,7 @@ object TextOps {
         sum(length(col("word"))).cast("long").as("n_chars"),
         sum(col("n_tokens")).cast("long").as("n_bpe_tokens"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+        Fx.fx(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
   }
 
   val q126Sql: String =
@@ -681,7 +682,7 @@ object TextOps {
          |SELECT source, count(*)::BIGINT AS n_words,
          |  sum(length(w))::BIGINT AS n_chars,
          |  sum(t)::BIGINT AS n_bpe_tokens,
-         |  round(sum(length(w))::DOUBLE / sum(t), 4) AS chars_per_token
+         |  ${Fx.fxSql("sum(length(w))::DOUBLE / sum(t)", 4)} AS chars_per_token
          |FROM occ JOIN enc USING (w)
          |GROUP BY source""".stripMargin
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Fx
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -50,7 +51,7 @@ object VectorOps {
        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
        |scored AS (
        |  SELECT query_id, corpus_id,
-       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |    ${Fx.fxSql(cosineSql("qvec", "cvec"), 4)} AS rcos
        |  FROM c CROSS JOIN q WHERE query_id <> corpus_id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -95,7 +96,7 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY qdot::DOUBLE / (sq * sc) DESC, corpus_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, corpus_id, qdot, round(adot_raw, 4) + 0.0 AS adot
+       |SELECT query_id, rank, corpus_id, qdot, ${Fx.fxSql("adot_raw", 4)} + 0.0 AS adot
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
   /** Plane count is corpus-adaptive (Similarity.planesFor — fixed
@@ -119,10 +120,10 @@ object VectorOps {
     s"""WITH sig_t AS (
        |  SELECT vec_id, embedding, $sigExpr AS bucket FROM embeddings)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-       |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS rcos
+       |  ${Fx.fxSql(cosineSql("a.embedding", "b.embedding"), 4)} AS rcos
        |FROM sig_t a JOIN sig_t b USING (bucket)
        |WHERE a.vec_id < b.vec_id
-       |  AND round(${cosineSql("a.embedding", "b.embedding")}, 4) >= $MinCos""".stripMargin
+       |  AND ${Fx.fxSql(cosineSql("a.embedding", "b.embedding"), 4)} >= $MinCos""".stripMargin
   }
 
   /** IVF ANN with FULL probe (nProbe = k): the inverted-list machinery
@@ -175,7 +176,7 @@ object VectorOps {
        |c AS (SELECT vec_id AS corpus_id, embedding AS cvec FROM embeddings),
        |scored AS (
        |  SELECT query_id, corpus_id,
-       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |    ${Fx.fxSql(cosineSql("qvec", "cvec"), 4)} AS rcos
        |  FROM c CROSS JOIN q WHERE query_id <> corpus_id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -195,7 +196,7 @@ object VectorOps {
       pmod(col("vec_id"), lit(10)), col("embedding"))
 
   val q55Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id % 10 AS g,
       |    unnest(list_transform(range(1, len(embedding) + 1),
       |      d -> {'dim': d - 1,
@@ -203,7 +204,7 @@ object VectorOps {
       |                             + 0.5::DOUBLE) AS BIGINT)})) AS u
       |  FROM embeddings)
       |SELECT g, u.dim AS dim,
-      |  round(CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0), 4)
+      |  ${Fx.fxSql("CAST(sum(u.fx) AS DOUBLE) / (count(*) * 1000000.0)", 4)}
       |    + 0.0::DOUBLE AS m
       |FROM e
       |WHERE u.fx IS NOT NULL
@@ -218,7 +219,7 @@ object VectorOps {
     Similarity.withL2Normalized(
         Tables.spread(s, Tables.embeddings(s, dir)), col("embedding"),
         "__n", "unit")
-      .select(col("vec_id"), round(col("__n"), 6).as("norm"),
+      .select(col("vec_id"), Fx.fx(col("__n"), 6).as("norm"),
         // posexplode_outer, not posexplode: `unit` is computed, and
         // InferFiltersFromGenerate would re-inline the whole transform
         // into an interpreted Filter (the q41 trap)
@@ -230,12 +231,11 @@ object VectorOps {
   val q56Sql: String = {
     val dotSelf = dotSql("embedding", "embedding")
     s"""WITH n AS (
-       |  SELECT vec_id, round(sqrt($dotSelf), 6) AS norm,
+       |  SELECT vec_id, ${Fx.fxSql(s"sqrt($dotSelf)", 6)} AS norm,
        |    unnest(list_transform(range(1, len(embedding) + 1),
        |      d -> {'dim': d - 1,
        |            'val': CASE WHEN sqrt($dotSelf) = 0 THEN 0.0::DOUBLE
-       |                   ELSE round(embedding[d]::DOUBLE
-       |                              / sqrt($dotSelf), 6) + 0.0::DOUBLE
+       |                   ELSE ${Fx.fxSql(s"embedding[d]::DOUBLE / sqrt($dotSelf)", 6)} + 0.0::DOUBLE
        |                   END})) AS u
        |  FROM embeddings)
        |SELECT vec_id, u.dim AS dim, u.val AS u, norm FROM n
@@ -320,13 +320,13 @@ object VectorOps {
        |    CASE WHEN sqrt($dotSelf) = 0
        |         THEN list_transform(embedding, x -> 0.0::DOUBLE)
        |         ELSE list_transform(embedding,
-       |                x -> round(x::DOUBLE / sqrt($dotSelf), 6) + 0.0::DOUBLE)
+       |                x -> ${Fx.fxSql(s"x::DOUBLE / sqrt($dotSelf)", 6)} + 0.0::DOUBLE)
        |    END AS uv
        |  FROM a JOIN embeddings e USING (vec_id)),
        |dr AS (
        |  SELECT DISTINCT y.vec_id
        |  FROM u x JOIN u y ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |  WHERE round(${dotSql("x.uv", "y.uv")}, 4) >= $SemT)
+       |  WHERE ${Fx.fxSql(dotSql("x.uv", "y.uv"), 4)} >= $SemT)
        |SELECT u.vec_id, u.cid, (dr.vec_id IS NULL) AS kept
        |FROM u LEFT JOIN dr ON u.vec_id = dr.vec_id""".stripMargin
   }
@@ -432,7 +432,7 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id") &&
         col("qlabel") =!= col("clabel"))
-      .withColumn("rcos", round(Similarity.cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("rcos", Fx.fx(Similarity.cosine(col("qvec"), col("cvec")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rcos").desc, col("corpus_id").asc)
@@ -450,7 +450,7 @@ object VectorOps {
        |      FROM embeddings),
        |scored AS (
        |  SELECT query_id, corpus_id, clabel,
-       |    round(${cosineSql("qvec", "cvec")}, 4) AS rcos
+       |    ${Fx.fxSql(cosineSql("qvec", "cvec"), 4)} AS rcos
        |  FROM c CROSS JOIN q
        |  WHERE query_id <> corpus_id AND qlabel <> clabel),
        |ranked AS (

@@ -351,7 +351,7 @@ object Ivf {
         col("cid")) ++ carry.map(col)): _*)
     val scored = probed.join(c, Seq("cid"))
       .filter(col("query_id") =!= col("corpus_id") && pairFilter)
-      .withColumn("rcos", round(Similarity.cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("rcos", graft.functions.Fx.fx(Similarity.cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rcos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

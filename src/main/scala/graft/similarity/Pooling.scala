@@ -40,7 +40,7 @@ object Pooling {
       // + 0.0 collapses IEEE negative zero (round(-4e-7, 4) is -0.0 in
       // DuckDB, +0.0 here — adding +0.0 yields +0.0 on both engines)
       .select(col("g"), col("dim"),
-        (round(col("s").cast("double") / (col("n") * lit(1e6)), 4) + lit(0.0)).as("m"))
+        graft.functions.Fx.fx(col("s").cast("double") / (col("n") * lit(1e6)), 4).as("m"))
   }
 
   /** (groupCol, centroid array<double> rounded to 4dp), dims averaged

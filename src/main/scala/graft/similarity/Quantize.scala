@@ -54,6 +54,6 @@ object Quantize {
         // + 0.0 normalizes −0.0 (IEEE: −0.0 + 0.0 = +0.0): a tiny
         // negative dot rounds to −0.0 in DuckDB but +0.0 via Spark's
         // BigDecimal round — the oracle applies the same normalization
-        col("corpus_id"), col("qdot"), (round(col("adot"), 4) + lit(0.0)).as("adot"))
+        col("corpus_id"), col("qdot"), graft.functions.Fx.fx(col("adot"), 4).as("adot"))
   }
 }

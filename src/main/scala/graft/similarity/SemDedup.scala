@@ -50,7 +50,7 @@ object SemDedup {
     val b = rows.toDF("__idb", "cid", "__uvb")
     val dropped = a.join(b, Seq("cid"))
       .filter(col("__ida") < col("__idb"))
-      .filter(round(Similarity.dot(col("__uva"), col("__uvb")), 4) >= threshold)
+      .filter(graft.functions.Fx.fx(Similarity.dot(col("__uva"), col("__uvb")), 4) >= threshold)
       .select(col("__idb").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     rows.join(dropped, Seq(idCol), "left")

@@ -49,7 +49,7 @@ object Similarity {
       .withColumn(vecOut,
         when(col(normOut) === 0.0, transform(vecCol, _ => lit(0.0)))
           .otherwise(transform(vecCol,
-            x => round(x.cast("double") / col(normOut), 6) + lit(0.0))))
+            x => graft.functions.Fx.fx(x.cast("double") / col(normOut), 6))))
 
   /** Cosine similarity; 0 for zero vectors (instead of null/NaN). */
   def cosine(a: Column, b: Column): Column = {
@@ -87,7 +87,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("rcos", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("rcos", graft.functions.Fx.fx(cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rcos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -131,7 +131,7 @@ object Similarity {
     val a = sig.toDF("id_a", "vec_a", "bucket")
     val b = sig.toDF("id_b", "vec_b", "bucket")
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("rcos", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("rcos", graft.functions.Fx.fx(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(col("rcos") >= minCos)
       .select(col("id_a"), col("id_b"), col("bucket"), col("rcos"))
   }

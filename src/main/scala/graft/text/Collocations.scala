@@ -49,6 +49,6 @@ object Collocations {
       .join(uni.select(col("tok").as("r_tok"), col("c_tok").as("c_r")), "r_tok")
       .crossJoin(broadcast(totals))
       .select(col("l_tok"), col("r_tok"), col("c_pair"), col("c_l"),
-        col("c_r"), round(log2(num / den), 4).as("pmi"))
+        col("c_r"), graft.functions.Fx.fx(log2(num / den), 4).as("pmi"))
   }
 }

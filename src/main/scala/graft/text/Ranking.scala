@@ -41,6 +41,6 @@ object Ranking {
     }.reduce(_ + _)
     scored
       .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-      .select(col("doc_id"), col("dl"), round(score, 4).as("bm25"))
+      .select(col("doc_id"), col("dl"), graft.functions.Fx.fx(score, 4).as("bm25"))
   }
 }
