@@ -57,8 +57,11 @@ object ScaleBench {
     // docs growth law: "neardup" (default — every base doc's k copies
     // pair up, ~k² candidate pairs, the adversarial stress shape) or
     // "distinct" (shard-salted tokens: constant duplication RATE, the
-    // realistic law — candidate pairs grow ~k). Publish both for the
-    // dedup-chain entries; mode is recorded in the output JSON.
+    // realistic law — candidate pairs grow ~k) or "distinctchars"
+    // (per-shard Caesar rotation: the realistic law for CHARACTER-level
+    // operators — token salting floods winnow grams and inflates text
+    // ~60%, see Sharding.documentsDistinctChars). Mode is recorded in
+    // the output JSON.
     val docsMode = sys.env.getOrElse("SPARK_GRAFT_DOCS_MODE", "neardup")
     // SPARK_GRAFT_SCALED_DIR names a PERSISTENT k× dir shared across
     // harness invocations (the synthesis is ~10 min at 100×): if it
@@ -72,8 +75,11 @@ object ScaleBench {
     def write(df: DataFrame, table: String): Unit =
       if (!reuse) df.write.mode("overwrite").parquet(s"$scaled/$table.parquet")
 
-    val shardDocs: (DataFrame, Int) => DataFrame =
-      if (docsMode == "distinct") Sharding.documentsDistinct else Sharding.documents
+    val shardDocs: (DataFrame, Int) => DataFrame = docsMode match {
+      case "distinct"      => Sharding.documentsDistinct
+      case "distinctchars" => Sharding.documentsDistinctChars
+      case _               => Sharding.documents
+    }
     write(shardDocs(
       spark.read.parquet(s"$sf/documents.parquet"), k), "documents")
     write(Sharding.lineitem(

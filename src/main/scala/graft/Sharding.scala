@@ -45,6 +45,54 @@ object Sharding {
         transform(split(col("text"), "\\s+"),
           w => concat(lit(s"s${s}_"), w)), " ")))
 
+  /** Documents, DISTINCT mode via per-shard CHARACTER rotation (shard s
+    * Caesar-rotates a–z, A–Z by s mod 26 and 0–9 by s mod 10; shard 0 is
+    * the identity). Injective on code points, so EVERY within-shard
+    * equality structure — character k-grams, tokens, shingles — is
+    * exactly the base corpus's, while cross-shard overlap collapses to
+    * coincidence level.
+    *
+    * Why this exists alongside [[documentsDistinct]]: token-salting
+    * (`s0_` prefixes) preserves token-level structure but DISTORTS
+    * character-level statistics — measured at 2× (GraphSpanProbe): the
+    * winnow 16-gram vocabulary collapses ×0.2 (salt floods the grams)
+    * and text length grows ~60% (3 salt chars per token), so span-dedup
+    * inputs grow super-linearly under that scaffold — an artifact, not
+    * an operator property. Character rotation preserves lengths and
+    * gram entropy, giving character-level operators (SpanDedup, q107/
+    * q121/q122) their honest constant-duplication-rate growth law.
+    * Token-level harness numbers published on `documentsDistinct`
+    * remain comparable across rounds; new character-level measurements
+    * should use this mode. */
+  def documentsDistinctChars(docs: DataFrame, k: Int): DataFrame = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    // per-shard seeded Fisher-Yates permutation of each character
+    // class, not a rotation: a Caesar shift has only 26 distinct
+    // members, so shards s and s+26 would be letter-identical -
+    // measured at 100x as hash_voc x26 with x79 cross-shard span
+    // sharing (partial neardup leakage). java.util.Random's LCG is
+    // spec-pinned, so the permutation is stable across runs and JVMs.
+    // Shard 0 stays the identity (the base corpus).
+    def perm(a: String, s: Int): String =
+      if (s == 0) a
+      else {
+        val arr = a.toCharArray
+        val rnd = new java.util.Random(s.toLong * 0x9E3779B9L + a.length)
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
+    sharded(docs, "doc_id", k, docs.count())(s => Seq(
+      "text" -> translate(col("text"), lower + upper + digits,
+        perm(lower, s) + perm(upper, s) + perm(digits, s))))
+  }
+
   /** Embeddings: vec_id offset by corpus size, +s·1e-4 coordinate
     * perturbation (cosine ≈ 1 across shards — semantic-dedup stress). */
   def embeddings(emb: DataFrame, k: Int): DataFrame =

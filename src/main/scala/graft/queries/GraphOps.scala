@@ -39,7 +39,7 @@ object GraphOps {
     * [[MaxItemsPerOrder]] by lowest part key. The row_number runs on the
     * same `k` hash partitioning the self-join needs — no extra
     * exchange, one sort. */
-  private[queries] def cappedItems(li: DataFrame): DataFrame = {
+  private[graft] def cappedItems(li: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("l_partkey"))
     li.withColumn("__rn", row_number().over(w))
@@ -49,7 +49,7 @@ object GraphOps {
 
   /** Distinct part→part co-occurrence edges (symmetric by
     * construction: both directions appear), hub-capped per order. */
-  private[queries] def coEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coEdges(s: SparkSession, dir: String): DataFrame = {
     val li = cappedItems(Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("k"), col("l_partkey")).distinct())
     li.select(col("k"), col("l_partkey").as("src"))

@@ -247,17 +247,22 @@ object StreamingOps {
     * gap ≥ 1800 s starts a new island — the session_window semantics). */
   val q89Sql: String =
     s"""WITH e AS (
-      |  SELECT user_id,
+      |  SELECT user_id, event_id,
       |    1700000000 + (event_id % 5) * 400 + ((event_id // 5) % 4) * 4000 AS ets,
       |    ${Fx.fxSql("value", 2)} AS value
       |  FROM events),
       |f AS (
+      |  -- event_id tiebreak in BOTH windows: the synthesized grid packs
+      |  -- many events onto each ets slot, and two windows that each sort
+      |  -- by the tied key alone may order the ties DIFFERENTLY - the
+      |  -- flag=1 row can then land mid-tie in the running sum's order,
+      |  -- splitting a phantom island (observed flaky at sf0.1, ~1 in 3)
       |  SELECT *, CASE WHEN lag(ets) OVER w IS NULL
       |                   OR ets - lag(ets) OVER w >= 1800
       |                 THEN 1 ELSE 0 END AS flag
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ets, event_id)),
       |sess AS (
-      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ets
+      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ets, event_id
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM f)
       |SELECT user_id, min(ets) AS start_sec, count(*) AS n_events,

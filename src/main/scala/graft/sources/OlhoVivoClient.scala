@@ -84,14 +84,30 @@ class OlhoVivoClient(
     * each landed snapshot is discovered incrementally by
     * StreamingSpeeds.positionsFromRawZone over the same zone). `clock`
     * and `sleep` are injectable so tests drive a fake timeline with
-    * zero wall-clock wait. Returns the landed paths in poll order. */
+    * zero wall-clock wait. Returns the landed paths in poll order.
+    *
+    * Fault isolation mirrors the reference's OPERATIONAL behavior, not
+    * its code: EventBridge reschedules get-bus-data.py every minute
+    * regardless of the previous invocation's outcome, so one failed
+    * poll loses one snapshot, never the cadence. A failed iteration
+    * here is logged via `onError` and skipped (no landed path); the
+    * loop keeps its schedule, and the next iteration re-authenticates
+    * as every poll does — a mid-loop session expiry heals itself
+    * (F2's per-file error-isolation posture, applied at the source). */
   def pollLoop(zoneRoot: String, polls: Int, intervalMillis: Long,
                clock: () => Instant = () => Instant.now(),
                sleep: Long => Unit = Thread.sleep,
                hadoopConf: org.apache.hadoop.conf.Configuration =
-                 new org.apache.hadoop.conf.Configuration()): Seq[String] =
-    (1 to polls).map { i =>
-      val landed = pollOnce(zoneRoot, clock(), hadoopConf)
+                 new org.apache.hadoop.conf.Configuration(),
+               onError: (Int, Throwable) => Unit = (i, e) =>
+                 System.err.println(s"[olhovivo] poll $i failed, skipping: ${e.getMessage}")): Seq[String] =
+    (1 to polls).flatMap { i =>
+      val landed =
+        try Some(pollOnce(zoneRoot, clock(), hadoopConf))
+        catch { case scala.util.control.NonFatal(e) =>
+          onError(i, e)
+          None
+        }
       if (i < polls) sleep(intervalMillis)
       landed
     }

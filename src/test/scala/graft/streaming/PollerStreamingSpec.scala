@@ -67,6 +67,53 @@ class PollerStreamingSpec extends SparkTestBase {
     finally server.stop(0)
   }
 
+  test("pollLoop isolates a failed poll: skip, keep cadence, land the rest") {
+    // stub whose Posicao FAILS on exactly the 2nd authenticated hit —
+    // the EventBridge operational contract: one lost snapshot, never a
+    // lost cadence
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    var hits = 0
+    def respond(ex: HttpExchange, code: Int, text: String): Unit = {
+      val bytes = text.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+    server.createContext("/v2.1/Login/Autenticar", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Set-Cookie", "apiCredentials=sess-xyz; Path=/")
+        respond(ex, 200, "true")
+      }
+    })
+    server.createContext("/v2.1/Posicao", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits += 1
+        if (hits == 2) respond(ex, 500, "transient upstream error")
+        else respond(ex, 200, """{"hr": "x", "l": []}""")
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v2.1"
+      val zone = scratchDir("poller-fault-zone").toString
+      val client = new OlhoVivoClient(base, Token)
+      var tick = 0
+      def fakeClock(): Instant = { val t = T0.plusSeconds(60L * tick); tick += 1; t }
+      var slept = 0
+      val errors = Seq.newBuilder[(Int, String)]
+      val landed = client.pollLoop(zone, polls = 3, intervalMillis = 60000,
+        clock = fakeClock _, sleep = _ => slept += 1,
+        onError = (i, e) => errors += ((i, e.getMessage)))
+      // polls 1 and 3 landed; poll 2 skipped, reported, cadence kept
+      assert(landed.length == 2, s"expected 2 landed files, got $landed")
+      assert(landed.toSet.size == 2)
+      val reported = errors.result()
+      assert(reported.map(_._1) == Seq(2), s"poll 2 must be the failure: $reported")
+      assert(reported.head._2.contains("500"))
+      assert(slept == 2, "the schedule must tick between every poll, failed or not")
+      assert(tick == 3, "every poll consumes its clock tick")
+    } finally server.stop(0)
+  }
+
   test("pollLoop on an interval drives landing zone → watermarked speeds live") {
     withStub { base =>
       val zone = scratchDir("poller-zone").toString
