@@ -235,8 +235,8 @@ object DedupOps {
     Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
       .select(col("doc_id"), col("simhash"))
 
-  private def simhashSql(col: String = "toks"): String =
-    (0 until SimBits).map { b =>
+  private def simhashSql(bits: Int = SimBits, col: String = "toks"): String =
+    (0 until bits).map { b =>
       val pow = 1L << b
       s"""CASE WHEN coalesce(list_sum(list_transform(th,
          |    h -> ((h // ${pow}) % 2) * 2 - 1)), 0) > 0
@@ -282,7 +282,18 @@ object DedupOps {
         bands = 3, maxHamming = 2, scope = scope))
   }
 
-  private val q45Cte: String =
+  /** q45's CTE chain for an arbitrary signature width (3 bands of
+    * bits/3): the adaptive-width twin of the static gate oracle, used
+    * by the above-floor hash gate (graft.AdaptiveGate). At bits=24 the
+    * generated band arithmetic is exactly the legacy 256-bucket layout. */
+  private def q45CteFor(bits: Int): String = {
+    require(bits % 3 == 0, s"bits=$bits not divisible by 3 bands")
+    val width = bits / 3
+    val w = 1L << width
+    val bandRows = (0 until 3).map { j =>
+      val shift = 1L << (j * width)
+      s"SELECT doc_id, simhash, $j AS band, (simhash // $shift) % $w AS bv FROM sig_t"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks_t AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
@@ -290,13 +301,12 @@ object DedupOps {
        |th_t AS (
        |  SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS th
        |  FROM toks_t),
-       |sig_t AS (SELECT doc_id, ${simhashSql()} AS simhash FROM th_t),
+       |sig_t AS (SELECT doc_id, ${simhashSql(bits)} AS simhash FROM th_t),
        |bands_t AS (
-       |  SELECT doc_id, simhash, 0 AS band, simhash % 256 AS bv FROM sig_t
-       |  UNION ALL
-       |  SELECT doc_id, simhash, 1, (simhash // 256) % 256 FROM sig_t
-       |  UNION ALL
-       |  SELECT doc_id, simhash, 2, (simhash // 65536) % 256 FROM sig_t)""".stripMargin
+       |  $bandRows)""".stripMargin
+  }
+
+  private val q45Cte: String = q45CteFor(SimBits)
 
   private val q45Body: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -306,6 +316,9 @@ object DedupOps {
       |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
 
   val q45Sql: String = q45Cte + "\n" + q45Body
+
+  /** Adaptive-width q45 oracle (AdaptiveGate). */
+  def q45SqlFor(bits: Int): String = q45CteFor(bits) + "\n" + q45Body
 
   // ------------------------------------------ q47 near-dup clustering
 
@@ -329,8 +342,8 @@ object DedupOps {
   /** Transitive closure by recursive reachability walk over the
     * symmetric q45 pair graph; `clus` = (doc_id, min reachable doc_id).
     * Shared by the q47 and q59 oracles. */
-  private val q47WalkCtes: String =
-    q45Cte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+  private def q47WalkCtesFor(bits: Int): String =
+    q45CteFor(bits).replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
       s"""pairs AS (
          |$q45Body),
          |edges AS (
@@ -344,8 +357,14 @@ object DedupOps {
          |clus AS (
          |  SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
+  private val q47WalkCtes: String = q47WalkCtesFor(SimBits)
+
   val q47Sql: String =
     q47WalkCtes + "\nSELECT doc_id, cluster_id FROM clus"
+
+  /** Adaptive-width q47 oracle (AdaptiveGate). */
+  def q47SqlFor(bits: Int): String =
+    q47WalkCtesFor(bits) + "\nSELECT doc_id, cluster_id FROM clus"
 
   // ------------------------------- q59 end-to-end dedup (survivor pick)
 
@@ -377,8 +396,11 @@ object DedupOps {
 
   /** Oracle: the q47 walk plus a windowed arg-max (priority DESC,
     * doc_id ASC) per cluster. */
-  val q59Sql: String =
-    q47WalkCtes + ",\n" +
+  val q59Sql: String = q59SqlFor(SimBits)
+
+  /** Adaptive-width q59 oracle (AdaptiveGate). */
+  def q59SqlFor(bits: Int): String =
+    q47WalkCtesFor(bits) + ",\n" +
       """prio AS (
         |  SELECT c.doc_id, c.cluster_id, length(d.text) AS p
         |  FROM clus c JOIN documents d USING (doc_id)),

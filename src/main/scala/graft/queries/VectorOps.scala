@@ -111,8 +111,12 @@ object VectorOps {
         Similarity.planesFor(nEmb(s, dir)), Dim, MinCos, scope = scope))
   }
 
-  val q51Sql: String = {
-    val planes = Similarity.hyperplanes(Planes, Dim)
+  val q51Sql: String = q51SqlFor(Planes)
+
+  /** q51's oracle for an arbitrary plane count — the adaptive-width
+    * twin used by the above-floor hash gate (graft.AdaptiveGate). */
+  def q51SqlFor(nPlanes: Int): String = {
+    val planes = Similarity.hyperplanes(nPlanes, Dim)
     val sigExpr = planes.zipWithIndex.map { case (plane, j) =>
       val lit = plane.mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql("embedding", s"($lit)")} > 0.0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
@@ -300,13 +304,17 @@ object VectorOps {
         Tables.spread(s, emb), "vec_id", "embedding", cents, SemT, scope = scope))
   }
 
-  val q106Sql: String = {
+  val q106Sql: String = q106SqlFor(SemK)
+
+  /** q106's oracle for an arbitrary cluster count (Clustering.adaptiveK
+    * above the floor) — used by graft.AdaptiveGate. */
+  def q106SqlFor(semK: Int): String = {
     val dotSelf = dotSql("embedding", "embedding")
     s"""WITH f AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fx
        |  FROM embeddings),
-       |c AS (SELECT vec_id, fx AS cfx FROM f ORDER BY vec_id LIMIT $SemK),
+       |c AS (SELECT vec_id, fx AS cfx FROM f ORDER BY vec_id LIMIT $semK),
        |cc AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cfx FROM c),
        |d AS (
        |  SELECT f.vec_id, cc.cid,
