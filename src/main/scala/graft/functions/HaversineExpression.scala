@@ -190,6 +190,15 @@ object GraftExtensions {
       NearestCentroids(exprs(0), exprs(1), litInt(exprs(2), "n"))
     })
 
+  private[functions] val fxRoundDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fx_round"),
+    new ExpressionInfo(classOf[FxRound].getName, "fx_round"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "fx_round(x, digits)")
+      FxRound(exprs(0), litInt(exprs(1), "digits"))
+    })
+
   /** Every extension function — ONE list consumed by BOTH install
     * paths (`.withExtensions` injection and live-session register()),
     * so a new descriptor can't be present on one and missing on the
@@ -199,7 +208,7 @@ object GraftExtensions {
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
     quantileRankDescriptor, winnowDescriptor, nearestCidDescriptor,
-    nearestCidsDescriptor)
+    nearestCidsDescriptor, fxRoundDescriptor)
   private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):
