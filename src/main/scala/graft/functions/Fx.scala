@@ -34,7 +34,14 @@ import org.apache.spark.sql.functions._
   * float sum straddling a boundary), no presentation function can agree.
   * Closing that class requires quantizing before aggregation (integer
   * cents — the full q97 posture), applied where the data's decimal width
-  * makes it exact.
+  * makes it exact. Round 10 applied exactly that to every LARGE-n money
+  * sum (q01/q03/q09/q10/q16/q17/q29 and the sum_price entries: all 2-dec
+  * columns, summed as exact cent longs, means as sum/count — never
+  * avg(), whose Spark implementation accumulates doubles). What remains
+  * on float sums is small-n only (per-session/per-window value sums,
+  * tens of addends, ~1e-13 accumulated error) plus the nonlinear
+  * co-moment aggregates (corr/covar/stddev), whose merge order cannot
+  * be integerized.
   *
   * NaN/±Inf pass through unchanged ([[fx]] guards; DuckDB would error on
   * CAST(NaN AS BIGINT), so [[fxSql]] mirrors the guard) — the strict

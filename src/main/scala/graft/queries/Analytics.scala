@@ -183,7 +183,8 @@ object Analytics {
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       // grouping_id() is only resolvable INSIDE the cube's agg list
       .agg(grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"), Fx.fx(sum(col("o_totalprice")), 2).as("sum_price"))
+        count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -193,7 +194,7 @@ object Analytics {
     s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
       |  coalesce(o_orderstatus, 'ALL') AS status,
       |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
-      |  count(*) AS n, ${Fx.fxSql("sum(o_totalprice)", 2)} AS sum_price
+      |  count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
 

@@ -214,7 +214,8 @@ object Extras {
 
   val q16Sql: String =
     s"""SELECT l_orderkey,
-      |  ${Fx.fxSqlPortable("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -237,7 +238,8 @@ object Extras {
     s"""SELECT c_custkey, c_mktsegment, c_acctbal, ${Fx.fxSqlPortable("seg_avg", 2)} AS seg_avg
       |FROM (
       |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
-      |    (SELECT avg(c2.c_acctbal) FROM customer c2
+      |    (SELECT sum(CAST(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+      |      / (count(*) * CAST(100 AS DOUBLE)) FROM customer c2
       |     WHERE c2.c_mktsegment = c.c_mktsegment) AS seg_avg
       |  FROM customer c) t
       |WHERE c_acctbal > seg_avg""".stripMargin

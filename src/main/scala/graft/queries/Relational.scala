@@ -35,20 +35,29 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Fx.fx(sum(col("l_quantity")), 2).as("sum_qty"),
-        Fx.fx(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Fx.fx(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        // money sums in EXACT integer cents (the q97 posture): every
+        // money column is 2-decimal, so floor(x*100+.5) is the exact
+        // cent value and the long sum is order-independent - this
+        // closes the one hazard fx cannot (different float-sum results
+        // across engines straddling a boundary). Means over exact sums
+        // are identical-input, so fx fully determinizes them.
+        Fx.fx(sum(col("l_quantity")), 2).as("sum_qty"), // integer-valued: already exact
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_base_price"),
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5)) *
+          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)))) / lit(10000.0)).as("sum_disc_price"),
         Fx.fx(avg(col("l_quantity")), 3).as("avg_qty"),
-        Fx.fx(avg(col("l_discount")), 4).as("avg_disc"),
+        Fx.fx((sum(floor(col("l_discount") * 100 + lit(0.5))).cast("double") /
+          count(lit(1))) / lit(100.0), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
       |  ${Fx.fxSql("sum(l_quantity)", 2)} AS sum_qty,
-      |  ${Fx.fxSql("sum(l_extendedprice)", 2)} AS sum_base_price,
-      |  ${Fx.fxSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_base_price,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / CAST(10000 AS DOUBLE) AS sum_disc_price,
       |  ${Fx.fxSql("avg(l_quantity)", 3)} AS avg_qty,
-      |  ${Fx.fxSql("avg(l_discount)", 4)} AS avg_disc,
+      |  ${Fx.fxSql("(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::DOUBLE / count(*)) / CAST(100 AS DOUBLE)", 4)} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -81,13 +90,17 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        Fx.fx(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        // exact 10^-4-unit revenue (cents x discount-complement pct) -
+        // order-independent long sum, the q01/q115 posture
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5)) *
+          (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)))) / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   val q03Sql: String =
     s"""SELECT n_name,
-      |  ${Fx.fxSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -200,11 +213,13 @@ object Relational {
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
-      .agg(count(lit(1)).as("n"), Fx.fx(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("sum_value"))
 
   val q09Sql: String =
     s"""SELECT event_type, CAST(props->>'k' AS INTEGER) % 10 AS k_mod,
-      |  count(*) AS n, ${Fx.fxSql("sum(value)", 2)} AS sum_value
+      |  count(*) AS n,
+      |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY event_type, CAST(props->>'k' AS INTEGER) % 10""".stripMargin
 
@@ -216,7 +231,8 @@ object Relational {
     val ev = Tables.events(s, dir)
       .withColumn("bucket_start", bucket30mStart(col("ts_sec")))
     ev.groupBy(col("bucket_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Fx.fx(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("sum_value"))
       .withColumn("intervalo", interval30Label(col("bucket_start")))
       .select(col("bucket_start"), col("intervalo"), col("event_type"), col("n"), col("sum_value"))
   }
@@ -225,7 +241,8 @@ object Relational {
     s"""SELECT bucket_start,
       |  strftime(make_timestamp(bucket_start * 1000000), '%H:%M') || '-' ||
       |    strftime(make_timestamp((bucket_start + 1800) * 1000000), '%H:%M') AS intervalo,
-      |  event_type, count(*) AS n, ${Fx.fxSql("sum(value)", 2)} AS sum_value
+      |  event_type, count(*) AS n,
+      |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_value
       |FROM (SELECT (epoch_ns(ts) // 1000000000 // 1800) * 1800 AS bucket_start, event_type, value
       |      FROM events) t
       |GROUP BY bucket_start, event_type""".stripMargin
@@ -343,7 +360,7 @@ object Relational {
       .filter(col("o_custkey") % 5 === 0)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        Fx.fx(sum(col("o_totalprice")), 2).as("sum_price"))
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_price"))
     cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -355,7 +372,7 @@ object Relational {
       |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
       |o AS (
       |  SELECT o_custkey, count(*) AS n_orders,
-      |    ${Fx.fxSql("sum(o_totalprice)", 2)} AS sum_price
+      |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_price
       |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
       |SELECT coalesce(c_custkey, o_custkey) AS custkey,
       |  c_mktsegment, n_orders, sum_price
