@@ -87,6 +87,33 @@ object GraftSession {
     parts
   }
 
+  /** Multi-JVM wiring for a `local-cluster[n,c,mem]` master (the proof
+    * mode behind MULTIJVM_r10.json): executor JVMs are spawned from
+    * SPARK_HOME and know nothing of sbt's classpath, so ship the graft
+    * classes and the JDK17 module opens. No-op for local[n] masters.
+    * The caller must also export SPARK_SCALA_VERSION=2.13 (the
+    * in-process executor launcher cannot infer it outside the shell
+    * scripts). */
+  def wireLocalCluster(builder: SparkSession.Builder, master: String): SparkSession.Builder =
+    if (!master.startsWith("local-cluster")) builder
+    else {
+      val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath", classDir)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+    }
+
   /** Apply the must-have configs to an externally built session (e.g. the
     * driver's own). Runtime-settable confs + function registration only. */
   def tune(spark: SparkSession): SparkSession = {

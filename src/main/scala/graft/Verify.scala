@@ -26,26 +26,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) {
-      // Executor JVMs are spawned from SPARK_HOME and know nothing of
-      // sbt's classpath: ship the graft classes + JDK17 module opens.
-      val classDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar",
-      ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-      builder
-        .config("spark.executor.extraClassPath", classDir)
-        .config("spark.executor.extraJavaOptions", addOpens)
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
-    }
-    val spark = builder.getOrCreate()
+    val spark = GraftSession.wireLocalCluster(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()

@@ -141,14 +141,19 @@ object Temporal {
     * strict gap ≥ 1800s in MICROseconds. */
   val q73Sql: String =
     s"""WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
       |f AS (
+      |  -- event_id tiebreak in BOTH windows, the q89 lesson: ts_us is
+      |  -- unique per user in the current testdata, but two windows that
+      |  -- each sort a tied key alone may order ties differently and
+      |  -- split a phantom island - cheap insurance against a future
+      |  -- testdata build colliding
       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
       |                   OR ts_us - lag(ts_us) OVER w >= 1800000000
       |                 THEN 1 ELSE 0 END AS flag
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sess AS (
-      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts_us
+      |  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                            ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM f)
       |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
