@@ -136,14 +136,19 @@ object Analytics {
         Fx.fx(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
         Fx.fx(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covar_qty_price"),
         Fx.fx(stddev_samp(col("l_extendedprice")), 3).as("stddev_price"),
-        Fx.fx(avg(col("l_extendedprice")), 4).as("avg_price"))
+        // exact cents sum / count, not avg(): the 600k-addend float sum
+        // inside avg() is order-dependent across engines (q01 posture);
+        // the co-moment aggregates above stay fx-presented - their
+        // nonlinear merges cannot be integerized (documented in Fx)
+        Fx.fx(sum(floor(col("l_extendedprice") * 100 + lit(0.5))).cast("double")
+          / (count(lit(1)) * lit(100.0)), 4).as("avg_price"))
 
   val q27Sql: String =
     s"""SELECT l_linestatus,
       |  ${Fx.fxSql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
       |  ${Fx.fxSql("covar_samp(l_quantity, l_extendedprice)", 3)} AS covar_qty_price,
       |  ${Fx.fxSql("stddev_samp(l_extendedprice)", 3)} AS stddev_price,
-      |  ${Fx.fxSql("avg(l_extendedprice)", 4)} AS avg_price
+      |  ${Fx.fxSql("sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::DOUBLE / (count(*) * CAST(100 AS DOUBLE))", 4)} AS avg_price
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
   // ------------------------------------------------- q28 argmin/argmax
