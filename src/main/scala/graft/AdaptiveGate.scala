@@ -30,7 +30,11 @@ object AdaptiveGate {
     val spark = GraftSession.local()
     val dir = s"$out-data" // sibling, NOT inside out: selfcheck treats every out subdir as a query dump
 
-    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+    // Resume-check BOTH outputs: a prior run that died between the two
+    // writes would otherwise skip synthesis and leave a missing/stale
+    // embeddings table behind a confusing require() failure.
+    if (!new java.io.File(s"$dir/documents.parquet").exists() ||
+        !new java.io.File(s"$dir/embeddings.parquet").exists()) {
       Sharding.documentsDistinctChars(
           spark.read.parquet(s"$sf/documents.parquet"), 4)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -162,9 +162,13 @@ object ScaleBench {
     val results = names.map { name =>
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val t1 = best(name, sf)
+      // A failed k×-dir artifact build poisons the timed pass too: the
+      // first attempt would silently pay the rebuild and the "clean"
+      // timing would include it. Skip timing and mark the entry invalid.
+      val warmFailed = buildTimes.get(name).exists(_ < 0)
       // the envelope rule, applied for the k× pass
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      val tk = best(name, scaled, kxAttempts)
+      val tk = if (warmFailed) -1.0 else best(name, scaled, kxAttempts)
       val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
       println(f"SCALEBENCH $name%-24s 1x $t1%7.2fs  ${k}x $tk%7.2fs  ratio ${ratio}%6.2f")
       (name, t1, tk, ratio)

@@ -45,9 +45,11 @@ object Sharding {
         transform(split(col("text"), "\\s+"),
           w => concat(lit(s"s${s}_"), w)), " ")))
 
-  /** Documents, DISTINCT mode via per-shard CHARACTER rotation (shard s
-    * Caesar-rotates a–z, A–Z by s mod 26 and 0–9 by s mod 10; shard 0 is
-    * the identity). Injective on code points, so EVERY within-shard
+  /** Documents, DISTINCT mode via a per-shard CHARACTER permutation
+    * (shard s applies a seeded Fisher–Yates permutation of each class
+    * a–z, A–Z, 0–9 — NOT a Caesar rotation, which has only 26 members
+    * and leaks letter-identical shards at s and s+26; shard 0 is the
+    * identity). Injective on code points, so EVERY within-shard
     * equality structure — character k-grams, tokens, shingles — is
     * exactly the base corpus's, while cross-shard overlap collapses to
     * coincidence level.

@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * child is evaluated exactly once in both the interpreted and the
   * generated path.
   *
+  * Magnitude bound: for |x|·10^d ≥ 2^63 the `(long)` cast saturates at
+  * Long.MaxValue while DuckDB's `CAST(... AS BIGINT)` in `fxSql` raises
+  * an out-of-range error — the two fx spellings diverge (silent clamp
+  * here vs oracle crash there); and past 2^53 the double mantissa can
+  * no longer represent every integer, so the +0.5/floor step loses
+  * exactness in BOTH engines. fx is a PRESENTATION round for values in
+  * human ranges (money, distances, scores scaled by ≤10^9); columns
+  * that can exceed ~9.2·10^(18−d) must be pre-quantized (integer cents
+  * pattern, Relational.scala) instead of fx-rounded.
+  *
   * Arithmetic is IEEE-step-for-step identical to the Column form (abs,
   * ·p, +0.5, floor→long, sign flip in long, long/double divide), so
   * swapping the implementations changes no result bit. Null in → null

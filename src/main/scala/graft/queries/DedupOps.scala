@@ -235,7 +235,7 @@ object DedupOps {
     Dedup.withSimhash(spread(s, Tables.documents(s, dir)), col("text"), SimBits, "simhash")
       .select(col("doc_id"), col("simhash"))
 
-  private def simhashSql(bits: Int = SimBits, col: String = "toks"): String =
+  private def simhashSql(bits: Int = SimBits): String =
     (0 until bits).map { b =>
       val pow = 1L << b
       s"""CASE WHEN coalesce(list_sum(list_transform(th,
