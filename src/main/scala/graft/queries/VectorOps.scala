@@ -272,6 +272,78 @@ object VectorOps {
       |SELECT vec_id, cid, dist FROM d
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
 
+  // ---------------------------------------- q129 distributed Lloyd fit
+
+  private val FitK = 8
+  private val FitSweeps = 3
+
+  /** q129: the FULL distributed Lloyd k-means fit
+    * ([[graft.similarity.Clustering.fitLloyd]]) as an oracle-gated
+    * fact: k = 8 seeds (lowest vec_ids), 3 sweeps of native-codegen
+    * E-step + grouped-aggregation M-step, integer-exact throughout —
+    * the fitted model (cid, dim, centroid component, final cluster
+    * size) hash-matches a DuckDB oracle replaying the identical
+    * initialization and sweep count CTE-by-CTE. This closes the
+    * sampled-fit gap: at 100 TB the driver can't hold the data the fit
+    * sees, so the fit itself must be a distributed aggregation — and
+    * here it is, with the model (k·dim rows) the only thing collected. */
+  def q129KmeansFit(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.similarity.Clustering.fitLloyd(
+      Tables.embeddings(s, dir), "vec_id", "embedding", FitK, FitSweeps)
+    import s.implicits._
+    m.centroids.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, dim) =>
+        (cid.toLong, dim.toLong, v, m.sizes(cid)) }
+    }.toSeq.toDF("cid", "dim", "c", "n_members")
+  }
+
+  val q129Sql: String = q129SqlFor(FitK, FitSweeps)
+
+  /** q129's oracle for arbitrary (k, sweeps): the Lloyd loop unrolled
+    * as one CTE chain per sweep — assignment d/a (q86's exact-distance
+    * pattern), per-(cid, dim) integer sums m, round-half-away integer
+    * mean g (`sign(s)·((|s|·2+n) // (2n))` — positive operands, so
+    * DuckDB's flooring `//` equals Scala's truncating `/`), and model
+    * update c (empty clusters keep the previous centroid via LEFT
+    * JOIN + coalesce, size 0). */
+  def q129SqlFor(k: Int, sweeps: Int): String = {
+    val dims = s"(SELECT unnest(range(1, ${Dim + 1})) AS j)"
+    val sweepCtes = (1 to sweeps).map { i =>
+      s"""d$i AS (
+         |  SELECT f.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, len(f.fx) + 1),
+         |      j -> (f.fx[j] - c.cfx[j]) * (f.fx[j] - c.cfx[j]))) AS BIGINT) AS dist
+         |  FROM f CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, cid FROM d$i
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+         |m$i AS (
+         |  SELECT a.cid, j.j AS dim, CAST(sum(f.fx[j.j]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$i a JOIN f USING (vec_id) CROSS JOIN $dims j
+         |  GROUP BY a.cid, j.j),
+         |g$i AS (
+         |  SELECT cid,
+         |    list(CASE WHEN s < 0 THEN -(((-s) * 2 + n) // (2 * n))
+         |              ELSE (s * 2 + n) // (2 * n) END ORDER BY dim) AS cfx,
+         |    max(n) AS n
+         |  FROM m$i GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, coalesce(g.cfx, p.cfx) AS cfx,
+         |    CAST(coalesce(g.n, 0) AS BIGINT) AS n
+         |  FROM c${i - 1} p LEFT JOIN g$i g USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fx
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |seed AS (SELECT vec_id, fx FROM f ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, fx AS cfx,
+       |              0::BIGINT AS n
+       |       FROM seed),
+       |$sweepCtes
+       |SELECT cid, j.j - 1 AS dim, cfx[j.j] AS c, n AS n_members
+       |FROM c$sweeps CROSS JOIN $dims j""".stripMargin
+  }
+
   /** SemDeDup (similarity.SemDedup): within-cluster cosine near-dup
     * drop, greedy keep-lowest-id. The cluster count is corpus-adaptive
     * (Clustering.adaptiveK — the 100× scale run measured the fixed-k
@@ -516,6 +588,7 @@ object VectorOps {
     "q53_quantized_topk" -> q53QuantizedTopK,
     "q86_kmeans_assign" -> q86KmeansAssign,
     "q106_semantic_dedup" -> q106SemanticDedup,
+    "q129_kmeans_fit" -> q129KmeansFit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,5 +606,6 @@ object VectorOps {
     "q53_quantized_topk" -> q53Sql,
     "q86_kmeans_assign" -> q86Sql,
     "q106_semantic_dedup" -> q106Sql,
+    "q129_kmeans_fit" -> q129Sql,
   )
 }

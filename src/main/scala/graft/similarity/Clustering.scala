@@ -88,6 +88,91 @@ object Clustering {
       typedlit(centroids.map(_.toSeq).toSeq), lit(n))
   }
 
+  /** A fitted integer-exact Lloyd model: centroids in the 1e-6
+    * fixed-point convention plus the cluster sizes of the final sweep's
+    * assignment (0 for a cluster that emptied and kept its previous
+    * centroid). */
+  case class LloydModel(centroids: Array[Array[Long]], sizes: Array[Long]) {
+    def k: Int = centroids.length
+  }
+
+  /** Round-half-away-from-zero integer division — the M-step mean in
+    * pure long arithmetic, so a fitted centroid is an exact integer
+    * fact, not a summation-order-dependent double. Engine-portable
+    * spelling (positive operands only, so truncating `/` here and
+    * flooring `//` in DuckDB agree):
+    * `sign(s) * ((|s|*2 + n) / (2*n))`. Overflow bound: |s| ≤ 2^21 ·
+    * cluster size, so the ×2 stays inside a long for clusters up to
+    * ~2^41 rows. */
+  private[similarity] def roundDiv(s: Long, n: Long): Long = {
+    val q = (math.abs(s) * 2 + n) / (2 * n)
+    if (s < 0) -q else q
+  }
+
+  /** DISTRIBUTED Lloyd k-means fit — the full iterative loop as Spark
+    * aggregations, integer-exact end-to-end so the fitted model itself
+    * is oracle-checkable (gate entry q129):
+    *
+    *   - init: the k lowest-id vectors, quantized ([[seedCentroids]] —
+    *     deterministic, replayable in SQL);
+    *   - E-step: the native `nearest_cid` codegen pass (exact integer
+    *     fixed-point distances, ties → lowest cid) — map-only, model as
+    *     one flattened long[] reference object;
+    *   - M-step: per-(cid, dim) `sum(long)`/`count` GROUPED AGGREGATION
+    *     over the posexploded quantized vectors — partial aggregation
+    *     makes the shuffle k·dim rows per map partition regardless of
+    *     corpus size, and the driver collects only the k·dim model rows
+    *     (never data). New centroid component = [[roundDiv]](sum, n) —
+    *     order-independent exact integers, so every sweep's model is
+    *     bit-identical on any partitioning and any engine. A cluster
+    *     with no members keeps its previous centroid (size 0).
+    *
+    * This is the fit the driver CANNOT hold at 100 TB done right: each
+    * sweep is one corpus pass (the projected corpus is persisted for
+    * the fit — consumed `sweeps`+1 times); cost is sweeps × (one
+    * codegen'd k·dim integer loop per row + one combine-heavy shuffle).
+    * The result feeds [[assign]]/SemDedup directly (same
+    * `Array[Array[Long]]` convention) and Ivf via `Ivf.modelFromFx`
+    * (exact round-trip — see its scaladoc). Null vectors are excluded
+    * from the fit (a null has no location; mirrored in the oracle's
+    * `WHERE embedding IS NOT NULL`). */
+  def fitLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, sweeps: Int): LloydModel = {
+    require(k >= 1, s"fitLloyd needs k >= 1, got $k")
+    require(sweeps >= 1, s"fitLloyd needs sweeps >= 1, got $sweeps")
+    val base = graft.Tables.spread(corpus.sparkSession,
+        corpus.filter(col(vecCol).isNotNull)
+          .select(col(idCol).as("__id"), col(vecCol).as("__vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = seedCentroids(base, "__id", "__vec", k)
+      require(cents.nonEmpty, "fitLloyd: empty corpus")
+      var sizes = Array.fill(k)(0L)
+      for (_ <- 1 to sweeps) {
+        val stats = base
+          .select(nearestCid(col("__vec"), cents).as("cid"),
+            fixedPoint(col("__vec")).as("fx"))
+          // fx is never empty for a non-null vector (fixed dim), and
+          // posexplode_outer keeps the generator out of
+          // InferFiltersFromGenerate's interpreted-filter inlining
+          .select(col("cid"), posexplode_outer(col("fx")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect() // ≤ k·dim rows — the model, never data
+        val next = cents.map(_.clone())
+        val ns = Array.fill(k)(0L)
+        stats.foreach { r =>
+          val cid = r.getLong(0).toInt
+          next(cid)(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
+          ns(cid) = r.getLong(3)
+        }
+        cents = next
+        sizes = ns
+      }
+      LloydModel(cents, sizes)
+    } finally base.unpersist(blocking = false)
+  }
+
   /** (id, cid, dist): nearest-centroid assignment of every corpus row,
     * with the exact integer distance. `centroids` index order is the
     * cluster id; ties → lowest cid. */

@@ -55,6 +55,18 @@ object Ivf {
     Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
+  /** Model from an integer-exact distributed fit
+    * ([[Clustering.fitLloyd]]): fx centroids convert to doubles c/1e6,
+    * which round-trip EXACTLY back through [[fxCentroids]] — |c| ≤ 2^21
+    * means c/1e6 carries relative error < 2^-52, so
+    * floor((c/1e6)·1e6 + 0.5) == c always — making assignment under the
+    * converted model bit-identical to assignment under the fx model
+    * (IvfSpec asserts the round-trip). This is the seam that lets the
+    * 100 TB-scale fit replace [[fit]]'s sampled one with no change to
+    * index/search/save/load. */
+  def modelFromFx(fx: Array[Array[Long]]): Model =
+    Model(fx.map(_.map(_ / 1e6)))
+
   /** The quantizer in the 1e-6 fixed-point convention the native
     * nearest-centroid expressions score in (Clustering.fixedPoint:
     * floor(x·1e6 + 0.5)). Quantizing the MODEL once driver-side keeps

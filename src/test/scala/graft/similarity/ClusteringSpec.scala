@@ -51,4 +51,70 @@ class ClusteringSpec extends SparkTestBase {
     // -1.25 → floor(-1249999.5) = -1250000 (floor, not truncate)
     assert(fx == Seq(1L, 0L, -1250000L), s"got $fx")
   }
+
+  test("roundDiv: half-away-from-zero on both signs, exact on clean divides") {
+    assert(Clustering.roundDiv(5L, 2L) == 3L)    // 2.5 → 3
+    assert(Clustering.roundDiv(-5L, 2L) == -3L)  // -2.5 → -3
+    assert(Clustering.roundDiv(4L, 2L) == 2L)
+    assert(Clustering.roundDiv(-4L, 2L) == -2L)
+    assert(Clustering.roundDiv(7L, 3L) == 2L)    // 2.33 → 2
+    assert(Clustering.roundDiv(-7L, 3L) == -2L)
+    assert(Clustering.roundDiv(0L, 5L) == 0L)
+  }
+
+  test("fitLloyd: two hand-checked sweeps move both centroids exactly") {
+    // 1-D corpus [0, 0.2, 1.0, 1.2, 10] with k=2 seeds [0] and [0.2]:
+    // sweep 1 assigns {0}|{0.2, 1.0, 1.2, 10} → means [0] and [3.1];
+    // sweep 2 reassigns {0, 0.2, 1.0, 1.2}|{10} → means [0.6] and [10].
+    val corpus = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.2f)), (2L, Seq(1.0f)),
+      (3L, Seq(1.2f)), (4L, Seq(10.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.fitLloyd(corpus, "vec_id", "embedding", k = 2, sweeps = 2)
+    assert(m.centroids.map(_.toSeq).toSeq ==
+      Seq(Seq(600000L), Seq(10000000L)), m.centroids.map(_.toSeq).toSeq)
+    assert(m.sizes.toSeq == Seq(4L, 1L))
+  }
+
+  test("fitLloyd: an emptied cluster keeps its previous centroid at size 0") {
+    // duplicate seeds: both k=2 seeds sit at [0], every vector ties to
+    // the LOWER cid, so cluster 1 receives nothing and must retain its
+    // seed centroid with size 0 while cluster 0 takes the exact mean
+    // (5000000/3 → roundDiv 1666667)
+    val corpus = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.0f)), (2L, Seq(5.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.fitLloyd(corpus, "vec_id", "embedding", k = 2, sweeps = 1)
+    assert(m.centroids.map(_.toSeq).toSeq == Seq(Seq(1666667L), Seq(0L)))
+    assert(m.sizes.toSeq == Seq(3L, 0L))
+  }
+
+  test("fitLloyd: null vectors are excluded; sizes sum to the non-null count") {
+    val corpus = Seq(
+      (0L, Some(Seq(0.0f, 0.0f))), (1L, None),
+      (2L, Some(Seq(1.0f, 1.0f))), (3L, Some(Seq(0.1f, 0.1f))))
+      .toDF("vec_id", "embedding")
+    val m = Clustering.fitLloyd(corpus, "vec_id", "embedding", k = 2, sweeps = 2)
+    assert(m.sizes.sum == 3L)
+  }
+
+  test("fitLloyd model feeds SemDedup/assign directly (same fx convention)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = Clustering.fitLloyd(emb, "vec_id", "embedding", k = 8, sweeps = 3)
+    val n = emb.count()
+    assert(m.sizes.sum == n, s"sizes ${m.sizes.toSeq} must cover all $n vectors")
+    // Lloyd invariant: sweep s+1's sizes are exactly the assignment
+    // counts under sweep s's centroids (the fit's E-step IS assign)
+    val m4 = Clustering.fitLloyd(emb, "vec_id", "embedding", k = 8, sweeps = 4)
+    val counts = Clustering.assign(emb, "vec_id", "embedding", m.centroids)
+      .groupBy($"cid").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    m4.sizes.zipWithIndex.foreach { case (sz, cid) =>
+      assert(counts.getOrElse(cid, 0L) == sz, s"cid $cid: $counts vs $sz")
+    }
+    val sem = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      m.centroids, 0.35)
+    assert(sem.columns.toSeq == Seq("vec_id", "cid", "kept"))
+    assert(sem.count() == n)
+  }
 }

@@ -17,6 +17,26 @@ class IvfSpec extends SparkTestBase {
   private def asPairs(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
+  test("modelFromFx: the distributed Lloyd fit round-trips exactly into Ivf") {
+    val fitted = Clustering.fitLloyd(emb, "vec_id", "embedding", k = 8, sweeps = 3)
+    val ivfModel = Ivf.modelFromFx(fitted.centroids)
+    // assignment under the converted double model must be bit-identical
+    // to assignment under the fx model (the c/1e6 → floor(·1e6+0.5)
+    // round-trip is exact for |c| ≤ 2^21) — the seam that lets the
+    // distributed fit replace the sampled one with no search change
+    val viaIvf = emb.select(col("vec_id"),
+        Ivf.assignExpr(col("embedding"), ivfModel).cast("long").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFx = Clustering.assign(emb, "vec_id", "embedding", fitted.centroids)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIvf == viaFx)
+    // and the fitted model drives index/search end-to-end
+    val idx = Ivf.index(emb, ivfModel)
+    val out = Ivf.search(queries, idx, ivfModel, topK = 3, nProbe = 8)
+    assert(out.count() > 0)
+  }
+
   test("full probe (nProbe = k) is exactly brute force") {
     val ivf = asPairs(Ivf.search(queries, indexed, model, topK = 5, nProbe = model.k))
     val bf = asPairs(Similarity.bruteForceTopK(queries, emb, 5)
