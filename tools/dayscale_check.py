@@ -1,0 +1,192 @@
+#!/usr/bin/env python3
+"""Day-scale EP3 correctness check: DuckDB replays the reference
+dataflow (lag -> clean -> haversine -> speed -> 9-key aggregate) over
+the positions parquet that graft.DayScale's EP2 produced, and compares
+the engine's three CSV outputs against it.
+
+Comparison discipline:
+  - row counts and group keys: EXACT (full outer join, zero
+    missing/extra groups tolerated);
+  - tempo (integer seconds): EXACT;
+  - px/py (means of exact inputs): <= 1e-9 (double summation order);
+  - distancia (sum of per-hop round-2 values): <= 0.02 -- the only
+    engine-vs-DuckDB hazard is a hop whose unrounded distance sits
+    within ~1 ulp of a .005 boundary (Spark rounds the shortest decimal
+    repr, DuckDB the binary value); one such hop shifts a group sum by
+    0.01. The check also reports the observed max so a real defect
+    (wrong hop set, wrong formula) cannot hide under the tolerance:
+    those show up as unit-scale diffs or key mismatches.
+  - lentidao (per-hop, no stable key): count exact, per-vehicle hop
+    counts exact, numeric sums within the same tolerances.
+
+Usage: tools/dayscale_check.py [base=target/dayscale] [day=2026-08-10]
+"""
+import sys, json
+import duckdb
+
+base = sys.argv[1] if len(sys.argv) > 1 else 'target/dayscale'
+day = sys.argv[2] if len(sys.argv) > 2 else '2026-08-10'
+month = day[:7]
+
+con = duckdb.connect()
+
+HOPS = f"""
+WITH pos AS (
+  SELECT * FROM read_parquet('{base}/posicoes/*/*.parquet', hive_partitioning=1)
+  WHERE data = DATE '{day}'
+),
+lagged AS (
+  SELECT *, lag(px) OVER w AS px_a, lag(py) OVER w AS py_a,
+         lag("timestamp") OVER w AS ts_a
+  FROM pos WINDOW w AS (PARTITION BY prefixo_veiculo ORDER BY "timestamp")
+),
+hops0 AS (
+  SELECT *, "timestamp" - ts_a AS tempo,
+    round(2 * 6371000 * atan2(
+      sqrt(pow(sin(radians(py - py_a) / 2), 2)
+         + cos(radians(py_a)) * cos(radians(py))
+         * pow(sin(radians(px - px_a) / 2), 2)),
+      sqrt(1 - (pow(sin(radians(py - py_a) / 2), 2)
+         + cos(radians(py_a)) * cos(radians(py))
+         * pow(sin(radians(px - px_a) / 2), 2)))), 2) AS distancia
+  FROM lagged WHERE px_a IS NOT NULL
+),
+clean AS (
+  SELECT *, distancia / tempo AS velocidade_media,
+    CAST(make_timestamp("timestamp" * 1000000) AS DATE) AS data_evt,
+    strftime(make_timestamp(("timestamp" // 1800) * 1800 * 1000000), '%H:%M')
+      || '-' ||
+    strftime(make_timestamp((("timestamp" // 1800) * 1800 + 1800) * 1000000), '%H:%M')
+      AS intervalo
+  FROM hops0
+  WHERE tempo > 0 AND tempo <= 600 AND NOT (distancia / tempo > 33)
+)
+"""
+
+KEYS = ['data', 'intervalo', 'letreiro', 'codigo_linha', 'sentido_linha',
+        'origem_linha', 'destino_linha', 'prefixo_veiculo']
+CSV_TYPES = ("{'data': 'DATE', 'intervalo': 'VARCHAR', 'letreiro': 'VARCHAR', "
+             "'codigo_linha': 'INTEGER', 'sentido_linha': 'INTEGER', "
+             "'origem_linha': 'VARCHAR', 'destino_linha': 'VARCHAR', "
+             "'prefixo_veiculo': 'VARCHAR', 'px': 'DOUBLE', 'py': 'DOUBLE', "
+             "'velocidade_media': 'DOUBLE', 'tempo': 'BIGINT', 'distancia': 'DOUBLE'}")
+ACESS_TYPES = ("{'data': 'DATE', 'intervalo': 'VARCHAR', 'letreiro': 'VARCHAR', "
+               "'codigo_linha': 'INTEGER', 'sentido_linha': 'INTEGER', "
+               "'origem_linha': 'VARCHAR', 'destino_linha': 'VARCHAR', "
+               "'prefixo_veiculo': 'VARCHAR', 'px': 'DOUBLE', 'py': 'DOUBLE', "
+               "'acessibilidade': 'BOOLEAN'}")
+
+report = {}
+failures = []
+
+def check(name, cond, detail):
+    report[name] = detail
+    if not cond:
+        failures.append(f"{name}: {detail}")
+
+join_on = ' AND '.join(f'e.{k} = o.{k}' for k in KEYS)
+
+# ---------------------------------------------------------- aggregated
+con.execute(f"""
+CREATE TEMP TABLE oracle_agg AS
+{HOPS}
+SELECT data_evt AS data, intervalo, letreiro, codigo_linha, sentido_linha,
+  origem_linha, destino_linha, prefixo_veiculo,
+  avg(px) AS px, avg(py) AS py,
+  sum(distancia) AS distancia, CAST(sum(tempo) AS BIGINT) AS tempo,
+  sum(distancia) / sum(tempo) AS velocidade_media
+FROM clean
+GROUP BY ALL""")
+con.execute(f"""
+CREATE TEMP TABLE eng_agg AS
+SELECT * FROM read_csv('{base}/out/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
+  header=true, columns={CSV_TYPES})""")
+
+n_eng, n_ora = con.execute(
+    "SELECT (SELECT count(*) FROM eng_agg), (SELECT count(*) FROM oracle_agg)").fetchone()
+check('agg_rows', n_eng == n_ora, {'engine': n_eng, 'oracle': n_ora})
+
+miss, extra, dpx, dpy, ddist, dtempo, dvel = con.execute(f"""
+SELECT
+  count(*) FILTER (WHERE e.prefixo_veiculo IS NULL),
+  count(*) FILTER (WHERE o.prefixo_veiculo IS NULL),
+  max(abs(e.px - o.px)), max(abs(e.py - o.py)),
+  max(abs(e.distancia - o.distancia)), max(abs(e.tempo - o.tempo)),
+  max(abs(e.velocidade_media - o.velocidade_media))
+FROM eng_agg e FULL OUTER JOIN oracle_agg o ON {join_on}""").fetchone()
+check('agg_groups', miss == 0 and extra == 0, {'missing': miss, 'extra': extra})
+check('agg_tempo_exact', dtempo == 0, {'max_diff': dtempo})
+check('agg_px', dpx is not None and dpx <= 1e-9, {'max_diff': dpx})
+check('agg_py', dpy is not None and dpy <= 1e-9, {'max_diff': dpy})
+check('agg_distancia', ddist is not None and ddist <= 0.02, {'max_diff': ddist})
+check('agg_velocidade', dvel is not None and dvel <= 1e-4, {'max_diff': dvel})
+
+# --------------------------------------------------------- acessiveis
+con.execute(f"""
+CREATE TEMP TABLE oracle_acess AS
+{HOPS}
+SELECT data_evt AS data, intervalo, letreiro, codigo_linha, sentido_linha,
+  origem_linha, destino_linha, prefixo_veiculo, acessibilidade,
+  avg(px) AS px, avg(py) AS py
+FROM clean
+GROUP BY ALL""")
+con.execute(f"""
+CREATE TEMP TABLE eng_acess AS
+SELECT * FROM read_csv('{base}/out/acessiveis/{month}/acessiveis-{day}.csv/*.csv',
+  header=true, columns={ACESS_TYPES})""")
+
+n_eng, n_ora = con.execute(
+    "SELECT (SELECT count(*) FROM eng_acess), (SELECT count(*) FROM oracle_acess)").fetchone()
+check('acess_rows', n_eng == n_ora, {'engine': n_eng, 'oracle': n_ora})
+
+acc_join = join_on + ' AND e.acessibilidade IS NOT DISTINCT FROM o.acessibilidade'
+miss, extra, dpx, dpy = con.execute(f"""
+SELECT
+  count(*) FILTER (WHERE e.prefixo_veiculo IS NULL),
+  count(*) FILTER (WHERE o.prefixo_veiculo IS NULL),
+  max(abs(e.px - o.px)), max(abs(e.py - o.py))
+FROM eng_acess e FULL OUTER JOIN oracle_acess o ON {acc_join}""").fetchone()
+check('acess_groups', miss == 0 and extra == 0, {'missing': miss, 'extra': extra})
+check('acess_px', dpx is not None and dpx <= 1e-9, {'max_diff': dpx})
+check('acess_py', dpy is not None and dpy <= 1e-9, {'max_diff': dpy})
+nulls = con.execute(
+    "SELECT count(*) FROM eng_acess WHERE acessibilidade IS NULL").fetchone()[0]
+check('acess_null_groups_kept', nulls > 0, {'null_key_rows': nulls})
+
+# ------------------------------------------------------------ lentidao
+con.execute(f"""
+CREATE TEMP TABLE oracle_slow AS
+{HOPS}
+SELECT prefixo_veiculo, tempo, distancia, velocidade_media
+FROM clean WHERE velocidade_media < 1.4""")
+con.execute(f"""
+CREATE TEMP TABLE eng_slow AS
+SELECT prefixo_veiculo, tempo, distancia, velocidade_media
+FROM read_csv('{base}/out/lentidao/{month}/lentidao-{day}.csv/*.csv',
+  header=true, columns={CSV_TYPES})""")
+
+n_eng, n_ora = con.execute(
+    "SELECT (SELECT count(*) FROM eng_slow), (SELECT count(*) FROM oracle_slow)").fetchone()
+check('slow_rows', n_eng == n_ora and n_eng > 0, {'engine': n_eng, 'oracle': n_ora})
+
+bad_vehicles = con.execute("""
+SELECT count(*) FROM
+  (SELECT prefixo_veiculo, count(*) AS c, sum(tempo) AS t FROM eng_slow GROUP BY 1) e
+  FULL OUTER JOIN
+  (SELECT prefixo_veiculo, count(*) AS c, sum(tempo) AS t FROM oracle_slow GROUP BY 1) o
+  USING (prefixo_veiculo)
+WHERE e.c IS DISTINCT FROM o.c OR e.t IS DISTINCT FROM o.t""").fetchone()[0]
+check('slow_per_vehicle', bad_vehicles == 0, {'mismatched_vehicles': bad_vehicles})
+
+ddist = con.execute("""
+SELECT abs(coalesce((SELECT sum(distancia) FROM eng_slow), 0)
+         - coalesce((SELECT sum(distancia) FROM oracle_slow), 0))""").fetchone()[0]
+check('slow_distancia_sum', ddist <= 0.5, {'abs_diff': ddist})
+
+print(json.dumps(report, default=str))
+if failures:
+    print(f"== DAYSCALE CHECK FAIL ({len(failures)})")
+    for f in failures:
+        print("FAIL " + f)
+    sys.exit(1)
+print("== DAYSCALE CHECK PASS")
