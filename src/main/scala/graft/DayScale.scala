@@ -132,6 +132,14 @@ object DayScale {
           val fs = path.getFileSystem(conf)
           val out = fs.create(path, true)
           try out.write(row.getString(2).getBytes("UTF-8")) finally out.close()
+          // File-arrival order IS part of the workload being mirrored:
+          // real polls land one per minute, so Structured Streaming's
+          // mod-time-ordered discovery replays them chronologically.
+          // Bulk-synthesizing 1440 files in seconds scrambles that
+          // order (measured: 25M scrambled hops at full day) — pin each
+          // file's mtime to its poll minute to restore the real
+          // arrival process.
+          fs.setTimes(path, (dayStart + m * 60) * 1000L, -1L)
         }
     }
     expected
@@ -146,6 +154,12 @@ object DayScale {
                     batchHops: DataFrame): (Long, Long) = {
     val sinkDir = s"$workDir/stream_hops"
     val ckDir = s"$workDir/stream_ck"
+    // a rerun must not resume a stale checkpoint or append to old output
+    Seq(sinkDir, ckDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
     val positions = graft.streaming.StreamingSpeeds
       .positionsFromRawZone(spark, rawBase, maxFilesPerTrigger = 200)
     val q = graft.streaming.StreamingSpeeds.hopsStream(positions)
