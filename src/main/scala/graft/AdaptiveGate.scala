@@ -9,16 +9,21 @@ import org.apache.spark.sql.functions._
   * adaptive width — AdaptiveParamsSpec pins the growth laws and
   * semantics, but not cross-engine value equality.
   *
-  * Synthesizes an above-floor corpus from sf0.1 (documents ×4 → 20 000
-  * docs ⇒ simhashBitsFor = 30 > 24; embeddings ×8 → 16 000 vectors ⇒
-  * planesFor = 9 > 8, adaptiveK = 63 > 8, Ivf.kFor = 16 > 8), runs the
-  * five adaptive-parameter gate entries through the UNMODIFIED
-  * SparkEntry.queries path (the queries recompute the same adaptive
-  * values from the dir), and dumps oracle SQL built with the SAME
-  * computed constants (DedupOps.q45SqlFor/q47SqlFor/q59SqlFor,
-  * VectorOps.q51SqlFor/q106SqlFor; q52's full-probe oracle is
-  * k-independent brute force by construction). Compare with the
-  * standard harness:
+  * Synthesizes an above-floor corpus from sf0.1 — sized for
+  * RE-RUNNABILITY (r10's 20k-doc/16k-vector corpus put the DuckDB side
+  * at ~2.2 h, which meant the artifact would silently never run again;
+  * r10 VERDICT Next #7): documents ×2 → 10 000 docs ⇒ simhashBitsFor
+  * = 27 > 24; embeddings ×5 → 10 240 vectors ⇒ planesFor = 9 > 8,
+  * adaptiveK = 40 > 8, Ivf.kFor = 13 > 8 — every parameter still
+  * strictly above its floor, with the oracle's quadratic pair scans
+  * and recursive CC walk at ~¼ the r10 cost. Runs the adaptive-
+  * parameter gate entries (incl. the q129 distributed Lloyd fit at the
+  * adaptive k) through the UNMODIFIED SparkEntry.queries path (the
+  * queries recompute the same adaptive values from the dir), and dumps
+  * oracle SQL built with the SAME computed constants
+  * (DedupOps.q45SqlFor/q47SqlFor/q59SqlFor, VectorOps.q51SqlFor/
+  * q106SqlFor/q129SqlFor; q52's full-probe oracle is k-independent
+  * brute force by construction). Run via tools/adaptivegate.sh, or:
   *
   *   runMain graft.AdaptiveGate /tmp/graft_adaptive
   *   python3 tools/selfcheck.py /tmp/graft_adaptive-data /tmp/graft_adaptive
@@ -26,6 +31,8 @@ import org.apache.spark.sql.functions._
 object AdaptiveGate {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_adaptive")
+    val docsShards = args.lift(1).map(_.toInt).getOrElse(2)
+    val embShards = args.lift(2).map(_.toInt).getOrElse(5)
     val sf = "/root/testdata/sf0.1"
     val spark = GraftSession.local()
     val dir = s"$out-data" // sibling, NOT inside out: selfcheck treats every out subdir as a query dump
@@ -36,10 +43,10 @@ object AdaptiveGate {
     if (!new java.io.File(s"$dir/documents.parquet").exists() ||
         !new java.io.File(s"$dir/embeddings.parquet").exists()) {
       Sharding.documentsDistinctChars(
-          spark.read.parquet(s"$sf/documents.parquet"), 4)
+          spark.read.parquet(s"$sf/documents.parquet"), docsShards)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       Sharding.embeddings(
-          spark.read.parquet(s"$sf/embeddings.parquet"), 8)
+          spark.read.parquet(s"$sf/embeddings.parquet"), embShards)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
@@ -56,7 +63,7 @@ object AdaptiveGate {
 
     val names = Seq("q45_simhash_pairs", "q47_dedup_clusters",
       "q59_dedup_survivors", "q51_lsh_neardup", "q106_semantic_dedup",
-      "q52_ivf_topk")
+      "q52_ivf_topk", "q129_kmeans_fit")
     new java.io.File(out).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()
@@ -74,6 +81,7 @@ object AdaptiveGate {
       "q51_lsh_neardup"     -> queries.VectorOps.q51SqlFor(planes),
       "q106_semantic_dedup" -> queries.VectorOps.q106SqlFor(semK),
       "q52_ivf_topk"        -> queries.VectorOps.oracles("q52_ivf_topk"),
+      "q129_kmeans_fit"     -> queries.VectorOps.q129SqlFor(semK, 3),
     )
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -288,8 +288,12 @@ object VectorOps {
     * sees, so the fit itself must be a distributed aggregation — and
     * here it is, with the model (k·dim rows) the only thing collected. */
   def q129KmeansFit(s: SparkSession, dir: String): DataFrame = {
+    // corpus-adaptive k, same growth law and floor as SemDeDup's
+    // (gate corpora ≤ 2048 vectors stay at the static oracle's k = 8;
+    // AdaptiveGate hash-checks an above-floor width)
+    val k = graft.similarity.Clustering.adaptiveK(nEmb(s, dir), kMin = FitK)
     val m = graft.similarity.Clustering.fitLloyd(
-      Tables.embeddings(s, dir), "vec_id", "embedding", FitK, FitSweeps)
+      Tables.embeddings(s, dir), "vec_id", "embedding", k, FitSweeps)
     import s.implicits._
     m.centroids.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (v, dim) =>
