@@ -41,13 +41,19 @@ object ScaleBench {
     else DefaultNames
     val sf = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // dev-only like Verify/Bench: SPARK_GRAFT_MASTER=local-cluster[…]
+    // runs the SCALE sweep across real executor JVMs — the
+    // scale × multi-JVM intersection (netty shuffle carrying
+    // scale-sized candidate-pair/iterative workloads) that neither
+    // MULTIJVM (gate-scale) nor the local[n] sweeps exercise alone
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = GraftSession.wireLocalCluster(SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"), master)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
