@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Kill an executor JVM mid-query and prove the engine recovers with
+  * bit-identical results — the fault regime a 1000-executor cluster
+  * lives in (executor loss is routine at that scale; README operating
+  * envelope rule #2 asserts the recovery posture, this probe
+  * demonstrates it).
+  *
+  * Protocol, per probed query, under `local-cluster[2,4,4096]` (two
+  * REAL executor JVMs — kill -9 is a real process death, taking its
+  * shuffle files, cached blocks, and any localCheckpoint blocks with
+  * it):
+  *
+  *   1. no-fault run → reference fingerprint (SpillProbe's
+  *      order-independent XOR-of-row-hashes);
+  *   2. fault run: a watcher thread waits `killAfterSec`, picks one
+  *      live CoarseGrainedExecutorBackend pid and kill -9s it while
+  *      the query is mid-flight; the standalone worker relaunches a
+  *      replacement executor and Spark recomputes lost
+  *      shuffle/checkpoint state.
+  *
+  * Two checkpoint postures are probed for the iterative entries:
+  *   - RELIABLE (`spark.graft.checkpoint.dir` set): lineage-truncating
+  *     materializations go to durable storage, so a dead executor
+  *     costs only the in-flight tasks. Expected: completes, fingerprint
+  *     matches. This is the 100 TB posture and the probe REQUIRES it
+  *     to pass.
+  *   - LOCAL (localCheckpoint): truncated lineage lives in executor
+  *     blocks with replication 1 — the dead executor may take the only
+  *     copy, and the README documents this mode as
+  *     lost-on-executor-death. The probe records the observed outcome
+  *     (completed-if-lucky / failed-as-documented) without requiring
+  *     either, because which one you get depends on where the blocks
+  *     landed.
+  *
+  * Output: FAULT_r{N}.json-ready line + target/fault_probe.json.
+  * Env: SPARK_SCALA_VERSION=2.13, SPARK_HOME (executor launcher).
+  */
+object FaultProbe {
+
+  /** Live executor-backend pids (never our own JVM). */
+  private def executorPids(): Seq[Int] = {
+    import scala.sys.process._
+    val self = ProcessHandle.current().pid()
+    Seq("bash", "-c", "ps -eo pid,args").!!.linesIterator
+      .filter(_.contains("CoarseGrainedExecutorBackend"))
+      .flatMap(_.trim.split("\\s+").headOption)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_.toLong != self)
+      .toSeq
+  }
+
+  private def killOne(): Option[Int] = {
+    import scala.sys.process._
+    executorPids().headOption.map { pid =>
+      s"kill -9 $pid".!
+      pid
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scale_runs/k10_neardup")
+    val names = if (args.length > 1) args(1).split(',').toSeq
+      else Seq("q59_dedup_survivors", "q110_pagerank")
+    val killAfterSec = args.lift(2).map(_.toDouble).getOrElse(5.0)
+    require(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"no scaled corpus at $dir")
+
+    val ckDir = new java.io.File("target/fault_ck").getAbsolutePath
+    def session(reliable: Boolean): SparkSession = {
+      val master = "local-cluster[2,4,4096]"
+      val b = GraftSession.wireLocalCluster(SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false"), master)
+      val s = (if (reliable) b.config(Checkpoints.DirKey, ckDir) else b)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      graft.functions.GraftExtensions.register(s)
+      s
+    }
+
+    case class Run(outcome: String, fp: Option[(Long, Long)], secs: Double,
+                   killedPid: Option[Int])
+
+    def run(s: SparkSession, name: String, kill: Boolean): Run = {
+      val killed = new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+      val killer = if (kill) {
+        val t = new Thread(() => {
+          Thread.sleep((killAfterSec * 1000).toLong)
+          killed.set(killOne())
+        })
+        t.setDaemon(true); t.start(); Some(t)
+      } else None
+      val t0 = System.nanoTime()
+      try {
+        val fp = SpillProbe.fingerprint(SparkEntry.queries(name)(s, dir))
+        val secs = (System.nanoTime() - t0) / 1e9
+        killer.foreach(_.join(2000))
+        s.catalog.clearCache(); Checkpoints.releaseAll(s)
+        Run("completed", Some(fp), secs, killed.get())
+      } catch {
+        case e: Throwable =>
+          val secs = (System.nanoTime() - t0) / 1e9
+          try { s.catalog.clearCache(); Checkpoints.releaseAll(s) }
+          catch { case _: Throwable => () }
+          Run(s"failed: ${e.getClass.getSimpleName}", None, secs, killed.get())
+      }
+    }
+
+    // RELIABLE posture: must complete under executor loss, bit-identical
+    val reliableRows = {
+      val s = session(reliable = true)
+      try names.map { n =>
+        val base = run(s, n, kill = false)
+        val fault = run(s, n, kill = true)
+        val matched = (base.fp, fault.fp) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => false
+        }
+        println(f"FAULTPROBE reliable $n%-22s base ${base.secs}%5.1f s | " +
+          f"fault ${fault.outcome} ${fault.secs}%5.1f s killed=${fault.killedPid} match=$matched")
+        (n, base, fault, matched)
+      } finally s.stop()
+    }
+
+    // LOCAL posture: outcome recorded, not required (blocks may or may
+    // not have lived on the killed executor)
+    val localRows = {
+      val s = session(reliable = false)
+      try names.map { n =>
+        val base = run(s, n, kill = false)
+        val fault = run(s, n, kill = true)
+        val matched = (base.fp, fault.fp) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => false
+        }
+        println(f"FAULTPROBE local    $n%-22s base ${base.secs}%5.1f s | " +
+          f"fault ${fault.outcome} ${fault.secs}%5.1f s killed=${fault.killedPid} match=$matched")
+        (n, base, fault, matched)
+      } finally s.stop()
+    }
+
+    def f1(d: Double) = f"$d%.1f"
+    def rowsJson(rows: Seq[(String, Run, Run, Boolean)]) =
+      rows.map { case (n, base, fault, m) =>
+        s""""$n":{"base_sec":${f1(base.secs)},"fault_outcome":"${fault.outcome}",""" +
+          s""""fault_sec":${f1(fault.secs)},"killed_pid":${fault.killedPid.getOrElse(-1)},"match":$m}"""
+      }.mkString("{", ",", "}")
+    val reliableOk = reliableRows.forall { case (_, _, f, m) =>
+      f.outcome == "completed" && m }
+    val killedSomething = (reliableRows ++ localRows)
+      .exists(_._3.killedPid.isDefined)
+    val json =
+      s"""{"metric":"fault_probe","dir":"$dir","kill_after_sec":$killAfterSec,""" +
+        s""""reliable_all_recovered":$reliableOk,""" +
+        s""""reliable":${rowsJson(reliableRows)},"local":${rowsJson(localRows)}}"""
+    val w = new java.io.PrintWriter(new java.io.File("target/fault_probe.json"))
+    try w.println(json) finally w.close()
+    println(json)
+    require(killedSomething, "no executor was ever killed — probe inconclusive")
+    require(reliableOk,
+      "reliable-checkpoint runs must survive executor loss bit-identically")
+  }
+}
