@@ -226,6 +226,20 @@ object DayScale {
     require(tEp2 < budget, f"EP2 busted the 30-min budget: $tEp2%.0f s")
     require(tEp3 < budget, f"EP3 busted the 30-min budget: $tEp3%.0f s")
 
+    // stage 2b: STRICT-REFERENCE EP3 — the literally-deployed semantics
+    // (SpeedConf.strict: the L1 1000-row ordered truncate
+    // "TEMPORARIO" that is the reference's real daily behavior, pandas
+    // inf/NaN division, trap-⑥ null-key group drops) at full day
+    // volume. The truncate is the scale-interesting part:
+    // TakeOrderedAndProject runs per-partition top-n over 17.5M rows
+    // with a single 1000-row driver merge — no global sort.
+    // tools/dayscale_check.py replays it in DuckDB (strict section).
+    val (strictCounts, tStrict) = timed {
+      graft.olhovivo.AverageSpeeds.run(spark, posPath, date, s"$outBase-strict",
+        graft.olhovivo.SpeedPipeline.SpeedConf.strict)
+    }
+    println(s"DAYSCALE EP3-strict: $strictCounts, ${tStrict.round} s")
+
     // stage 3 (optional): streaming EP3 twin + batch ≡ stream equality
     val streamPart = if (withStreaming) {
       val day = spark.read.parquet(posPath)
@@ -240,12 +254,13 @@ object DayScale {
       f""","streaming":{"hops":$streamed,"mismatches":$mismatches,"sec":$tStream%.1f}"""
     } else ""
 
-    val countsJson = counts.toSeq.sortBy(_._1)
+    def cjson(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
       f"""{"metric":"dayscale","vehicles":$nVehicles,"snapshots":$nMinutes,""" +
       f""""positions":$posRows,"synth_sec":$tSynth%.1f,"ep2_sec":$tEp2%.1f,""" +
-      f""""ep3_sec":$tEp3%.1f,"budget_sec":1800,"counts":$countsJson$streamPart}""")
+      f""""ep3_sec":$tEp3%.1f,"budget_sec":1800,"counts":${cjson(counts)},""" +
+      f""""strict_sec":$tStrict%.1f,"strict_counts":${cjson(strictCounts)}$streamPart}""")
     spark.stop()
   }
 }

@@ -183,6 +183,88 @@ SELECT abs(coalesce((SELECT sum(distancia) FROM eng_slow), 0)
          - coalesce((SELECT sum(distancia) FROM oracle_slow), 0))""").fetchone()[0]
 check('slow_distancia_sum', ddist <= 0.5, {'abs_diff': ddist})
 
+# ------------------------------------- strict-reference EP3 (deployed)
+# SpeedConf.strict: L1 ordered 1000-row truncate (velocidades:97-98,
+# the deployed "TEMPORARIO" behavior), pandas division semantics, and
+# trap-6 null-key group drops in the aggregate. Unique (vehicle, ts)
+# pairs make the truncation boundary deterministic in both engines.
+STRICT_HOPS = HOPS.replace(
+    "lagged AS (\n  SELECT *,",
+    """trunc AS (
+  SELECT * FROM pos ORDER BY prefixo_veiculo, "timestamp" LIMIT 1000
+),
+lagged AS (
+  SELECT *,""").replace(
+    "FROM pos WINDOW w", "FROM trunc WINDOW w").replace(
+    "WHERE tempo > 0 AND tempo <= 600 AND NOT (distancia / tempo > 33)",
+    """WHERE tempo <= 600 AND (
+      CASE WHEN tempo > 0 THEN distancia / tempo
+           WHEN distancia > 0 THEN 1e308 * 10  -- +inf
+           ELSE NULL END IS NULL
+      OR NOT (CASE WHEN tempo > 0 THEN distancia / tempo
+                   WHEN distancia > 0 THEN 1e308 * 10
+                   ELSE NULL END > 33))""")
+
+con.execute(f"""
+CREATE TEMP TABLE oracle_sagg AS
+{STRICT_HOPS}
+SELECT data_evt AS data, intervalo, letreiro, codigo_linha, sentido_linha,
+  origem_linha, destino_linha, prefixo_veiculo,
+  avg(px) AS px, avg(py) AS py,
+  sum(distancia) AS distancia, CAST(sum(tempo) AS BIGINT) AS tempo,
+  sum(distancia) / sum(tempo) AS velocidade_media
+FROM clean
+WHERE data_evt IS NOT NULL AND intervalo IS NOT NULL AND letreiro IS NOT NULL
+  AND codigo_linha IS NOT NULL AND sentido_linha IS NOT NULL
+  AND destino_linha IS NOT NULL AND origem_linha IS NOT NULL
+  AND prefixo_veiculo IS NOT NULL AND acessibilidade IS NOT NULL
+GROUP BY ALL""")
+con.execute(f"""
+CREATE TEMP TABLE eng_sagg AS
+SELECT * FROM read_csv('{base}/out-strict/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
+  header=true, columns={CSV_TYPES})""")
+n_eng, n_ora = con.execute(
+    "SELECT (SELECT count(*) FROM eng_sagg), (SELECT count(*) FROM oracle_sagg)").fetchone()
+check('strict_agg_rows', n_eng == n_ora, {'engine': n_eng, 'oracle': n_ora})
+miss, extra, ddist, dtempo = con.execute(f"""
+SELECT
+  count(*) FILTER (WHERE e.prefixo_veiculo IS NULL),
+  count(*) FILTER (WHERE o.prefixo_veiculo IS NULL),
+  max(abs(e.distancia - o.distancia)), max(abs(e.tempo - o.tempo))
+FROM eng_sagg e FULL OUTER JOIN oracle_sagg o ON {join_on}""").fetchone()
+check('strict_agg_groups', miss == 0 and extra == 0,
+      {'missing': miss, 'extra': extra})
+check('strict_agg_tempo_exact', dtempo == 0 or dtempo is None,
+      {'max_diff': dtempo})
+check('strict_agg_distancia', ddist is None or ddist <= 0.02,
+      {'max_diff': ddist})
+
+con.execute(f"""
+CREATE TEMP TABLE oracle_sslow AS
+{STRICT_HOPS}
+SELECT prefixo_veiculo, tempo, distancia FROM clean
+WHERE velocidade_media < 1.4""")
+n_slow_e, n_slow_o = con.execute(f"""
+SELECT (SELECT count(*) FROM read_csv(
+          '{base}/out-strict/lentidao/{month}/lentidao-{day}.csv/*.csv',
+          header=true, columns={CSV_TYPES})),
+       (SELECT count(*) FROM oracle_sslow)""").fetchone()
+check('strict_slow_rows', n_slow_e == n_slow_o,
+      {'engine': n_slow_e, 'oracle': n_slow_o})
+
+# The deployed-semantics demonstration the strict mode exists for, at
+# real volume: the 1000-row LEXICOGRAPHIC truncate (velocidades:97)
+# admits only the first vehicle(s), and when such a vehicle carries a
+# null accessibility flag, trap-6's null-key group drop silently
+# removes it from velocidades_agregadas/acessiveis ENTIRELY while
+# lentidao (ungrouped) still reports it. Both engines must agree on
+# that data loss row-for-row.
+trunc_vehicles = con.execute(f"""
+{STRICT_HOPS} SELECT count(DISTINCT prefixo_veiculo) FROM clean""").fetchone()[0]
+check('strict_truncate_scope', trunc_vehicles <= 2,
+      {'distinct_vehicles_in_1000_rows': trunc_vehicles,
+       'agg_groups_surviving_null_key_drop': n_eng})
+
 print(json.dumps(report, default=str))
 if failures:
     print(f"== DAYSCALE CHECK FAIL ({len(failures)})")
