@@ -149,15 +149,7 @@ object Clustering {
       require(cents.nonEmpty, "fitLloyd: empty corpus")
       var sizes = Array.fill(k)(0L)
       for (_ <- 1 to sweeps) {
-        val stats = base
-          .select(nearestCid(col("__vec"), cents).as("cid"),
-            fixedPoint(col("__vec")).as("fx"))
-          // fx is never empty for a non-null vector (fixed dim), and
-          // posexplode_outer keeps the generator out of
-          // InferFiltersFromGenerate's interpreted-filter inlining
-          .select(col("cid"), posexplode_outer(col("fx")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        val stats = mStepFrame(base, cents)
           .collect() // ≤ k·dim rows — the model, never data
         val next = cents.map(_.clone())
         val ns = Array.fill(k)(0L)
@@ -172,6 +164,23 @@ object Clustering {
       LloydModel(cents, sizes)
     } finally base.unpersist(blocking = false)
   }
+
+  /** One sweep's E-step + M-step as a (cid, dim, s, n) plan — exposed
+    * so the plan SHAPE is auditable (PlanAuditSpec): partial
+    * aggregation must run map-side before the single k·dim-row
+    * exchange, or the shuffle would carry corpus·dim rows instead of
+    * partitions·k·dim. Expects `base` projected to (__id, __vec). */
+  private[graft] def mStepFrame(base: DataFrame,
+                                cents: Array[Array[Long]]): DataFrame =
+    base
+      .select(nearestCid(col("__vec"), cents).as("cid"),
+        fixedPoint(col("__vec")).as("fx"))
+      // fx is never empty for a non-null vector (fixed dim), and
+      // posexplode_outer keeps the generator out of
+      // InferFiltersFromGenerate's interpreted-filter inlining
+      .select(col("cid"), posexplode_outer(col("fx")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
 
   /** (id, cid, dist): nearest-centroid assignment of every corpus row,
     * with the exact integer distance. `centroids` index order is the

@@ -382,4 +382,21 @@ class PlanAuditSpec extends SparkTestBase {
       assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
     } finally spark.catalog.clearCache()
   }
+
+  test("q129 Lloyd M-step: map-side combine before ONE k·dim exchange, codegen E-step") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("__id"), col("embedding").as("__vec"))
+    val cents = graft.similarity.Clustering.seedCentroids(emb, "__id", "__vec", 8)
+    val p = plan(graft.similarity.Clustering.mStepFrame(emb, cents))
+    // partial + final HashAggregate pair: the shuffle carries
+    // partitions·k·dim partial rows, never corpus·dim rows — the
+    // property that lets the fit's M-step run on 100 TB
+    assert(countOf(p, "HashAggregate") >= 2, s"no partial aggregation:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly one exchange (the k·dim model shuffle):\n$p")
+    // E-step through the native codegen expression, not interpreted HOFs
+    assert(p.contains("nearest_cid"), s"E-step not on the native expression:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
 }
