@@ -247,10 +247,13 @@ object Bench {
       abClasses match {
         case None => ""
         case Some(classes) =>
+          // capped at 6 (the historical BENCH_AB table size): each pair
+          // costs ~2 child JVMs per round AND ~22 line chars, and the
+          // published line must stay inside the driver's tail window
           val suspects = results.collect {
             case (n, rs) if rs.exists(_ >= 0) &&
               priorMin.get(n).exists(p => best(rs) > 2 * p) && best(rs) >= 0.3 => n
-          }
+          }.sortBy(n => -best(results.toMap.apply(n))).take(6)
           if (suspects.isEmpty) ""
           else {
             System.err.println(s"bench: A/B adjudicating ${suspects.mkString(",")} vs $classes")
@@ -286,7 +289,7 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(new java.io.File(runsOut))
-      try w.println(s"""{"runs":$raw,"retried":$retriedJson,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"runs":$raw,"retried":$retriedJson,"sf":"$sfDir"$abSection}""") finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $runsOut: ${e.getMessage}") }
     println(line)
