@@ -366,6 +366,49 @@ object DedupOps {
   def q47SqlFor(bits: Int): String =
     q47WalkCtesFor(bits) + "\nSELECT doc_id, cluster_id FROM clus"
 
+  // ----------------------------- q130 leakage-safe split (cluster-keyed)
+
+  /** q130: train/val/test split keyed by NEAR-DUP CLUSTER, not by
+    * document — the leakage-safe form of q34. Hashing each document's
+    * own content (q34) puts two near-duplicates on opposite sides of
+    * the split with probability 2·p·(1−p) per pair; at web-corpus
+    * duplication rates that leaks training text into eval
+    * verbatim-modulo-boilerplate. Keying the split on the
+    * connected-component id instead moves WHOLE clusters: near-dup
+    * pairs → CC (the q45/q47 machinery, corpus-adaptive signature
+    * width) → [[graft.operators.DataSplit]] on `cluster_id` — every
+    * member of a cluster lands in the same split by construction
+    * (DedupSpec asserts the invariant), and singleton documents degrade
+    * to a per-cluster(=per-doc) hash exactly like q34. The composition
+    * adds ZERO shuffles beyond q47's own: the split label is a map-side
+    * expression over the cluster relation. */
+  def q130LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    val clusters = graft.dedup.ConnectedComponents.components(
+        Tables.documents(s, dir), "doc_id",
+        scope.trackIntermediate(q45SimhashPairs(s, dir)),
+        "id_a", "id_b", scope = Some(scope))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    scope.materializeAndRelease(
+      graft.operators.DataSplit.withSplit(
+        clusters, col("cluster_id").cast("string"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+  }
+
+  val q130Sql: String = q130SqlFor(SimBits)
+
+  /** Adaptive-width q130 oracle (same CC walk as q47's). */
+  def q130SqlFor(bits: Int): String = {
+    val h = "('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10000"
+    q47WalkCtesFor(bits) +
+      s"""
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN $h < 8000 THEN 'train'
+         |       WHEN $h < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clus""".stripMargin
+  }
+
   // ------------------------------- q59 end-to-end dedup (survivor pick)
 
   /** The WHOLE dedup deliverable in one gate entry: near-dup pairs →
@@ -755,6 +798,7 @@ object DedupOps {
     "q45_simhash_pairs"   -> q45SimhashPairs,
     "q46_corpus_sketch"   -> q46CorpusSketch,
     "q47_dedup_clusters"  -> q47DedupClusters,
+    "q130_leakage_safe_split" -> q130LeakageSafeSplit,
     "q49_incremental_dedup" -> q49IncrementalDedup,
     "q59_dedup_survivors" -> q59DedupSurvivors,
     "q107_span_dedup"     -> q107SpanDedup,
@@ -773,6 +817,7 @@ object DedupOps {
     "q45_simhash_pairs"   -> q45Sql,
     "q46_corpus_sketch"   -> q46Sql,
     "q47_dedup_clusters"  -> q47Sql,
+    "q130_leakage_safe_split" -> q130Sql,
     "q49_incremental_dedup" -> q49Sql,
     "q59_dedup_survivors" -> q59Sql,
     "q107_span_dedup"     -> q107Sql,

@@ -247,4 +247,30 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(0L) == sig(2L), "colinear vectors share every hyperplane side")
   }
+
+  test("q130 leakage-safe split: whole clusters move together, every doc labeled") {
+    val out = graft.queries.DedupOps.q130LeakageSafeSplit(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      assert(out.count() == docs.count(), "every document must be labeled")
+      // THE invariant the operator exists for: a cluster never straddles
+      // splits — zero clusters with more than one distinct label
+      val straddling = out.groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("nsplits"))
+        .filter($"nsplits" > 1).count()
+      assert(straddling == 0, s"$straddling clusters straddle splits")
+      // the label is the q34 split function applied to the cluster id —
+      // singleton clusters therefore degrade to q34's per-key behavior
+      val direct = out.select($"doc_id",
+        graft.operators.DataSplit.splitColumn(
+          $"cluster_id".cast("string"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("expected"),
+        $"split")
+      assert(direct.filter($"split" =!= $"expected").count() == 0)
+      val labels = out.select($"split").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(labels.subsetOf(Set("train", "val", "test")))
+    } finally out.unpersist()
+  }
 }
