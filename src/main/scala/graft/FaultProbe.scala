@@ -88,29 +88,56 @@ object FaultProbe {
     case class Run(outcome: String, fp: Option[(Long, Long)], secs: Double,
                    killedPid: Option[Int])
 
-    def run(s: SparkSession, name: String, kill: Boolean): Run = {
+    def run(s: SparkSession, name: String, kill: Boolean,
+            killAfter: Double = killAfterSec): Run = {
       val killed = new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+      // The killer must never outlive its own run window: a kill that
+      // fires after the faulted query finished would land inside the
+      // NEXT query's no-fault base run (contaminating it) while this
+      // run records killedPid=None. InterruptedException aborts the
+      // sleep without killing, and the completion paths interrupt+join.
       val killer = if (kill) {
         val t = new Thread(() => {
-          Thread.sleep((killAfterSec * 1000).toLong)
-          killed.set(killOne())
+          try {
+            Thread.sleep((killAfter * 1000).toLong)
+            killed.set(killOne())
+          } catch { case _: InterruptedException => () }
         })
         t.setDaemon(true); t.start(); Some(t)
       } else None
+      def reap(): Unit = killer.foreach { t => t.interrupt(); t.join(5000) }
       val t0 = System.nanoTime()
       try {
         val fp = SpillProbe.fingerprint(SparkEntry.queries(name)(s, dir))
         val secs = (System.nanoTime() - t0) / 1e9
-        killer.foreach(_.join(2000))
+        reap()
         s.catalog.clearCache(); Checkpoints.releaseAll(s)
         Run("completed", Some(fp), secs, killed.get())
       } catch {
         case e: Throwable =>
           val secs = (System.nanoTime() - t0) / 1e9
+          reap()
           try { s.catalog.clearCache(); Checkpoints.releaseAll(s) }
           catch { case _: Throwable => () }
           Run(s"failed: ${e.getClass.getSimpleName}", None, secs, killed.get())
       }
+    }
+
+    /** A fault run whose kill never fired (query finished before
+      * killAfterSec) proved nothing — retry with a shorter fuse so the
+      * per-query claim is never vacuous. */
+    def faultRun(s: SparkSession, name: String): Run = {
+      var delay = killAfterSec
+      var r = run(s, name, kill = true, delay)
+      var tries = 1
+      while (r.killedPid.isEmpty && tries < 3) {
+        delay = math.max(0.5, delay / 4)
+        println(s"FAULTPROBE $name: kill never fired (query too fast); " +
+          f"retrying with kill_after=$delay%.1f s")
+        r = run(s, name, kill = true, delay)
+        tries += 1
+      }
+      r
     }
 
     // RELIABLE posture: must complete under executor loss, bit-identical
@@ -118,7 +145,7 @@ object FaultProbe {
       val s = session(reliable = true)
       try names.map { n =>
         val base = run(s, n, kill = false)
-        val fault = run(s, n, kill = true)
+        val fault = faultRun(s, n)
         val matched = (base.fp, fault.fp) match {
           case (Some(a), Some(b)) => a == b
           case _ => false
@@ -135,7 +162,7 @@ object FaultProbe {
       val s = session(reliable = false)
       try names.map { n =>
         val base = run(s, n, kill = false)
-        val fault = run(s, n, kill = true)
+        val fault = faultRun(s, n)
         val matched = (base.fp, fault.fp) match {
           case (Some(a), Some(b)) => a == b
           case _ => false
@@ -150,12 +177,15 @@ object FaultProbe {
     def rowsJson(rows: Seq[(String, Run, Run, Boolean)]) =
       rows.map { case (n, base, fault, m) =>
         s""""$n":{"base_sec":${f1(base.secs)},"fault_outcome":"${fault.outcome}",""" +
-          s""""fault_sec":${f1(fault.secs)},"killed_pid":${fault.killedPid.getOrElse(-1)},"match":$m}"""
+          s""""fault_sec":${f1(fault.secs)},"killed_pid":${fault.killedPid.getOrElse(-1)},""" +
+          s""""kill_fired":${fault.killedPid.isDefined},"match":$m}"""
       }.mkString("{", ",", "}")
     val reliableOk = reliableRows.forall { case (_, _, f, m) =>
       f.outcome == "completed" && m }
-    val killedSomething = (reliableRows ++ localRows)
-      .exists(_._3.killedPid.isDefined)
+    // Per-query, not aggregate: a reliable-posture row whose kill never
+    // fired (even after faultRun's shorter-fuse retries) is a vacuous
+    // recovery claim, so the probe refuses to bless it.
+    val killedSomething = reliableRows.forall(_._3.killedPid.isDefined)
     val json =
       s"""{"metric":"fault_probe","dir":"$dir","kill_after_sec":$killAfterSec,""" +
         s""""reliable_all_recovered":$reliableOk,""" +
@@ -163,7 +193,8 @@ object FaultProbe {
     val w = new java.io.PrintWriter(new java.io.File("target/fault_probe.json"))
     try w.println(json) finally w.close()
     println(json)
-    require(killedSomething, "no executor was ever killed — probe inconclusive")
+    require(killedSomething,
+      "a reliable-posture fault run never killed an executor — probe inconclusive")
     require(reliableOk,
       "reliable-checkpoint runs must survive executor loss bit-identically")
   }
