@@ -62,8 +62,8 @@ object AdaptiveGate {
       "synthesized corpus must sit ABOVE every legacy floor")
 
     val names = Seq("q45_simhash_pairs", "q47_dedup_clusters",
-      "q59_dedup_survivors", "q51_lsh_neardup", "q106_semantic_dedup",
-      "q52_ivf_topk", "q129_kmeans_fit")
+      "q59_dedup_survivors", "q130_leakage_safe_split", "q51_lsh_neardup",
+      "q106_semantic_dedup", "q52_ivf_topk", "q129_kmeans_fit")
     new java.io.File(out).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()
@@ -78,6 +78,7 @@ object AdaptiveGate {
       "q45_simhash_pairs"   -> queries.DedupOps.q45SqlFor(bits),
       "q47_dedup_clusters"  -> queries.DedupOps.q47SqlFor(bits),
       "q59_dedup_survivors" -> queries.DedupOps.q59SqlFor(bits),
+      "q130_leakage_safe_split" -> queries.DedupOps.q130SqlFor(bits),
       "q51_lsh_neardup"     -> queries.VectorOps.q51SqlFor(planes),
       "q106_semantic_dedup" -> queries.VectorOps.q106SqlFor(semK),
       "q52_ivf_topk"        -> queries.VectorOps.oracles("q52_ivf_topk"),

@@ -260,9 +260,13 @@ object Bench {
             val table = BenchAB.interleaved(
               new java.io.File("target/scala-2.13/classes").getAbsolutePath,
               classes, suspects, sfDir, rounds = 2, cpus = cpus)
+            // "ab_" prefix: the side file's ab pairs must NOT match next
+            // round's priorMin regex ("q…":[…]) or the adjudication pairs
+            // would pollute the retry/suspect triggers the first time the
+            // A/B fires (r12 ADVICE #3).
             suspects.map { n =>
               val (a, b) = table(n)
-              s""""${shortKey(n)}":[${fmt(a)},${fmt(b)}]"""
+              s""""ab_${shortKey(n)}":[${fmt(a)},${fmt(b)}]"""
             }.mkString(""","ab":{""", ",", "}")
           }
       }

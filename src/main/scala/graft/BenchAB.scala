@@ -100,14 +100,19 @@ object BenchAB {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: BenchAB <otherClasses> <namesCsv> [rounds] [sfDir]")
+      "usage: BenchAB <otherClasses> <namesCsv> [rounds] [sfDir] [myClasses]")
     val otherClasses = new java.io.File(args(0)).getAbsolutePath
     val names = args(1).split(',').toSeq.filter(_.nonEmpty)
     val rounds = args.lift(2).map(_.toInt).getOrElse(2)
     val sfDir = args.lift(3).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val myClasses = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    // optional 5th arg: adjudicate two OTHER trees (e.g. last round's vs
+    // the round before) without touching the working tree's classes —
+    // lets the A/B run while the working tree is being edited/recompiled
+    val myClasses = args.lift(4)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .getOrElse(new java.io.File("target/scala-2.13/classes").getAbsolutePath)
     require(new java.io.File(otherClasses).isDirectory, s"no classes at $otherClasses")
 
     val table = interleaved(myClasses, otherClasses, names, sfDir, rounds, cpus)

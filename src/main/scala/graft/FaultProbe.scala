@@ -86,46 +86,62 @@ object FaultProbe {
     }
 
     case class Run(outcome: String, fp: Option[(Long, Long)], secs: Double,
-                   killedPid: Option[Int])
+                   killedPid: Option[Int], killAfterUsed: Double)
 
     def run(s: SparkSession, name: String, kill: Boolean,
             killAfter: Double = killAfterSec): Run = {
       val killed = new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
-      // The killer must never outlive its own run window: a kill that
-      // fires after the faulted query finished would land inside the
-      // NEXT query's no-fault base run (contaminating it) while this
-      // run records killedPid=None. InterruptedException aborts the
-      // sleep without killing, and the completion paths interrupt+join.
+      // queryDone closes the interrupt race: interrupt() landing AFTER
+      // Thread.sleep returned but before killOne() would otherwise let
+      // the kill fire on a query that already completed — recorded as
+      // kill_fired=true with a fingerprint that never saw a fault, and
+      // the dead executor bleeding into the NEXT run. The killer
+      // re-checks the flag at the last possible moment; the completion
+      // paths set it BEFORE interrupting.
+      val queryDone = new java.util.concurrent.atomic.AtomicBoolean(false)
       val killer = if (kill) {
         val t = new Thread(() => {
           try {
             Thread.sleep((killAfter * 1000).toLong)
-            killed.set(killOne())
+            if (!queryDone.get && !Thread.currentThread().isInterrupted)
+              killed.set(killOne())
           } catch { case _: InterruptedException => () }
         })
         t.setDaemon(true); t.start(); Some(t)
       } else None
-      def reap(): Unit = killer.foreach { t => t.interrupt(); t.join(5000) }
+      def reap(): Unit = killer.foreach { t =>
+        queryDone.set(true); t.interrupt(); t.join(5000)
+        // A killer still alive after the join timeout (killOne()'s
+        // ps/kill subprocess stalled) could kill an executor during the
+        // NEXT query's no-fault run — surface it instead of silently
+        // contaminating subsequent measurements.
+        if (t.isAlive)
+          throw new IllegalStateException(
+            s"FAULTPROBE $name: killer thread still alive 5 s after " +
+              "interrupt — subsequent runs would be contaminated")
+      }
       val t0 = System.nanoTime()
       try {
         val fp = SpillProbe.fingerprint(SparkEntry.queries(name)(s, dir))
         val secs = (System.nanoTime() - t0) / 1e9
         reap()
         s.catalog.clearCache(); Checkpoints.releaseAll(s)
-        Run("completed", Some(fp), secs, killed.get())
+        Run("completed", Some(fp), secs, killed.get(), killAfter)
       } catch {
         case e: Throwable =>
           val secs = (System.nanoTime() - t0) / 1e9
           reap()
           try { s.catalog.clearCache(); Checkpoints.releaseAll(s) }
           catch { case _: Throwable => () }
-          Run(s"failed: ${e.getClass.getSimpleName}", None, secs, killed.get())
+          Run(s"failed: ${e.getClass.getSimpleName}", None, secs,
+            killed.get(), killAfter)
       }
     }
 
     /** A fault run whose kill never fired (query finished before
       * killAfterSec) proved nothing — retry with a shorter fuse so the
-      * per-query claim is never vacuous. */
+      * per-query claim is never vacuous. The delay actually used is
+      * threaded out in Run.killAfterUsed and recorded per row. */
     def faultRun(s: SparkSession, name: String): Run = {
       var delay = killAfterSec
       var r = run(s, name, kill = true, delay)
@@ -137,6 +153,9 @@ object FaultProbe {
         r = run(s, name, kill = true, delay)
         tries += 1
       }
+      if (r.killedPid.isEmpty)
+        println(s"FAULTPROBE WARNING $name: no kill fired even after " +
+          s"$tries attempts — this row's outcome is NOT fault evidence")
       r
     }
 
@@ -176,9 +195,13 @@ object FaultProbe {
     def f1(d: Double) = f"$d%.1f"
     def rowsJson(rows: Seq[(String, Run, Run, Boolean)]) =
       rows.map { case (n, base, fault, m) =>
+        // kill_after_used: faultRun may retry with a shorter fuse, so the
+        // per-row delay can diverge from the top-level kill_after_sec —
+        // recorded so the row is reproducible from the artifact alone.
         s""""$n":{"base_sec":${f1(base.secs)},"fault_outcome":"${fault.outcome}",""" +
           s""""fault_sec":${f1(fault.secs)},"killed_pid":${fault.killedPid.getOrElse(-1)},""" +
-          s""""kill_fired":${fault.killedPid.isDefined},"match":$m}"""
+          s""""kill_fired":${fault.killedPid.isDefined},""" +
+          s""""kill_after_used":${f1(fault.killAfterUsed)},"match":$m}"""
       }.mkString("{", ",", "}")
     val reliableOk = reliableRows.forall { case (_, _, f, m) =>
       f.outcome == "completed" && m }
