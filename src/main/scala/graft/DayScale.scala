@@ -103,7 +103,8 @@ object DayScale {
     * writes its snapshots straight to the zone via Hadoop FS, the same
     * seam OlhoVivoClient lands real polls through. */
   def synthesizeRawZone(spark: SparkSession, rawBase: String,
-                        nVehicles: Int, nMinutes: Int): Long = {
+                        nVehicles: Int, nMinutes: Int,
+                        shardsPerPoll: Int = 1): Long = {
     val obs = observations(spark, nVehicles, nMinutes)
     val expected = obs.count()
     val byLine = obs
@@ -112,11 +113,18 @@ object DayScale {
         first(col("c")).as("c"), first(col("sl")).as("sl"),
         first(col("lt0")).as("lt0"), first(col("lt1")).as("lt1"),
         collect_list(struct(col("p"), col("a"), col("ta"), col("py"), col("px"))).as("vs"))
+    // shardsPerPoll > 1 = the per-REGION poller shape (the Olho Vivo API
+    // accepts line/region-scoped position queries, so a fleet-scale
+    // deployment polls K region slices instead of one city-wide GET):
+    // each poll minute lands K documents, each holding a disjoint slice
+    // of lines. Document size is then bounded by fleet/K — the landing
+    // zone stays splittable-by-file however large the fleet grows —
+    // and EP2 reads the sharded zone unchanged (schema is per-document).
     val docs = byLine
-      .groupBy(col("m"), col("hour"))
+      .groupBy(col("m"), col("hour"), pmod(col("cl"), lit(shardsPerPoll)).as("shard"))
       .agg(collect_list(
         struct(col("c"), col("cl"), col("sl"), col("lt0"), col("lt1"), col("vs"))).as("l"))
-      .select(col("m"), col("hour"),
+      .select(col("m"), col("hour"), col("shard"),
         to_json(struct(
           date_format(timestamp_seconds(lit(dayStart) + col("m") * 60), "HH:mm").as("hr"),
           col("l"))).as("doc"))
@@ -126,12 +134,13 @@ object DayScale {
         val conf = new org.apache.hadoop.conf.Configuration()
         it.foreach { row =>
           val m = row.getLong(0); val hour = row.getAs[Number](1).longValue
+          val shard = row.getAs[Number](2).longValue
           val iso = f"${y}%04d-${mo}%02d-${d}%02dT${hour}%02d-${m % 60}%02d-00"
           val path = new org.apache.hadoop.fs.Path(
-            f"$rawBase/year=$y%04d/month=$mo%02d/day=$d%02d/hour=$hour%02d/data_$iso.json")
+            f"$rawBase/year=$y%04d/month=$mo%02d/day=$d%02d/hour=$hour%02d/data_${iso}_r$shard%03d.json")
           val fs = path.getFileSystem(conf)
           val out = fs.create(path, true)
-          try out.write(row.getString(2).getBytes("UTF-8")) finally out.close()
+          try out.write(row.getString(3).getBytes("UTF-8")) finally out.close()
           // File-arrival order IS part of the workload being mirrored:
           // real polls land one per minute, so Structured Streaming's
           // mod-time-ordered discovery replays them chronologically.
@@ -179,12 +188,71 @@ object DayScale {
     (streamed.count(), missing + extra)
   }
 
+  /** Direct positions synthesis (the 100× path): observations → the
+    * posicoes schema WITHOUT the raw-zone JSON detour. At a 100× fleet
+    * the raw zone is ~200 GB of JSON whose only purpose would be to be
+    * flattened right back — the EP2 parse is measured separately at 1×
+    * and 10×; the 100× question is EP3's window-sort + aggregate at
+    * 1.75B rows, which starts from this parquet. */
+  def synthesizePositions(spark: SparkSession, posPath: String,
+                          nVehicles: Int, nMinutes: Int): Unit = {
+    val obs = observations(spark, nVehicles, nMinutes)
+    val ts = lit(dayStart) + col("m") * 60 + pmod(col("v"), lit(50))
+    graft.sources.IO.writePartitionedParquet(
+      obs.select(
+        col("c").as("letreiro"), col("cl").as("codigo_linha"),
+        col("sl").as("sentido_linha"), col("lt0").as("destino_linha"),
+        col("lt1").as("origem_linha"), col("p").as("prefixo_veiculo"),
+        col("a").as("acessibilidade"), ts.as("timestamp"),
+        col("py"), col("px"))
+        .withColumn("data", to_date(timestamp_seconds(col("timestamp")))),
+      posPath, Seq("data"))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("target/dayscale")
     val nVehicles = args.lift(1).map(_.toInt).getOrElse(14000)
     val nMinutes = args.lift(2).map(_.toInt).getOrElse(1440)
     val withStreaming = args.contains("--streaming")
-    val spark = GraftSession.local()
+    // --positions-direct: skip raw zone + EP2 (see synthesizePositions);
+    // --shards=N: per-region poll files in the synthesized zone
+    val positionsDirect = args.contains("--positions-direct")
+    val shardsPerPoll = args.find(_.startsWith("--shards="))
+      .map(_.stripPrefix("--shards=").toInt).getOrElse(1)
+    // dev-only like Bench/ScaleBench: SPARK_GRAFT_MASTER=local-cluster[…]
+    // runs the day across REAL executor JVMs — at 100× that is the spill
+    // posture (the window sort's working set >> executor memory, so EP3
+    // runs the degrade-to-disk path a production day lives on)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")
+    val spark =
+      if (!master.startsWith("local-cluster")) GraftSession.local()
+      else {
+        val s = GraftSession.wireLocalCluster(org.apache.spark.sql.SparkSession.builder()
+          .master(master)
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false"), master)
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        graft.functions.GraftExtensions.register(s)
+        s
+      }
+    // task-level spill accounting (reported per stage in the JSON — the
+    // 100× evidence that EP3 spilled rather than fit)
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     val rawBase = new java.io.File(s"$base/raw/posicoes").getAbsolutePath
     val posPath = new java.io.File(s"$base/posicoes").getAbsolutePath
     val outBase = new java.io.File(s"$base/out").getAbsolutePath
@@ -193,34 +261,58 @@ object DayScale {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // stage 0: synthesize (resumable — the zone is deterministic)
-    val marker = new java.io.File(s"$base/raw/_SYNTH_OK")
-    val (expected, tSynth) =
-      if (marker.exists()) {
-        val src = scala.io.Source.fromFile(marker)
-        try (src.mkString.trim.toLong, 0.0) finally src.close()
-      } else {
-        val r = timed(synthesizeRawZone(spark, rawBase, nVehicles, nMinutes))
-        val w = new java.io.PrintWriter(marker)
-        try w.println(r._1) finally w.close()
-        r
-      }
-    println(s"DAYSCALE synth: $expected observations, ${tSynth.round} s")
+    // stage 0/1: synthesize (resumable — the workload is deterministic)
+    // + EP2, or the direct positions write at --positions-direct
+    val (posRows, tSynth, tEp2) = if (positionsDirect) {
+      val marker = new java.io.File(s"$base/_POS_OK")
+      val (n, t) =
+        if (marker.exists()) {
+          val src = scala.io.Source.fromFile(marker)
+          try (src.mkString.trim.toLong, 0.0) finally src.close()
+        } else {
+          val r = timed {
+            synthesizePositions(spark, posPath, nVehicles, nMinutes)
+            spark.read.parquet(posPath).count()
+          }
+          val w = new java.io.PrintWriter(marker)
+          try w.println(r._1) finally w.close()
+          r
+        }
+      println(s"DAYSCALE synth(direct): $n positions, ${t.round} s")
+      (n, t, 0.0)
+    } else {
+      val marker = new java.io.File(s"$base/raw/_SYNTH_OK")
+      val (expected, t) =
+        if (marker.exists()) {
+          val src = scala.io.Source.fromFile(marker)
+          try (src.mkString.trim.toLong, 0.0) finally src.close()
+        } else {
+          val r = timed(synthesizeRawZone(spark, rawBase, nVehicles,
+            nMinutes, shardsPerPoll))
+          val w = new java.io.PrintWriter(marker)
+          try w.println(r._1) finally w.close()
+          r
+        }
+      println(s"DAYSCALE synth: $expected observations, ${t.round} s")
 
-    // stage 1: EP2 — raw day → positions parquet (the 6:00 AM job)
-    val (_, tEp2) = timed {
-      graft.olhovivo.IngestPositions.run(spark, rawBase, posPath)
+      // stage 1: EP2 — raw day → positions parquet (the 6:00 AM job)
+      val (_, tE) = timed {
+        graft.olhovivo.IngestPositions.run(spark, rawBase, posPath)
+      }
+      val n = spark.read.parquet(posPath).count()
+      require(n == expected, s"EP2 flattened $n rows, expected $expected")
+      println(s"DAYSCALE EP2: $n rows, ${tE.round} s")
+      (n, t, tE)
     }
-    val posRows = spark.read.parquet(posPath).count()
-    require(posRows == expected,
-      s"EP2 flattened $posRows rows, expected $expected")
-    println(s"DAYSCALE EP2: $posRows rows, ${tEp2.round} s")
 
     // stage 2: EP3 — positions day → three CSVs (the 6:30 AM job)
+    val ep3Mem0 = memSpilled.get(); val ep3Dsk0 = diskSpilled.get()
     val (counts, tEp3) = timed {
       graft.olhovivo.AverageSpeeds.run(spark, posPath, date, outBase)
     }
-    println(s"DAYSCALE EP3: $counts, ${tEp3.round} s")
+    val ep3SpillMb =
+      ((memSpilled.get() - ep3Mem0) + (diskSpilled.get() - ep3Dsk0)) >> 20
+    println(s"DAYSCALE EP3: $counts, ${tEp3.round} s, spilled $ep3SpillMb MB")
 
     val budget = 1800.0
     require(tEp2 < budget, f"EP2 busted the 30-min budget: $tEp2%.0f s")
@@ -259,7 +351,8 @@ object DayScale {
     println(
       f"""{"metric":"dayscale","vehicles":$nVehicles,"snapshots":$nMinutes,""" +
       f""""positions":$posRows,"synth_sec":$tSynth%.1f,"ep2_sec":$tEp2%.1f,""" +
-      f""""ep3_sec":$tEp3%.1f,"budget_sec":1800,"counts":${cjson(counts)},""" +
+      f""""ep3_sec":$tEp3%.1f,"ep3_spilled_mb":$ep3SpillMb,"master":"$master",""" +
+      f""""budget_sec":1800,"counts":${cjson(counts)},""" +
       f""""strict_sec":$tStrict%.1f,"strict_counts":${cjson(strictCounts)}$streamPart}""")
     spark.stop()
   }

@@ -41,7 +41,7 @@ import org.apache.spark.sql.SparkSession
 object FaultProbe {
 
   /** Live executor-backend pids (never our own JVM). */
-  private def executorPids(): Seq[Int] = {
+  private[graft] def executorPids(): Seq[Int] = {
     import scala.sys.process._
     val self = ProcessHandle.current().pid()
     Seq("bash", "-c", "ps -eo pid,args").!!.linesIterator
@@ -52,7 +52,7 @@ object FaultProbe {
       .toSeq
   }
 
-  private def killOne(): Option[Int] = {
+  private[graft] def killOne(): Option[Int] = {
     import scala.sys.process._
     executorPids().headOption.map { pid =>
       s"kill -9 $pid".!

@@ -26,6 +26,62 @@ object IngestPositions {
   def readRaw(spark: SparkSession, path: String): DataFrame =
     graft.sources.IO.readJson(spark, Schemas.rawSnapshot, path)
 
+  /** Decode-after-redistribute twin of [[readRaw]] for FAT poll
+    * documents (DAYSCALE_r11 found EP2 wall growing 32× at a 10× fleet:
+    * one multiLine JSON document per poll is an unsplittable record, so
+    * per-record cost grows with fleet size while the task layout — the
+    * JSON source's byte-size bin-packing — convoys several fat docs
+    * into each task). Here the scan is a `wholetext` TEXT read (IO
+    * only, no parsing in the scan task), a round-robin redistribute
+    * puts exactly ONE document per task across every core, and the
+    * parse itself is `from_json` with the same schema + PERMISSIVE
+    * corrupt-record isolation. Row-for-row identical output to
+    * [[readRaw]] (IngestPositionsSpec asserts it); the shuffle moves
+    * only the raw text once — linear in input bytes — and decode
+    * parallelism now scales with POLL COUNT × cores instead of being
+    * hostage to how the bin-packer groups fat files. */
+  def readRawDistributed(spark: SparkSession, path: String): DataFrame = {
+    val docs = spark.read.option("wholetext", "true").text(path)
+    val width = spark.sparkContext.defaultParallelism * 2
+    docs
+      .repartition(width)
+      .select(from_json(
+        col("value"), Schemas.rawSnapshot,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .select(col("j.hr").as("hr"), col("j.l").as("l"),
+        col("j._corrupt_record").as("_corrupt_record"))
+  }
+
+  /** Average file size of the first `sample` files under `path` —
+    * the scale statistic that picks the decode strategy. Listing cost
+    * is bounded by the sample, not the zone. */
+  private def avgFileBytes(spark: SparkSession, path: String,
+                           sample: Int = 256): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext && n < sample) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_")) { n += 1; bytes += st.getLen }
+    }
+    if (n == 0) 0L else bytes / n
+  }
+
+  /** Strategy cutover: above ~4 MB/doc the unsplittable-record convoy
+    * dominates the multiLine source (measured at 10× fleet ≈ 14 MB/doc);
+    * below it the file source's native partition pruning and zero
+    * shuffle win. */
+  private[graft] val FatDocBytes: Long = 4L * 1024 * 1024
+
+  /** Scale-adaptive raw read: multiLine JSON source for the deployed
+    * small-doc zone, decode-after-redistribute when polls are fat. */
+  def readRawAdaptive(spark: SparkSession, path: String): DataFrame =
+    if (avgFileBytes(spark, path) >= FatDocBytes) readRawDistributed(spark, path)
+    else readRaw(spark, path)
+
   /** The two-level unnest + rename + timestamp parse (reference F1+E1,
     * ingestao:48–62). Built-in `Explode` generators only — stays inside
     * whole-stage codegen. */
@@ -58,7 +114,7 @@ object IngestPositions {
     * prune). */
   def run(spark: SparkSession, rawPath: String, outPath: String): Unit =
     graft.sources.IO.writePartitionedParquet(
-      flatten(readRaw(spark, rawPath))
+      flatten(readRawAdaptive(spark, rawPath))
         .withColumn("data", to_date(timestamp_seconds(col("timestamp")))),
       outPath, Seq("data"))
 }

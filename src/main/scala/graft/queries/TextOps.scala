@@ -686,7 +686,55 @@ object TextOps {
          |FROM occ JOIN enc USING (w)
          |GROUP BY source""".stripMargin
 
+  // ------------------------------------------ q131 trained LID (NB fit)
+
+  /** Trained language ID (graft.text.LangIdNB): multinomial NB over
+    * char 3-grams, fit on the h60-80% slice, scoring the held-out 20%.
+    * Integer-exact Q20 fixed-point log2 — see LangIdNB's scaladoc. */
+  def q131LangIdNb(s: SparkSession, dir: String): DataFrame =
+    graft.text.LangIdNB.predictions(Tables.documents(s, dir))
+
+  /** The full NB replay: same split hash, same trigram extraction, same
+    * fixed-point integer log2 (LangIdNB.ilogDuckSql — `bin`/`length`/
+    * integer division, bit-identical across engines), same argmax
+    * tie-break (score DESC, lang ASC). */
+  val q131Sql: String = {
+    import graft.text.LangIdNB.{ilogDuckSql => L}
+    val h5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, lower(text) AS t, ($h5) <> 0 AS is_train
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, lang, is_train, substr(t, u.i, 3) AS g
+       |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)),
+       |tg AS (SELECT lang, g, count(*)::BIGINT AS c
+       |       FROM gr WHERE is_train GROUP BY 1, 2),
+       |lt AS (
+       |  SELECT s.lang, s.tot, n.ndocs
+       |  FROM (SELECT lang, sum(c)::BIGINT AS tot FROM tg GROUP BY 1) s
+       |  JOIN (SELECT lang, count(*)::BIGINT AS ndocs
+       |        FROM d WHERE is_train GROUP BY 1) n USING (lang)),
+       |vv AS (SELECT count(DISTINCT g)::BIGINT AS v FROM tg),
+       |tsg AS (SELECT doc_id, g, count(*)::BIGINT AS tf
+       |        FROM gr WHERE NOT is_train GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, coalesce(greatest(length(t) - 2, 0), 0)::BIGINT AS n
+       |       FROM d WHERE NOT is_train),
+       |m AS (
+       |  SELECT t.doc_id, tg.lang, sum(t.tf * ${L("tg.c + 1")})::BIGINT AS mterm
+       |  FROM tsg t JOIN tg USING (g) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT dn.doc_id, lt.lang,
+       |    (${L("lt.ndocs")} + coalesce(m.mterm, 0)
+       |      - dn.n * ${L("lt.tot + vv.v")})::BIGINT AS score_fp
+       |  FROM dn CROSS JOIN vv CROSS JOIN lt
+       |  LEFT JOIN m ON m.doc_id = dn.doc_id AND m.lang = lt.lang)
+       |SELECT doc_id, lang AS lang_pred, score_fp FROM sc
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY score_fp DESC, lang ASC) = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_langid_nb" -> q131LangIdNb,
     "q126_bpe_stats" -> q126BpeStats,
     "q125_bpe_encode" -> q125BpeEncode,
     "q124_bpe_merges" -> q124BpeMerges,
@@ -708,6 +756,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_langid_nb" -> q131Sql,
     "q126_bpe_stats" -> q126Sql,
     "q125_bpe_encode" -> q125Sql,
     "q124_bpe_merges" -> q124Sql,

@@ -56,6 +56,22 @@ class IngestPositionsSpec extends SparkTestBase {
       "missing `a` must surface as typed null, not type drift")
   }
 
+  test("EP2 distributed decode: row-identical to the multiLine source, corrupt file isolated") {
+    val dir = scratchDir("rawday_dist")
+    writeDay(dir)
+    val day = dir.toString + "/year=2025/month=03/day=06"
+    val viaSource = IngestPositions.flatten(IngestPositions.readRaw(spark, day))
+    val viaRedistribute = IngestPositions.flatten(
+      IngestPositions.readRawDistributed(spark, day))
+    // full-row multiset equality via the order-independent, NULL-distinct
+    // fingerprint (a plain anti-join would treat the typed-null
+    // acessibilidade row as unmatched: null ≠ null under join equality)
+    assert(viaSource.schema == viaRedistribute.schema)
+    assert(graft.SpillProbe.fingerprint(viaSource) ==
+      graft.SpillProbe.fingerprint(viaRedistribute))
+    assert(viaRedistribute.count() == 3)
+  }
+
   test("EP2 run: writes date-partitioned parquet readable with the posicoes schema") {
     val dir = scratchDir("rawday2")
     writeDay(dir)
