@@ -27,13 +27,27 @@ import duckdb
 base = sys.argv[1] if len(sys.argv) > 1 else 'target/dayscale'
 day = sys.argv[2] if len(sys.argv) > 2 else '2026-08-10'
 month = day[:7]
+# --line-mod=K: replay only lines with codigo_linha % K == 0, applied to
+# BOTH the oracle's positions scan and the engine's CSVs. The slice is
+# CLOSED under every group key (letreiro/origem/destino/prefixo are all
+# functions of the line), so group-exactness on the slice is a sound
+# claim; used at 100x where a full 1.75B-row DuckDB window replay would
+# exceed the sandbox's disk. The strict section stays full-fidelity as
+# long as line 0 is in the slice (the deployed truncate's 1000 rows all
+# belong to vehicle "0" = line 0, which K | 0 always keeps).
+line_mod = 0
+for a in sys.argv[3:]:
+    if a.startswith('--line-mod='):
+        line_mod = int(a.split('=', 1)[1])
+slice_pred = f" AND codigo_linha % {line_mod} = 0" if line_mod else ""
+csv_pred = f" WHERE codigo_linha % {line_mod} = 0" if line_mod else ""
 
 con = duckdb.connect()
 
 HOPS = f"""
 WITH pos AS (
   SELECT * FROM read_parquet('{base}/posicoes/*/*.parquet', hive_partitioning=1)
-  WHERE data = DATE '{day}'
+  WHERE data = DATE '{day}'{slice_pred}
 ),
 lagged AS (
   SELECT *, lag(px) OVER w AS px_a, lag(py) OVER w AS py_a,
@@ -100,7 +114,7 @@ GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_agg AS
 SELECT * FROM read_csv('{base}/out/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
-  header=true, columns={CSV_TYPES})""")
+  header=true, columns={CSV_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_agg), (SELECT count(*) FROM oracle_agg)").fetchone()
@@ -133,7 +147,7 @@ GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_acess AS
 SELECT * FROM read_csv('{base}/out/acessiveis/{month}/acessiveis-{day}.csv/*.csv',
-  header=true, columns={ACESS_TYPES})""")
+  header=true, columns={ACESS_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_acess), (SELECT count(*) FROM oracle_acess)").fetchone()
@@ -163,7 +177,7 @@ con.execute(f"""
 CREATE TEMP TABLE eng_slow AS
 SELECT prefixo_veiculo, tempo, distancia, velocidade_media
 FROM read_csv('{base}/out/lentidao/{month}/lentidao-{day}.csv/*.csv',
-  header=true, columns={CSV_TYPES})""")
+  header=true, columns={CSV_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_slow), (SELECT count(*) FROM oracle_slow)").fetchone()
