@@ -305,14 +305,31 @@ object DayScale {
       (n, t, tE)
     }
 
-    // stage 2: EP3 — positions day → three CSVs (the 6:30 AM job)
+    // stage 2: EP3 — positions day → three CSVs (the 6:30 AM job).
+    // --vehicle-passes=K runs the day as K vehicle-closed shards (see
+    // AverageSpeeds.run dayFilter) — outputs land in $outBase-passR and
+    // union to the exact single-pass result; used at 100× where one
+    // pass's shuffle+spill exceeds the sandbox's free scratch disk.
+    val vehiclePasses = args.find(_.startsWith("--vehicle-passes="))
+      .map(_.stripPrefix("--vehicle-passes=").toInt).getOrElse(1)
     val ep3Mem0 = memSpilled.get(); val ep3Dsk0 = diskSpilled.get()
-    val (counts, tEp3) = timed {
-      graft.olhovivo.AverageSpeeds.run(spark, posPath, date, outBase)
-    }
+    val (counts, tEp3) =
+      if (vehiclePasses == 1) timed {
+        graft.olhovivo.AverageSpeeds.run(spark, posPath, date, outBase)
+      } else timed {
+        (0 until vehiclePasses).map { r =>
+          val c = graft.olhovivo.AverageSpeeds.run(
+            spark, posPath, date, s"$outBase-pass$r",
+            dayFilter = Some(
+              pmod(col("prefixo_veiculo").cast("long"), lit(vehiclePasses)) === r))
+          println(s"DAYSCALE EP3 pass $r/$vehiclePasses: $c")
+          c
+        }.reduce((a, b) => a.map { case (k, v) => k -> (v + b(k)) })
+      }
     val ep3SpillMb =
       ((memSpilled.get() - ep3Mem0) + (diskSpilled.get() - ep3Dsk0)) >> 20
-    println(s"DAYSCALE EP3: $counts, ${tEp3.round} s, spilled $ep3SpillMb MB")
+    println(s"DAYSCALE EP3: $counts, ${tEp3.round} s, spilled $ep3SpillMb MB" +
+      (if (vehiclePasses > 1) s" ($vehiclePasses vehicle-closed passes)" else ""))
 
     val budget = 1800.0
     require(tEp2 < budget, f"EP2 busted the 30-min budget: $tEp2%.0f s")
@@ -352,6 +369,7 @@ object DayScale {
       f"""{"metric":"dayscale","vehicles":$nVehicles,"snapshots":$nMinutes,""" +
       f""""positions":$posRows,"synth_sec":$tSynth%.1f,"ep2_sec":$tEp2%.1f,""" +
       f""""ep3_sec":$tEp3%.1f,"ep3_spilled_mb":$ep3SpillMb,"master":"$master",""" +
+      f""""vehicle_passes":$vehiclePasses,""" +
       f""""budget_sec":1800,"counts":${cjson(counts)},""" +
       f""""strict_sec":$tStrict%.1f,"strict_counts":${cjson(strictCounts)}$streamPart}""")
     spark.stop()

@@ -61,13 +61,23 @@ object AverageSpeeds {
   }
 
   /** Full job: read (partition-pruned to one event date) → compute →
-    * three CSV writes. Returns row counts per output. */
+    * three CSV writes. Returns row counts per output.
+    *
+    * `dayFilter`: optional extra predicate on the positions read. Its
+    * scale use is VEHICLE-CLOSED sharding (pmod on prefixo_veiculo):
+    * the window partitions by vehicle and every output group key
+    * includes the vehicle, so running the day as K vehicle-closed
+    * passes and unioning the CSVs is EXACTLY the single-pass result —
+    * the decomposition a cluster applies across executors, available
+    * here for days whose shuffle+spill exceed one node's scratch disk. */
   def run(spark: SparkSession, posicoesPath: String, date: LocalDate,
           outBase: String, conf: SpeedConf = SpeedConf(),
-          writePerHop: Boolean = false): Map[String, Long] = {
-    val day = spark.read.parquet(posicoesPath)
+          writePerHop: Boolean = false,
+          dayFilter: Option[Column] = None): Map[String, Long] = {
+    val day0 = spark.read.parquet(posicoesPath)
       .filter(col("data") === lit(iso.format(date)).cast("date"))
       .drop("data") // recomputed from event time in withTimeColumns
+    val day = dayFilter.map(day0.filter).getOrElse(day0)
     val clean = hops(day, conf).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val agg = aggregate(clean, strict = conf.strictReference)

@@ -36,10 +36,29 @@ month = day[:7]
 # long as line 0 is in the slice (the deployed truncate's 1000 rows all
 # belong to vehicle "0" = line 0, which K | 0 always keeps).
 line_mod = 0
+# --vehicle-mod=N:R — check ONE vehicle-closed EP3 pass (DayScale
+# --vehicle-passes): oracle positions filtered to vehicles ≡ R (mod N);
+# the pass's CSVs already contain exactly that slice. Group keys include
+# the vehicle, so per-pass group-exactness composes to the full day.
+veh_mod = None
+# --out-dir=SUFFIX — engine CSVs live under {base}/out{SUFFIX} (e.g.
+# '-pass0'); --skip-strict — strict outputs belong to one full-day run,
+# so per-pass invocations other than the strict-carrying one skip it.
+out_sfx = ''
+skip_strict = False
 for a in sys.argv[3:]:
     if a.startswith('--line-mod='):
         line_mod = int(a.split('=', 1)[1])
+    elif a.startswith('--vehicle-mod='):
+        veh_mod = tuple(int(x) for x in a.split('=', 1)[1].split(':'))
+    elif a.startswith('--out-dir='):
+        out_sfx = a.split('=', 1)[1]
+    elif a == '--skip-strict':
+        skip_strict = True
 slice_pred = f" AND codigo_linha % {line_mod} = 0" if line_mod else ""
+if veh_mod:
+    slice_pred += (f" AND CAST(prefixo_veiculo AS BIGINT) % {veh_mod[0]}"
+                   f" = {veh_mod[1]}")
 csv_pred = f" WHERE codigo_linha % {line_mod} = 0" if line_mod else ""
 
 con = duckdb.connect()
@@ -113,7 +132,7 @@ FROM clean
 GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_agg AS
-SELECT * FROM read_csv('{base}/out/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
+SELECT * FROM read_csv('{base}/out{out_sfx}/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
   header=true, columns={CSV_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
@@ -146,7 +165,7 @@ FROM clean
 GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_acess AS
-SELECT * FROM read_csv('{base}/out/acessiveis/{month}/acessiveis-{day}.csv/*.csv',
+SELECT * FROM read_csv('{base}/out{out_sfx}/acessiveis/{month}/acessiveis-{day}.csv/*.csv',
   header=true, columns={ACESS_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
@@ -176,7 +195,7 @@ FROM clean WHERE velocidade_media < 1.4""")
 con.execute(f"""
 CREATE TEMP TABLE eng_slow AS
 SELECT prefixo_veiculo, tempo, distancia, velocidade_media
-FROM read_csv('{base}/out/lentidao/{month}/lentidao-{day}.csv/*.csv',
+FROM read_csv('{base}/out{out_sfx}/lentidao/{month}/lentidao-{day}.csv/*.csv',
   header=true, columns={CSV_TYPES}){csv_pred}""")
 
 n_eng, n_ora = con.execute(
@@ -198,6 +217,16 @@ SELECT abs(coalesce((SELECT sum(distancia) FROM eng_slow), 0)
 check('slow_distancia_sum', ddist <= 0.5, {'abs_diff': ddist})
 
 # ------------------------------------- strict-reference EP3 (deployed)
+if skip_strict:
+    print(json.dumps(report, default=str))
+    if failures:
+        print(f"== DAYSCALE CHECK FAIL ({len(failures)})")
+        for f in failures:
+            print("FAIL " + f)
+        sys.exit(1)
+    print("== DAYSCALE CHECK PASS (strict skipped)")
+    sys.exit(0)
+
 # SpeedConf.strict: L1 ordered 1000-row truncate (velocidades:97-98,
 # the deployed "TEMPORARIO" behavior), pandas division semantics, and
 # trap-6 null-key group drops in the aggregate. Unique (vehicle, ts)

@@ -13,6 +13,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MAIN="$1"; shift
-exec java -Xmx${SPARK_DRIVER_MEM:-8g} $OPENS \
+# SPARK_EXTRA_JAVA_OPTS: additional -Dspark.* confs (SparkConf loads
+# spark.* system properties), e.g. -Dspark.io.compression.codec=zstd
+exec java -Xmx${SPARK_DRIVER_MEM:-8g} $OPENS ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "graft.$MAIN" "$@"
