@@ -88,8 +88,12 @@ object LangIdNB {
       .select(key.as("k"), explode_outer(charTrigrams(col("text"))).as("g"))
       .filter(col("g").isNotNull)
 
-    val trainGrams = grams(train, col("lang"))
-      .groupBy(col("k").as("lang"), col("g")).agg(count(lit(1)).as("c"))
+    // the aggregated model is vocab-bounded (langs × trigrams) but
+    // DERIVING it is a full corpus explode — cached so its three
+    // consumers (totals, V, the scoring join) pay that pass once
+    val scope = graft.CacheScope.scoped()
+    val trainGrams = scope.cache(grams(train, col("lang"))
+      .groupBy(col("k").as("lang"), col("g")).agg(count(lit(1)).as("c")))
     // per-language totals + doc counts (|langs| rows) and the train
     // vocabulary size V (1 row) stay relations — broadcast, never
     // collected
@@ -107,24 +111,31 @@ object LangIdNB {
       coalesce(greatest(length(col("text")) - 2, lit(0)).cast("long"),
         lit(0L)).as("n"))
 
+    // L(x) goes through bin() — a per-row string allocation — so every
+    // log weight is precomputed INSIDE the vocab-/|langs|-bounded
+    // broadcast relations; the corpus-sized joins only multiply longs
+    val model = trainGrams.withColumn("lc", L("c + 1")).drop("c")
+    val langW = langTot.crossJoin(vocab)
+      .select(col("lang"), L("ndocs").as("prior"), L("tot + v").as("denom"))
+
     val matched = testGrams
-      .join(broadcast(trainGrams), Seq("g"))
+      .join(broadcast(model), Seq("g"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("tf") * L("c + 1")).as("mterm"))
+      .agg(sum(col("tf") * col("lc")).as("mterm"))
 
     val scored = docN
-      .crossJoin(broadcast(langTot.crossJoin(vocab)))
+      .crossJoin(broadcast(langW))
       .join(matched, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
-        (L("ndocs") + coalesce(col("mterm"), lit(0L))
-          - col("n") * L("tot + v")).as("score_fp"))
+        (col("prior") + coalesce(col("mterm"), lit(0L))
+          - col("n") * col("denom")).as("score_fp"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_fp").desc, col("lang").asc)
-    scored
+    scope.materializeAndRelease(scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"), col("score_fp"))
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score_fp")))
   }
 }
