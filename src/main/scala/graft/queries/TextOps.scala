@@ -686,6 +686,56 @@ object TextOps {
          |FROM occ JOIN enc USING (w)
          |GROUP BY source""".stripMargin
 
+  // --------------------------- q132 weighted sample (A-ES, integer key)
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * training-data curation primitive "sample k documents with
+    * probability ∝ weight" (weight here: document length, the
+    * token-budget proxy), via the A-ES exponential-key scheme
+    * (Efraimidis–Spirakis: top-k by u^(1/w), u uniform): maximizing
+    * u^(1/w) ≡ minimizing (−log₂ u)/w, so with u = h60(doc_id)/2⁶⁰ the
+    * key is
+    *
+    *   rank_key = ((60·2²⁰ − L(h60)) · 10⁶) div w
+    *
+    * — INTEGER-exact end to end (L is LangIdNB's Q20 fixed-point log2),
+    * so both engines compute the identical total order and the sample
+    * is reproducible bit-for-bit (no RNG state, no float pow/ln — the
+    * selection probabilities are A-ES's within L's 0.086-bit log
+    * error, documented rather than hidden). Ties break on doc_id.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-k with an O(k) driver merge, never a global
+    * sort; at 100 TB the weighted sample of the whole corpus costs one
+    * scan. */
+  def q132WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.LangIdNB.ilogSparkSql
+    val k = 200
+    val h = graft.functions.Portable.h60(col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        h.as("h"))
+      .select(col("doc_id"), col("w"),
+        expr(s"((${60L * graft.text.LangIdNB.FP} - ${ilogSparkSql("h")})" +
+          s" * 1000000L) div w").as("rank_key"))
+      .orderBy(col("rank_key").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val q132Sql: String = {
+    import graft.text.LangIdNB.{ilogDuckSql, FP}
+    val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, greatest(n_chars, 1) AS w, $h AS h
+       |  FROM documents)
+       |SELECT doc_id, w,
+       |  ((${60L * FP} - ${ilogDuckSql("h")}) * 1000000) // w AS rank_key
+       |FROM keyed
+       |ORDER BY rank_key ASC, doc_id ASC
+       |LIMIT 200""".stripMargin
+  }
+
   // ------------------------------------------ q131 trained LID (NB fit)
 
   /** Trained language ID (graft.text.LangIdNB): multinomial NB over
@@ -734,6 +784,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q132_weighted_sample" -> q132WeightedSample,
     "q131_langid_nb" -> q131LangIdNb,
     "q126_bpe_stats" -> q126BpeStats,
     "q125_bpe_encode" -> q125BpeEncode,
@@ -756,6 +807,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_weighted_sample" -> q132Sql,
     "q131_langid_nb" -> q131Sql,
     "q126_bpe_stats" -> q126Sql,
     "q125_bpe_encode" -> q125Sql,

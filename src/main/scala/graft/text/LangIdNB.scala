@@ -48,17 +48,30 @@ object LangIdNB {
   val FP: Long = 1L << 20
 
   /** The L(x) template, Spark-SQL spelling (`div`, `shiftleft`). `x`
-    * must be a non-negative BIGINT fragment evaluating ≥ 1. */
-  def ilogSparkSql(x: String): String =
-    s"(cast(length(bin($x)) as bigint) - 1) * ${FP}L" +
-      s" + (($x) * ${FP}L) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)" +
-      s" - ${FP}L"
+    * must be a non-negative BIGINT fragment; valid for the WHOLE
+    * non-negative int64 range: the mantissa term (x·2²⁰) div 2^(b−1)
+    * is computed as a single shift in whichever direction b−1−20
+    * points, so x·2²⁰ is never materialized (a 60-bit hash input
+    * overflowed the naive form — q132). Integer-identical to the naive
+    * form wherever that form didn't overflow. */
+  def ilogSparkSql(x: String): String = {
+    val b1 = s"(length(bin($x)) - 1)"
+    s"(cast($b1 as bigint) * ${FP}L" +
+      s" + (CASE WHEN $b1 >= 20" +
+      s" THEN ($x) div shiftleft(cast(1 as bigint), $b1 - 20)" +
+      s" ELSE ($x) * shiftleft(cast(1 as bigint), 20 - $b1) END)" +
+      s" - ${FP}L)"
+  }
 
   /** The L(x) template, DuckDB spelling (`//`, `<<`). */
-  def ilogDuckSql(x: String): String =
-    s"((length(bin(($x)::BIGINT)) - 1) * $FP" +
-      s" + (($x) * $FP) // (1::BIGINT << (length(bin(($x)::BIGINT)) - 1))" +
+  def ilogDuckSql(x: String): String = {
+    val b1 = s"(length(bin(($x)::BIGINT)) - 1)"
+    s"($b1 * $FP" +
+      s" + (CASE WHEN $b1 >= 20" +
+      s" THEN ($x) // (1::BIGINT << ($b1 - 20))" +
+      s" ELSE ($x) * (1::BIGINT << (20 - $b1)) END)" +
       s" - $FP)"
+  }
 
   /** Character 3-grams of lowercased text; empty array below 3 chars
     * (guarded so `sequence` can never see start > stop and descend). */

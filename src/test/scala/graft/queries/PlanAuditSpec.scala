@@ -60,6 +60,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOf(p, "Exchange rangepartitioning") == 0)
   }
 
+  test("q132 weighted sample: per-partition top-k, zero exchanges, and ≡ brute-force A-ES") {
+    val df = TextOps.q132WeightedSample(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"sample planned as global sort:\n$p")
+    assert(countOf(p, "Exchange") == 0, s"weighted sample must be scan+top-k only:\n$p")
+    // brute-force reference: recompute every doc's integer A-ES key in
+    // Scala (BigInt — immune to the int64 overflow the SQL form avoids
+    // by shifting) and take the same top-200
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def ilog(x: Long): Long = {
+      val b1 = 64 - java.lang.Long.numberOfLeadingZeros(x) - 1
+      val mant = (BigInt(x) << 20) >> b1
+      (BigInt(b1) << 20).toLong + mant.toLong - (1L << 20)
+    }
+    val expected = docs.map { case (id, w) =>
+      val m = 60L * (1L << 20) - ilog(h60(id.toString))
+      (m * 1000000L / w, id)
+    }.sorted.take(200).map(_._2).toSeq
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == expected, "engine sample differs from brute-force A-ES reference")
+  }
+
   test("q30 token stats and q44 simhash: no algorithmic shuffle") {
     // the deliberate round-robin `spread` of the single-split testdata
     // parquet is allowed; hash/range exchanges (i.e. real data movement

@@ -25,7 +25,9 @@ class LangIdNBSpec extends SparkTestBase {
   }
 
   test("Q20 integer log2: exact at powers of two, strictly monotone, within 0.09 bits") {
-    val xs = (1L to 4096L) ++ Seq(1L << 20, (1L << 20) + 7, 123456789L)
+    val xs = (1L to 4096L) ++ Seq(1L << 20, (1L << 20) + 7, 123456789L,
+      // the overflow-free form must hold over the full h60 range
+      (1L << 59) + 12345L, (1L << 60) - 1, Long.MaxValue - 1)
     val ls = xs.toDF("x")
       .select($"x", expr(LangIdNB.ilogSparkSql("x")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
