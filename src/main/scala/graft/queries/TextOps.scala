@@ -736,6 +736,45 @@ object TextOps {
        |LIMIT 200""".stripMargin
   }
 
+  // --------------------- q133 stratified weighted sample (per source)
+
+  /** Per-SOURCE weighted sampling — the mixture-building primitive
+    * "take the k best-weighted documents from every source" (pairs
+    * with q78's mixture weights / q99's budget sampling): q132's
+    * integer-exact A-ES rank key composed with
+    * [[graft.operators.QuotaCap]], so the plan is the map-side
+    * `WindowGroupLimit` shape — each task pre-truncates to its local
+    * top-k per source BEFORE the exchange, and a skewed source with
+    * 10⁹ documents costs each mapper k rows of shuffle, not the
+    * source's whole share. Fully deterministic (no RNG state) and
+    * bit-reproducible cross-engine, like q132. */
+  def q133StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.LangIdNB.{ilogSparkSql, FP}
+    val k = 50
+    val h = graft.functions.Portable.h60(col("doc_id").cast("string"))
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("w"), h.as("h"))
+      .select(col("doc_id"), col("source"), col("w"),
+        expr(s"((${60L * FP} - ${ilogSparkSql("h")}) * 1000000L) div w")
+          .as("rank_key"))
+    graft.operators.QuotaCap.capPerGroup(keyed, Seq("source"),
+      Seq(col("rank_key").asc, col("doc_id").asc), k)
+  }
+
+  val q133Sql: String = {
+    import graft.text.LangIdNB.{ilogDuckSql, FP}
+    val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, greatest(n_chars, 1) AS w, $h AS h
+       |  FROM documents)
+       |SELECT doc_id, source, w,
+       |  ((${60L * FP} - ${ilogDuckSql("h")}) * 1000000) // w AS rank_key
+       |FROM keyed
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY source ORDER BY rank_key ASC, doc_id ASC) <= 50""".stripMargin
+  }
+
   // ------------------------------------------ q131 trained LID (NB fit)
 
   /** Trained language ID (graft.text.LangIdNB): multinomial NB over
@@ -784,6 +823,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q133_stratified_sample" -> q133StratifiedSample,
     "q132_weighted_sample" -> q132WeightedSample,
     "q131_langid_nb" -> q131LangIdNb,
     "q126_bpe_stats" -> q126BpeStats,
@@ -807,6 +847,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_stratified_sample" -> q133Sql,
     "q132_weighted_sample" -> q132Sql,
     "q131_langid_nb" -> q131Sql,
     "q126_bpe_stats" -> q126Sql,

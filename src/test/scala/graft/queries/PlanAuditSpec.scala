@@ -226,6 +226,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOf(p, "Exchange hashpartitioning") == 1, s"one shuffle expected:\n$p")
   }
 
+  test("q133 stratified sample: map-side WindowGroupLimit, one shuffle") {
+    // q132's integer A-ES key ∘ QuotaCap: each map task forwards at most
+    // k rows per source before the exchange — a skewed source costs
+    // k·tasks shuffle rows, not its corpus share
+    val p = plan(TextOps.q133StratifiedSample(spark, dir))
+    assert(countOf(p, "WindowGroupLimit") >= 2,
+      s"expected pre- and post-shuffle WindowGroupLimit:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, s"one shuffle expected:\n$p")
+  }
+
   test("q85 postings: ONE shuffle; bounded buffers via ObjectHashAggregate") {
     val p = plan(CorpusOps.q85Postings(spark, dir))
     assert(countOf(p, "Exchange hashpartitioning") == 1,
