@@ -310,8 +310,30 @@ object DayScale {
     // AverageSpeeds.run dayFilter) — outputs land in $outBase-passR and
     // union to the exact single-pass result; used at 100× where one
     // pass's shuffle+spill exceeds the sandbox's free scratch disk.
-    val vehiclePasses = args.find(_.startsWith("--vehicle-passes="))
-      .map(_.stripPrefix("--vehicle-passes=").toInt).getOrElse(1)
+    // --vehicle-passes=auto (round-14): choose K from input stats vs
+    // free scratch (Sharding.chooseVehiclePasses) instead of a human.
+    val vehiclePassArg = args.find(_.startsWith("--vehicle-passes="))
+      .map(_.stripPrefix("--vehicle-passes="))
+    val (vehiclePasses, passChoice) = vehiclePassArg match {
+      case Some("auto") =>
+        val c = Sharding.chooseVehiclePasses(spark, posPath)
+        println(s"DAYSCALE vehicle-passes auto: $c")
+        (c.passes, s""","vehicle_passes_auto":${c.json}""")
+      case Some(k) => (k.toInt, "")
+      case None    => (1, "")
+    }
+    if (vehiclePasses > 1) {
+      // The pass filter shards on CAST(prefixo AS LONG) % K: a null or
+      // non-numeric prefixo casts to null and would silently vanish
+      // from EVERY pass, breaking the union-equals-single-pass claim
+      // (ADVICE r13 #1). Assert the invariant instead of assuming it.
+      val uncastable = spark.read.parquet(posPath)
+        .filter(col("data") === lit(date.toString).cast("date"))
+        .filter(col("prefixo_veiculo").cast("long").isNull).count()
+      require(uncastable == 0L,
+        s"vehicle-pass sharding unsound: $uncastable rows have a " +
+          "null/non-numeric prefixo_veiculo and would be dropped from every pass")
+    }
     val ep3Mem0 = memSpilled.get(); val ep3Dsk0 = diskSpilled.get()
     val (counts, tEp3) =
       if (vehiclePasses == 1) timed {
@@ -326,8 +348,10 @@ object DayScale {
           c
         }.reduce((a, b) => a.map { case (k, v) => k -> (v + b(k)) })
       }
+    // listener-bus drain before snapshotting (ADVICE r13 #2)
     val ep3SpillMb =
-      ((memSpilled.get() - ep3Mem0) + (diskSpilled.get() - ep3Dsk0)) >> 20
+      (SpillProbe.settle(memSpilled.get() + diskSpilled.get())
+        - ep3Mem0 - ep3Dsk0) >> 20
     println(s"DAYSCALE EP3: $counts, ${tEp3.round} s, spilled $ep3SpillMb MB" +
       (if (vehiclePasses > 1) s" ($vehiclePasses vehicle-closed passes)" else ""))
 
@@ -369,7 +393,7 @@ object DayScale {
       f"""{"metric":"dayscale","vehicles":$nVehicles,"snapshots":$nMinutes,""" +
       f""""positions":$posRows,"synth_sec":$tSynth%.1f,"ep2_sec":$tEp2%.1f,""" +
       f""""ep3_sec":$tEp3%.1f,"ep3_spilled_mb":$ep3SpillMb,"master":"$master",""" +
-      f""""vehicle_passes":$vehiclePasses,""" +
+      f""""vehicle_passes":$vehiclePasses$passChoice,""" +
       f""""budget_sec":1800,"counts":${cjson(counts)},""" +
       f""""strict_sec":$tStrict%.1f,"strict_counts":${cjson(strictCounts)}$streamPart}""")
     spark.stop()

@@ -52,12 +52,44 @@ object FaultProbe {
       .toSeq
   }
 
+  /** Unconditional kill of one live executor (StreamFaultProbe's path —
+    * its mid-flight check is the streaming query's own isActive, not the
+    * batch probe's completion race). Batch runs use [[guardedKill]]. */
   private[graft] def killOne(): Option[Int] = {
     import scala.sys.process._
-    executorPids().headOption.map { pid =>
-      s"kill -9 $pid".!
-      pid
-    }
+    executorPids().headOption.map { pid => s"kill -9 $pid".!; pid }
+  }
+
+  /** executorId ("0"/"1"…) → pid, parsed from the backend's own
+    * `--executor-id N` launch argument. */
+  private[graft] def executorPidsById(): Map[String, Int] = {
+    import scala.sys.process._
+    val self = ProcessHandle.current().pid()
+    Seq("bash", "-c", "ps -eo pid,args").!!.linesIterator
+      .filter(_.contains("CoarseGrainedExecutorBackend"))
+      .flatMap { line =>
+        val toks = line.trim.split("\\s+")
+        for {
+          pid <- toks.headOption.flatMap(s => scala.util.Try(s.toInt).toOption)
+          if pid.toLong != self
+          i = toks.indexOf("--executor-id")
+          if i >= 0 && i + 1 < toks.length
+        } yield toks(i + 1) -> pid
+      }
+      .toMap
+  }
+
+  /** Kill-race closure (ADVICE r13 #3): the pid is resolved FIRST, then
+    * the final `kill -9` is gated by a compareAndSet on the run's state
+    * word — so a completion path that wins the CAS definitively
+    * suppresses the kill, instead of racing killOne()'s ps/kill
+    * subprocess milliseconds. States: 0 = query in flight, 1 = query
+    * done (kill forbidden), 2 = killer committed. */
+  private[graft] def guardedKill(pid: Int,
+      state: java.util.concurrent.atomic.AtomicInteger): Option[Int] = {
+    import scala.sys.process._
+    if (state.compareAndSet(0, 2)) { s"kill -9 $pid".!; Some(pid) }
+    else None
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,31 +118,82 @@ object FaultProbe {
     }
 
     case class Run(outcome: String, fp: Option[(Long, Long)], secs: Double,
-                   killedPid: Option[Int], killAfterUsed: Double)
+                   killedPid: Option[Int], killAfterUsed: Double,
+                   pinnedExec: Option[String] = None, blocksSeen: Long = 0L)
 
     def run(s: SparkSession, name: String, kill: Boolean,
-            killAfter: Double = killAfterSec): Run = {
+            killAfter: Double = killAfterSec,
+            pinToBlocks: Boolean = false): Run = {
       val killed = new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
-      // queryDone closes the interrupt race: interrupt() landing AFTER
-      // Thread.sleep returned but before killOne() would otherwise let
-      // the kill fire on a query that already completed — recorded as
-      // kill_fired=true with a fingerprint that never saw a fault, and
-      // the dead executor bleeding into the NEXT run. The killer
-      // re-checks the flag at the last possible moment; the completion
-      // paths set it BEFORE interrupting.
-      val queryDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pinnedExec = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+      // state closes the kill race (ADVICE r13 #3): 0 = in flight,
+      // 1 = query done, 2 = killer committed. The completion paths CAS
+      // 0→1 BEFORE interrupting; the killer resolves its pid first and
+      // only fires if its own CAS 0→2 wins — so a kill can no longer
+      // land after completion and contaminate the row (or the NEXT run)
+      // with a fingerprint that never saw a fault.
+      val state = new java.util.concurrent.atomic.AtomicInteger(0)
+      // pinned mode (round-14, verdict #7): instead of killing at a
+      // fixed delay, watch BlockUpdated events for the query's own
+      // rdd_* blocks (the localCheckpoint replicas, replication 1) and
+      // kill the executor that holds the most — the documented
+      // lost-on-executor-death failure then reproduces by construction,
+      // not by placement luck.
+      val blockCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+      val blockListener = if (pinToBlocks) {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onBlockUpdated(
+              e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+            val info = e.blockUpdatedInfo
+            val exec = info.blockManagerId.executorId
+            if (info.blockId.isRDD && exec != "driver" &&
+                (info.memSize > 0 || info.diskSize > 0))
+              blockCounts.computeIfAbsent(exec,
+                _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet(): Unit
+          }
+        }
+        s.sparkContext.addSparkListener(l); Some(l)
+      } else None
       val killer = if (kill) {
         val t = new Thread(() => {
           try {
-            Thread.sleep((killAfter * 1000).toLong)
-            if (!queryDone.get && !Thread.currentThread().isInterrupted)
-              killed.set(killOne())
+            if (pinToBlocks) {
+              // wait for checkpoint blocks to exist (cap: 20× the fuse),
+              // then a short grace so the holder's lineage truncation
+              // lands, then kill the majority holder
+              val deadline = System.nanoTime() + (killAfter * 20 * 1e9).toLong
+              while (state.get == 0 &&
+                  blockCounts.values.stream.mapToLong(_.get).sum < 8 &&
+                  System.nanoTime() < deadline)
+                Thread.sleep(100)
+              Thread.sleep(500)
+              if (state.get == 0) {
+                import scala.jdk.CollectionConverters._
+                val byId = executorPidsById()
+                val target = blockCounts.asScala.toSeq
+                  .sortBy(-_._2.get).map(_._1)
+                  .find(byId.contains)
+                target.foreach { exec =>
+                  pinnedExec.set(Some(exec))
+                  killed.set(guardedKill(byId(exec), state))
+                }
+                // no block ever landed (or holder already gone): fall
+                // back to any live executor so the row is still a fault
+                if (target.isEmpty)
+                  executorPids().headOption.foreach(p => killed.set(guardedKill(p, state)))
+              }
+            } else {
+              Thread.sleep((killAfter * 1000).toLong)
+              if (state.get == 0 && !Thread.currentThread().isInterrupted)
+                executorPids().headOption.foreach(p => killed.set(guardedKill(p, state)))
+            }
           } catch { case _: InterruptedException => () }
         })
         t.setDaemon(true); t.start(); Some(t)
       } else None
       def reap(): Unit = killer.foreach { t =>
-        queryDone.set(true); t.interrupt(); t.join(5000)
+        state.compareAndSet(0, 1); t.interrupt(); t.join(5000)
+        blockListener.foreach(s.sparkContext.removeSparkListener)
         // A killer still alive after the join timeout (killOne()'s
         // ps/kill subprocess stalled) could kill an executor during the
         // NEXT query's no-fault run — surface it instead of silently
@@ -121,12 +204,18 @@ object FaultProbe {
               "interrupt — subsequent runs would be contaminated")
       }
       val t0 = System.nanoTime()
+      def blocksSeen = {
+        var t = 0L
+        blockCounts.values.forEach(v => t += v.get)
+        t
+      }
       try {
         val fp = SpillProbe.fingerprint(SparkEntry.queries(name)(s, dir))
         val secs = (System.nanoTime() - t0) / 1e9
         reap()
         s.catalog.clearCache(); Checkpoints.releaseAll(s)
-        Run("completed", Some(fp), secs, killed.get(), killAfter)
+        Run("completed", Some(fp), secs, killed.get(), killAfter,
+          pinnedExec.get(), blocksSeen)
       } catch {
         case e: Throwable =>
           val secs = (System.nanoTime() - t0) / 1e9
@@ -134,7 +223,7 @@ object FaultProbe {
           try { s.catalog.clearCache(); Checkpoints.releaseAll(s) }
           catch { case _: Throwable => () }
           Run(s"failed: ${e.getClass.getSimpleName}", None, secs,
-            killed.get(), killAfter)
+            killed.get(), killAfter, pinnedExec.get(), blocksSeen)
       }
     }
 
@@ -142,15 +231,15 @@ object FaultProbe {
       * killAfterSec) proved nothing — retry with a shorter fuse so the
       * per-query claim is never vacuous. The delay actually used is
       * threaded out in Run.killAfterUsed and recorded per row. */
-    def faultRun(s: SparkSession, name: String): Run = {
+    def faultRun(s: SparkSession, name: String, pinToBlocks: Boolean = false): Run = {
       var delay = killAfterSec
-      var r = run(s, name, kill = true, delay)
+      var r = run(s, name, kill = true, delay, pinToBlocks)
       var tries = 1
       while (r.killedPid.isEmpty && tries < 3) {
         delay = math.max(0.5, delay / 4)
         println(s"FAULTPROBE $name: kill never fired (query too fast); " +
           f"retrying with kill_after=$delay%.1f s")
-        r = run(s, name, kill = true, delay)
+        r = run(s, name, kill = true, delay, pinToBlocks)
         tries += 1
       }
       if (r.killedPid.isEmpty)
@@ -175,19 +264,25 @@ object FaultProbe {
       } finally s.stop()
     }
 
-    // LOCAL posture: outcome recorded, not required (blocks may or may
-    // not have lived on the killed executor)
+    // LOCAL posture: the kill is PINNED to the executor holding the
+    // most localCheckpoint (rdd_*) blocks — replication 1, so losing
+    // that executor is the README's documented lost-on-executor-death
+    // failure by construction, not placement luck (round-14 verdict
+    // #7; FAULT_r13's local rows were "completed-if-lucky" evidence).
+    // Outcome recorded either way: completion despite a pinned kill
+    // would mean the blocks were no longer needed when it fired.
     val localRows = {
       val s = session(reliable = false)
       try names.map { n =>
         val base = run(s, n, kill = false)
-        val fault = faultRun(s, n)
+        val fault = faultRun(s, n, pinToBlocks = true)
         val matched = (base.fp, fault.fp) match {
           case (Some(a), Some(b)) => a == b
           case _ => false
         }
         println(f"FAULTPROBE local    $n%-22s base ${base.secs}%5.1f s | " +
-          f"fault ${fault.outcome} ${fault.secs}%5.1f s killed=${fault.killedPid} match=$matched")
+          f"fault ${fault.outcome} ${fault.secs}%5.1f s killed=${fault.killedPid} " +
+          f"pinned=${fault.pinnedExec} blocks=${fault.blocksSeen} match=$matched")
         (n, base, fault, matched)
       } finally s.stop()
     }
@@ -201,7 +296,10 @@ object FaultProbe {
         s""""$n":{"base_sec":${f1(base.secs)},"fault_outcome":"${fault.outcome}",""" +
           s""""fault_sec":${f1(fault.secs)},"killed_pid":${fault.killedPid.getOrElse(-1)},""" +
           s""""kill_fired":${fault.killedPid.isDefined},""" +
-          s""""kill_after_used":${f1(fault.killAfterUsed)},"match":$m}"""
+          s""""kill_after_used":${f1(fault.killAfterUsed)},""" +
+          fault.pinnedExec.map(e =>
+            s""""pinned_executor":"$e","ckpt_blocks_seen":${fault.blocksSeen},""").getOrElse("") +
+          s""""match":$m}"""
       }.mkString("{", ",", "}")
     val reliableOk = reliableRows.forall { case (_, _, f, m) =>
       f.outcome == "completed" && m }

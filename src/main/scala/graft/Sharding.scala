@@ -95,6 +95,53 @@ object Sharding {
         perm(lower, s) + perm(upper, s) + perm(digits, s))))
   }
 
+  /** A self-sized vehicle-closed pass count (round-14: the operator a
+    * real cluster needs — DAYSCALE_r13's `--vehicle-passes=3` was a
+    * human decision; this makes it code). */
+  case class PassChoice(passes: Int, inputBytes: Long, estPeakBytes: Long,
+                        freeScratchBytes: Long, budgetBytes: Long,
+                        scratchDir: String) {
+    def json: String =
+      s"""{"passes":$passes,"input_mb":${inputBytes >> 20},""" +
+        s""""est_peak_scratch_mb":${estPeakBytes >> 20},""" +
+        s""""free_scratch_mb":${freeScratchBytes >> 20},""" +
+        s""""budget_mb":${budgetBytes >> 20},"scratch_dir":"$scratchDir"}"""
+    override def toString: String = json
+  }
+
+  /** Choose how many vehicle-closed EP3 passes a day needs so each
+    * pass's peak scratch footprint fits the node's free spill disk —
+    * the `tuneForInput` discipline (size from the INPUT, not the
+    * cluster) applied to disk instead of shuffle partitions.
+    *
+    * Model: the full-day window+aggregate pipeline's peak on-disk
+    * scratch is `inputBytes × peakExpansion / K` for K vehicle-closed
+    * passes (spill files are freed as stages complete, so the peak is
+    * well below the run's TOTAL spill). `peakExpansion` = 5 is
+    * CALIBRATED, not guessed: DAYSCALE_r13 fleet_100x measured ~25 GB
+    * per-pass peak at K = 3 over 15 GB of positions parquet
+    * (25·3/15 ≈ 5), and its two K = 1 attempts genuinely exhausted a
+    * 64 GB disk — consistent with a ~75 GB single-pass peak. `headroom`
+    * keeps half the free disk for everything else on the node (shuffle
+    * files of OTHER stages, outputs, OS). */
+  def chooseVehiclePasses(spark: org.apache.spark.sql.SparkSession, posPath: String,
+                          peakExpansion: Double = 5.0,
+                          headroom: Double = 0.5): PassChoice = {
+    val p = new org.apache.hadoop.fs.Path(posPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    // where Spark actually spills: spark.local.dir, else java.io.tmpdir
+    val scratchDir = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .split(',').head
+    val free = new java.io.File(scratchDir).getUsableSpace
+    val budget = (free * headroom).toLong
+    val estPeak = (bytes * peakExpansion).toLong
+    val k = math.max(1L, (estPeak + budget - 1) / budget).toInt
+    PassChoice(k, bytes, estPeak, free, budget, scratchDir)
+  }
+
   /** Embeddings: vec_id offset by corpus size, +s·1e-4 coordinate
     * perturbation (cosine ≈ 1 across shards — semantic-dedup stress). */
   def embeddings(emb: DataFrame, k: Int): DataFrame =

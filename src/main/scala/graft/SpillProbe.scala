@@ -40,6 +40,26 @@ object SpillProbe {
     "q26_percentiles", "q28_argminmax", "q21_speed_agg",
     "q47_dedup_clusters", "q59_dedup_survivors")
 
+  /** Wait for an asynchronously-updated counter snapshot to stop moving.
+    * SparkListener task-end events are delivered on the listener bus
+    * AFTER the triggering action returns, so reading spill counters
+    * immediately can miss trailing events (ADVICE r13 #2): poll until
+    * the snapshot is unchanged for `quietMs`, giving up after `maxMs`.
+    * (listenerBus.waitUntilEmpty is private[spark] — polling is the
+    * public-API equivalent.) */
+  def settle(snapshot: => Long, quietMs: Long = 500, maxMs: Long = 10000): Long = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var last = snapshot
+    var quietSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+        (System.nanoTime() - quietSince) < quietMs * 1000000L) {
+      Thread.sleep(50)
+      val cur = snapshot
+      if (cur != last) { last = cur; quietSince = System.nanoTime() }
+    }
+    last
+  }
+
   /** Order-independent relation fingerprint: (XOR of row xxhash64, count)
     * with columns name-sorted and null marked distinctly from "". Long
     * overflow wraps identically everywhere — still a fingerprint. */

@@ -91,6 +91,10 @@ object WindowSpillProbe {
         (fp, (System.nanoTime() - t0) / 1e9)
       } finally s.stop()
     }
+    // drain the listener bus before snapshotting — task-end events are
+    // async, so an immediate read can undercount and spuriously fail
+    // the spill>0 gate (ADVICE r13 #2)
+    SpillProbe.settle(memSpilled.get() + diskSpilled.get())
     val memMb = memSpilled.get() >> 20
     val dskMb = diskSpilled.get() >> 20
     val ok = refFp == spFp

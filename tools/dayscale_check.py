@@ -27,41 +27,60 @@ import duckdb
 base = sys.argv[1] if len(sys.argv) > 1 else 'target/dayscale'
 day = sys.argv[2] if len(sys.argv) > 2 else '2026-08-10'
 month = day[:7]
-# --line-mod=K: replay only lines with codigo_linha % K == 0, applied to
-# BOTH the oracle's positions scan and the engine's CSVs. The slice is
-# CLOSED under every group key (letreiro/origem/destino/prefixo are all
-# functions of the line), so group-exactness on the slice is a sound
-# claim; used at 100x where a full 1.75B-row DuckDB window replay would
-# exceed the sandbox's disk. The strict section stays full-fidelity as
-# long as line 0 is in the slice (the deployed truncate's 1000 rows all
-# belong to vehicle "0" = line 0, which K | 0 always keeps).
+# --line-mod=K[:R]: replay only lines with codigo_linha % K == R
+# (default R=0), applied to BOTH the oracle's positions scan and the
+# engine's CSVs. The slice is CLOSED under every group key
+# (letreiro/origem/destino/prefixo are all functions of the line), so
+# group-exactness on the slice is a sound claim; used at 100x where a
+# full 1.75B-row DuckDB window replay would exceed the sandbox's disk.
+# Looping R over 0..K-1 covers the WHOLE day (round-14 verdict #4 --
+# the r13 run verified only the R=0 slice). The strict section stays
+# full-fidelity as long as line 0 is in the slice (the deployed
+# truncate's 1000 rows all belong to vehicle "0" = line 0 -> residue 0).
 line_mod = 0
+line_res = 0
 # --vehicle-mod=N:R — check ONE vehicle-closed EP3 pass (DayScale
 # --vehicle-passes): oracle positions filtered to vehicles ≡ R (mod N);
 # the pass's CSVs already contain exactly that slice. Group keys include
 # the vehicle, so per-pass group-exactness composes to the full day.
 veh_mod = None
-# --out-dir=SUFFIX — engine CSVs live under {base}/out{SUFFIX} (e.g.
-# '-pass0'); --skip-strict — strict outputs belong to one full-day run,
-# so per-pass invocations other than the strict-carrying one skip it.
-out_sfx = ''
+# --out-dir=SUFFIX[,SUFFIX...] — engine CSVs live under {base}/out{SUFFIX};
+# a comma list UNIONS the passes of a --vehicle-passes run (group keys
+# include the vehicle, so the union IS the single-pass result) so one
+# line-mod slice check covers the whole day across passes.
+# --skip-strict — strict outputs belong to one full-day run, so
+# invocations other than the strict-carrying one skip it.
+out_sfxs = ['']
 skip_strict = False
 for a in sys.argv[3:]:
     if a.startswith('--line-mod='):
-        line_mod = int(a.split('=', 1)[1])
+        parts = a.split('=', 1)[1].split(':')
+        line_mod = int(parts[0])
+        line_res = int(parts[1]) if len(parts) > 1 else 0
     elif a.startswith('--vehicle-mod='):
         veh_mod = tuple(int(x) for x in a.split('=', 1)[1].split(':'))
     elif a.startswith('--out-dir='):
-        out_sfx = a.split('=', 1)[1]
+        out_sfxs = a.split('=', 1)[1].split(',')
     elif a == '--skip-strict':
         skip_strict = True
-slice_pred = f" AND codigo_linha % {line_mod} = 0" if line_mod else ""
+slice_pred = f" AND codigo_linha % {line_mod} = {line_res}" if line_mod else ""
 if veh_mod:
-    slice_pred += (f" AND CAST(prefixo_veiculo AS BIGINT) % {veh_mod[0]}"
+    # TRY_CAST + explicit uncastable check (ADVICE r13 #4): a plain CAST
+    # errors on non-numeric prefixes, and silently excluding NULLs from
+    # both sides would hide rows the engine's cast-null sharding dropped.
+    slice_pred += (f" AND TRY_CAST(prefixo_veiculo AS BIGINT) % {veh_mod[0]}"
                    f" = {veh_mod[1]}")
-csv_pred = f" WHERE codigo_linha % {line_mod} = 0" if line_mod else ""
+csv_pred = f" WHERE codigo_linha % {line_mod} = {line_res}" if line_mod else ""
 
 con = duckdb.connect()
+
+def eng_csv(subpath, types):
+    """Engine CSV scan, unioned across --out-dir pass suffixes, with
+    the line-mod slice predicate applied."""
+    union = ' UNION ALL '.join(
+        f"SELECT * FROM read_csv('{base}/out{sfx}/{subpath}', "
+        f"header=true, columns={types})" for sfx in out_sfxs)
+    return f"SELECT * FROM ({union}){csv_pred}"
 
 HOPS = f"""
 WITH pos AS (
@@ -132,8 +151,18 @@ FROM clean
 GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_agg AS
-SELECT * FROM read_csv('{base}/out{out_sfx}/velocidades-agg/{month}/vel-agg-{day}.csv/*.csv',
-  header=true, columns={CSV_TYPES}){csv_pred}""")
+{eng_csv(f'velocidades-agg/{month}/vel-agg-{day}.csv/*.csv', CSV_TYPES)}""")
+
+if veh_mod:
+    # the slice-closure assumption is VERIFIED, not assumed: any
+    # NULL/non-castable prefixo would fall out of every vehicle residue
+    # on both sides identically, hiding engine-side sharding drops
+    n_uncast = con.execute(f"""
+    SELECT count(*) FROM read_parquet('{base}/posicoes/*/*.parquet',
+      hive_partitioning=1)
+    WHERE data = DATE '{day}' AND TRY_CAST(prefixo_veiculo AS BIGINT) IS NULL
+    """).fetchone()[0]
+    check('vehicle_mod_castable', n_uncast == 0, {'uncastable_prefixes': n_uncast})
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_agg), (SELECT count(*) FROM oracle_agg)").fetchone()
@@ -165,8 +194,7 @@ FROM clean
 GROUP BY ALL""")
 con.execute(f"""
 CREATE TEMP TABLE eng_acess AS
-SELECT * FROM read_csv('{base}/out{out_sfx}/acessiveis/{month}/acessiveis-{day}.csv/*.csv',
-  header=true, columns={ACESS_TYPES}){csv_pred}""")
+{eng_csv(f'acessiveis/{month}/acessiveis-{day}.csv/*.csv', ACESS_TYPES)}""")
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_acess), (SELECT count(*) FROM oracle_acess)").fetchone()
@@ -195,8 +223,7 @@ FROM clean WHERE velocidade_media < 1.4""")
 con.execute(f"""
 CREATE TEMP TABLE eng_slow AS
 SELECT prefixo_veiculo, tempo, distancia, velocidade_media
-FROM read_csv('{base}/out{out_sfx}/lentidao/{month}/lentidao-{day}.csv/*.csv',
-  header=true, columns={CSV_TYPES}){csv_pred}""")
+FROM ({eng_csv(f'lentidao/{month}/lentidao-{day}.csv/*.csv', CSV_TYPES)})""")
 
 n_eng, n_ora = con.execute(
     "SELECT (SELECT count(*) FROM eng_slow), (SELECT count(*) FROM oracle_slow)").fetchone()
