@@ -172,6 +172,15 @@ object GraftExtensions {
       WinnowFingerprints(exprs(0), litInt(exprs(1), "k"), litInt(exprs(2), "w"))
     })
 
+  private[functions] val tokenNgramsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_ngrams"),
+    new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "token_ngrams(text, n)")
+      TokenNgrams(exprs(0), litInt(exprs(1), "n"))
+    })
+
   private[functions] val nearestCidDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nearest_cid"),
@@ -207,8 +216,8 @@ object GraftExtensions {
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
-    quantileRankDescriptor, winnowDescriptor, nearestCidDescriptor,
-    nearestCidsDescriptor, fxRoundDescriptor)
+    quantileRankDescriptor, winnowDescriptor, tokenNgramsDescriptor,
+    nearestCidDescriptor, nearestCidsDescriptor, fxRoundDescriptor)
   private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):

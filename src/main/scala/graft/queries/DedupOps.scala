@@ -695,9 +695,8 @@ object DedupOps {
     val K = graft.text.SpanDedup.K
     val W = graft.text.SpanDedup.W
     val pows = Array.iterate(1L, K)(p => p * B % M).reverse.mkString(", ")
-    val charsWhere = docPredicate.map(p => s"\n       |  WHERE $p").getOrElse("")
-    val finalWhere = docPredicate.map(p => s"\n       |WHERE d.$p").getOrElse("")
-    s"""WITH pos AS (
+    spanExcisionSql(
+      s"""pos AS (
        |  SELECT doc_id, p,
        |    list_sum(list_transform(range(0, $K), i ->
        |      (ord(text[p + 1 + i])::BIGINT * ([$pows])[i + 1]) % $M)) % $M AS h,
@@ -712,7 +711,20 @@ object DedupOps {
        |fpos AS (
        |  SELECT DISTINCT doc_id, mk // 2097152 AS h,
        |    1048576 - (mk % 2097152) AS p
-       |  FROM sel),
+       |  FROM sel)""".stripMargin,
+      rmCtes, docPredicate)
+  }
+
+  /** The removal-trigger-agnostic half of the span-excision oracle:
+    * caller-supplied prefix CTEs (how spans are found) + a CTE section
+    * defining `rm (doc_id, s, e)`, then the island merge / provenance /
+    * per-character reassembly shared by q121/q122/q134 — ONE tail,
+    * mirroring SpanDedup.mergeIntervals + assembleClean exactly. */
+  private def spanExcisionSql(prefixCtes: String, rmCtes: String,
+                              docPredicate: Option[String]): String = {
+    val charsWhere = docPredicate.map(p => s"\n       |  WHERE $p").getOrElse("")
+    val finalWhere = docPredicate.map(p => s"\n       |WHERE d.$p").getOrElse("")
+    s"""WITH $prefixCtes,
        |$rmCtes,
        |mi AS (
        |  SELECT doc_id, s, e,
@@ -786,7 +798,63 @@ object DedupOps {
       docPredicate = Some("doc_id % 41 <> 0"))
   }
 
+  /** EXACT substring dedup (text.ExactSpanDedup — Lee et al. ACL 2022):
+    * every cross-document VERBATIM ≥ 5-token span excised outside its
+    * lowest-id holder, adjacent/overlapping spans merged, remainder
+    * reassembled. Same deliverable contract as q121; the detection is
+    * exact token n-grams (hash-df prefilter → verbatim string verify)
+    * instead of winnow sampling. The oracle finds the same spans with
+    * no hashes at all — per-character token boundaries, gram cut by
+    * substr, grouped by the gram STRING — a fully independent
+    * construction of the same removal set, then the shared
+    * island/reassembly tail. */
+  def q134ExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.text.ExactSpanDedup.removeSharedSpans(
+        graft.Tables.spread(s, Tables.documents(s, dir)), "doc_id", col("text"),
+        scope = scope))
+  }
+
+  val q134Sql: String = {
+    val N = graft.text.ExactSpanDedup.N
+    spanExcisionSql(
+      s"""tchars AS (
+         |  SELECT doc_id, i, text[i + 1] AS ch
+         |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)),
+         |tkst AS (
+         |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+         |  FROM (SELECT doc_id, i, ch,
+         |          lag(ch) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |        FROM tchars)
+         |  WHERE ch <> ' ' AND (pv IS NULL OR pv = ' ')),
+         |tken AS (
+         |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+         |  FROM (SELECT doc_id, i, ch,
+         |          lead(ch) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+         |        FROM tchars)
+         |  WHERE ch <> ' ' AND (nx IS NULL OR nx = ' ')),
+         |tok AS (
+         |  SELECT st.doc_id, st.k, st.i AS ts, en.i AS te
+         |  FROM tkst st JOIN tken en USING (doc_id, k)),
+         |gr AS (
+         |  SELECT a.doc_id, a.ts AS s, b.te AS e,
+         |    substr(d.text, a.ts + 1, b.te - a.ts + 1) AS gram
+         |  FROM tok a
+         |  JOIN tok b ON a.doc_id = b.doc_id AND b.k = a.k + ${N - 1}
+         |  JOIN documents d ON d.doc_id = a.doc_id)""".stripMargin,
+      s"""own AS (
+         |  SELECT gram, min(doc_id) AS keeper
+         |  FROM (SELECT DISTINCT doc_id, gram FROM gr)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |rm AS (
+         |  SELECT DISTINCT g.doc_id, g.s, g.e
+         |  FROM gr g JOIN own o USING (gram) WHERE g.doc_id <> o.keeper)""".stripMargin,
+      docPredicate = None)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_exact_substring" -> q134ExactSubstring,
     "q122_decontaminate_spans" -> q122DecontaminateSpans,
     "q121_span_removal"   -> q121SpanRemoval,
     "q39_decontaminate"   -> q39Decontaminate,
@@ -806,6 +874,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_exact_substring" -> q134Sql,
     "q122_decontaminate_spans" -> q122Sql,
     "q121_span_removal"   -> q121Sql,
     "q39_decontaminate"   -> q39Sql,

@@ -144,7 +144,7 @@ object SpanDedup {
     * running max end of all earlier intervals leaves a gap). ONE place
     * on purpose — both span-removal deliverables share these merge
     * semantics, and the oracles mirror this exact rule. */
-  private def mergeIntervals(rm: DataFrame, idCol: String): DataFrame = {
+  private[text] def mergeIntervals(rm: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
     rm.withColumn("__maxe",
@@ -158,8 +158,8 @@ object SpanDedup {
 
   /** Shared reassembly tail of the two span-removal forms: merge span
     * lists per doc, fold out the kept segments, carry provenance. */
-  private def assembleClean(docs: DataFrame, idCol: String, textCol: Column,
-                            spans: DataFrame): DataFrame = {
+  private[text] def assembleClean(docs: DataFrame, idCol: String, textCol: Column,
+                                  spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
         count(lit(1)).as("n_spans"),

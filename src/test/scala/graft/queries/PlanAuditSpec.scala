@@ -278,6 +278,25 @@ class PlanAuditSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q134 exact substring dedup: df prefilter is a semi join; gram text only for candidates; never all-pairs") {
+    // audited on the operator directly (unmanaged scope), like q121/q122
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val df = graft.text.ExactSpanDedup.removeSharedSpans(docs, "doc_id", col("text"))
+    val p = plan(df)
+    assert(!p.contains("Scan ExistingRDD"),
+      s"audit target is lineage-truncated — assertions would be vacuous:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"exact-span dedup degenerated to all-pairs:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"exact-span dedup acquired a global sort:\n$p")
+    // the 100 TB property: the hash-df prefilter plans as a LeftSemi so
+    // corpus-sized gram rows never carry text, and no gram-to-gram join
+    // exists (keeper/df come from aggregations)
+    assert(p.contains("LeftSemi"), s"hash-df prefilter must be a semi join:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q87 fuzzy pairs: candidates via equi-join — no cartesian/nested-loop") {
     // the FastSS point: a levenshtein(a,b)<=k predicate alone would force
     // a BroadcastNestedLoopJoin/CartesianProduct; the deletion-variant
