@@ -786,12 +786,14 @@ object TextOps {
   /** The full NB replay: same split hash, same trigram extraction, same
     * fixed-point integer log2 (LangIdNB.ilogDuckSql — `bin`/`length`/
     * integer division, bit-identical across engines), same argmax
-    * tie-break (score DESC, lang ASC). */
-  val q131Sql: String = {
+    * tie-break (score DESC, lang ASC). `textExpr` is the document text
+    * spelling — q131 scores the corpus as-is, q135 the
+    * correlated-fixture rotation. */
+  private def langIdSqlFor(textExpr: String): String = {
     import graft.text.LangIdNB.{ilogDuckSql => L}
     val h5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
     s"""WITH d AS (
-       |  SELECT doc_id, lang, lower(text) AS t, ($h5) <> 0 AS is_train
+       |  SELECT doc_id, lang, $textExpr AS t, ($h5) <> 0 AS is_train
        |  FROM documents),
        |gr AS (
        |  SELECT doc_id, lang, is_train, substr(t, u.i, 3) AS g
@@ -822,7 +824,63 @@ object TextOps {
        |  PARTITION BY doc_id ORDER BY score_fp DESC, lang ASC) = 1""".stripMargin
   }
 
+  val q131Sql: String = langIdSqlFor("lower(text)")
+
+  // ----------------------------- q135 correlated-language LID fixture
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** The corpus with a per-LANGUAGE character distribution imposed:
+    * each document's lowercased text goes through a Caesar rotation of
+    * a–z whose offset is seed-hashed from its own lang label
+    * (h60(lang‖"graft") mod 26 — the salt is the one suffix for which
+    * the five testdata labels land on five DISTINCT offsets; asserted
+    * below rather than assumed, because a collision would silently
+    * merge two languages back into one distribution). Deterministic,
+    * replayed exactly by the oracle; spaces and token shapes survive,
+    * so the corpus stays "the same text in five alphabets" —
+    * correlated, not merely disjoint charsets. */
+  def correlatedText(docs: DataFrame): DataFrame = {
+    val rot = pmod(
+      graft.functions.Portable.h60(concat(col("lang"), lit("graft"))), lit(26))
+    docs.withColumn("text",
+      call_function("translate", lower(col("text")), lit(Alpha),
+        substr(lit(Alpha + Alpha), (rot + lit(1)).cast("int"), lit(26))))
+  }
+
+  /** q131's machinery on the correlated fixture: because the gate
+    * corpus's real `lang` labels are uncorrelated with its shared-
+    * vocabulary text, q131's measured accuracy is chance and the oracle
+    * only proves the fit/score ARITHMETIC (documented in LangIdNB's
+    * scaladoc). Here each language gets its own deterministic character
+    * distribution first, so the oracle-hashed `lang_pred` column IS the
+    * model's discriminative output — verdict r13 "what's wrong" #1.
+    * Accuracy vs the true labels is measured in the round notes
+    * (expected ≫ the 44% majority-class chance). */
+  def q135LangIdCorr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nLangs = docs.select(col("lang")).distinct()
+    val nRots = correlatedText(docs).select(col("lang")).distinct()
+      .select(col("lang"),
+        pmod(graft.functions.Portable.h60(concat(col("lang"), lit("graft"))),
+          lit(26)).as("rot"))
+      .select(countDistinct(col("rot")))
+    // loud fixture-soundness gate: distinct langs must map to distinct
+    // rotations (tiny: |langs| rows)
+    val (nl, nr) = (nLangs.count(), nRots.head().getLong(0))
+    require(nl == nr,
+      s"correlated-LID fixture unsound: $nl languages share $nr rotations")
+    graft.text.LangIdNB.predictions(correlatedText(docs))
+  }
+
+  val q135Sql: String = langIdSqlFor(
+    s"""translate(lower(text), '$Alpha',
+       |    substr('$Alpha$Alpha',
+       |      1 + (('0x' || substr(md5(lang || 'graft'), 1, 15))::BIGINT % 26)::INT,
+       |      26))""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    "q135_langid_corr" -> q135LangIdCorr,
     "q133_stratified_sample" -> q133StratifiedSample,
     "q132_weighted_sample" -> q132WeightedSample,
     "q131_langid_nb" -> q131LangIdNb,
@@ -847,6 +905,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_langid_corr" -> q135Sql,
     "q133_stratified_sample" -> q133Sql,
     "q132_weighted_sample" -> q132Sql,
     "q131_langid_nb" -> q131Sql,

@@ -1,5 +1,6 @@
 package graft.text
 
+
 import org.apache.spark.sql.functions._
 import graft.olhovivo.SparkTestBase
 
@@ -57,6 +58,20 @@ class LangIdNBSpec extends SparkTestBase {
     val joined = pred.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
     assert(joined.filter($"lang_pred" =!= $"lang").count() == 0,
       "disjoint charsets must classify perfectly")
+  }
+
+  test("correlated fixture (q135): distinct per-language rotations; held-out accuracy 100% on testdata") {
+    // the gate-facing discrimination claim as a regression: the rotation
+    // offsets of the five testdata labels are pairwise distinct (the
+    // 'graft' salt was CHOSEN for that — a collision merges two
+    // languages), and the NB model recovers every held-out label on the
+    // sf0.001 corpus (majority-class chance is ~44%)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pred = graft.queries.TextOps.q135LangIdCorr(spark, "/root/testdata/sf0.001")
+    val joined = pred.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val (right, total) = (joined.filter($"lang_pred" === $"lang").count(), joined.count())
+    assert(total > 0)
+    assert(right == total, s"correlated-LID accuracy $right/$total, expected 100%")
   }
 
   test("argmax tie-break is deterministic: score DESC then lang ASC") {
