@@ -174,7 +174,46 @@ object CorpusOps {
       |JOIN uc lc ON p2.l_tok = lc.tok
       |JOIN uc rc ON p2.r_tok = rc.tok, n""".stripMargin
 
+  // --------------------------------------------------- q136 WARC source
+
+  private val warcZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WARC ingestion (sources.Warc): a zone synthesized ONCE per source
+    * dir from the documents table — one response record per doc, with
+    * the two corruption modes injected by residue (doc_id % 97 payload
+    * truncation, % 89 missing Content-Length) — then read back through
+    * the splittable lineSep text scan with per-record validation. Only
+    * valid records surface; the oracle states the expected survivors
+    * directly from `documents`, so a reader that silently admitted a
+    * corrupt record (or dropped a good one) hash-mismatches. Like
+    * q103's bucketed layout, the first call per dir pays the zone write
+    * (SparkEntry.artifactEntries). */
+  def q136WarcRead(s: SparkSession, dir: String): DataFrame = {
+    val zone = warcZones.computeIfAbsent(dir, { d =>
+      val base = graft.TempArtifacts.dir("graft_warc")
+      graft.sources.Warc.synthesize(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), base)
+      base
+    })
+    graft.sources.Warc.readClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"), col("content_length"), col("payload"))
+  }
+
+  val q136Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, UriPrefix}
+    s"""SELECT doc_id,
+       |  '$UriPrefix' || doc_id AS url,
+       |  strlen(text)::BIGINT AS content_length,
+       |  text AS payload
+       |FROM documents
+       |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_warc_read" -> q136WarcRead,
     "q120_pmi"       -> q120Pmi,
     "q98_fluency"    -> q98Fluency,
     "q82_chunks"     -> q82Chunks,
@@ -185,6 +224,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_warc_read" -> q136Sql,
     "q120_pmi"       -> q120Sql,
     "q98_fluency"    -> q98Sql,
     "q82_chunks"     -> q82Sql,
