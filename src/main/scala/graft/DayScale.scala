@@ -104,8 +104,17 @@ object DayScale {
     * seam OlhoVivoClient lands real polls through. */
   def synthesizeRawZone(spark: SparkSession, rawBase: String,
                         nVehicles: Int, nMinutes: Int,
-                        shardsPerPoll: Int = 1): Long = {
-    val obs = observations(spark, nVehicles, nMinutes)
+                        shardsPerPoll: Int = 1, gzip: Boolean = false,
+                        minuteRange: Option[(Int, Int)] = None): Long = {
+    val all = observations(spark, nVehicles, nMinutes)
+    // --synth-chunks: a minute-range slice bounds the collect_list
+    // shuffles of ONE synthesis pass (at 100× the full day's doc
+    // assembly would move ~200 GB through two exchanges; six 4-hour
+    // chunks keep each pass inside the node's scratch)
+    val obs = minuteRange match {
+      case Some((lo, hi)) => all.filter(col("m") >= lo && col("m") < hi)
+      case None           => all
+    }
     val expected = obs.count()
     val byLine = obs
       .groupBy(col("m"), col("hour"), col("cl"))
@@ -136,10 +145,12 @@ object DayScale {
           val m = row.getLong(0); val hour = row.getAs[Number](1).longValue
           val shard = row.getAs[Number](2).longValue
           val iso = f"${y}%04d-${mo}%02d-${d}%02dT${hour}%02d-${m % 60}%02d-00"
+          val ext = if (gzip) "json.gz" else "json"
           val path = new org.apache.hadoop.fs.Path(
-            f"$rawBase/year=$y%04d/month=$mo%02d/day=$d%02d/hour=$hour%02d/data_${iso}_r$shard%03d.json")
+            f"$rawBase/year=$y%04d/month=$mo%02d/day=$d%02d/hour=$hour%02d/data_${iso}_r$shard%03d.$ext")
           val fs = path.getFileSystem(conf)
-          val out = fs.create(path, true)
+          val raw = fs.create(path, true)
+          val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           try out.write(row.getString(3).getBytes("UTF-8")) finally out.close()
           // File-arrival order IS part of the workload being mirrored:
           // real polls land one per minute, so Structured Streaming's
@@ -219,6 +230,17 @@ object DayScale {
     val positionsDirect = args.contains("--positions-direct")
     val shardsPerPoll = args.find(_.startsWith("--shards="))
       .map(_.stripPrefix("--shards=").toInt).getOrElse(1)
+    // --gzip: land .json.gz poll documents (the 100× zone is ~200 GB of
+    // JSON — gzip keeps it on this node's disk; EP2 reads it unchanged,
+    // codecs are transparent to both decode paths); --synth-chunks=K:
+    // synthesize the zone in K minute-range passes (bounds each pass's
+    // doc-assembly shuffle); --ep2-only: stop after EP2 + row-count
+    // verification (the 100× EP2 measurement — EP3 at that scale is the
+    // separate vehicle-pass run)
+    val gzipZone = args.contains("--gzip")
+    val synthChunks = args.find(_.startsWith("--synth-chunks="))
+      .map(_.stripPrefix("--synth-chunks=").toInt).getOrElse(1)
+    val ep2Only = args.contains("--ep2-only")
     // dev-only like Bench/ScaleBench: SPARK_GRAFT_MASTER=local-cluster[…]
     // runs the day across REAL executor JVMs — at 100× that is the spill
     // posture (the window sort's working set >> executor memory, so EP3
@@ -287,8 +309,19 @@ object DayScale {
           val src = scala.io.Source.fromFile(marker)
           try (src.mkString.trim.toLong, 0.0) finally src.close()
         } else {
-          val r = timed(synthesizeRawZone(spark, rawBase, nVehicles,
-            nMinutes, shardsPerPoll))
+          val r = timed {
+            (0 until synthChunks).map { c =>
+              val range =
+                if (synthChunks == 1) None
+                else Some((c * nMinutes / synthChunks,
+                  (c + 1) * nMinutes / synthChunks))
+              val n = synthesizeRawZone(spark, rawBase, nVehicles,
+                nMinutes, shardsPerPoll, gzipZone, range)
+              if (synthChunks > 1)
+                println(s"DAYSCALE synth chunk $c/$synthChunks: $n observations")
+              n
+            }.sum
+          }
           val w = new java.io.PrintWriter(marker)
           try w.println(r._1) finally w.close()
           r
@@ -303,6 +336,17 @@ object DayScale {
       require(n == expected, s"EP2 flattened $n rows, expected $expected")
       println(s"DAYSCALE EP2: $n rows, ${tE.round} s")
       (n, t, tE)
+    }
+
+    if (ep2Only) {
+      println(
+        f"""{"metric":"dayscale_ep2","vehicles":$nVehicles,"snapshots":$nMinutes,""" +
+        f""""positions":$posRows,"synth_sec":$tSynth%.1f,"ep2_sec":$tEp2%.1f,""" +
+        f""""shards_per_poll":$shardsPerPoll,"gzip":$gzipZone,""" +
+        f""""synth_chunks":$synthChunks,"master":"$master","budget_sec":1800}""")
+      require(tEp2 < 1800.0, f"EP2 busted the 30-min budget: $tEp2%.0f s")
+      spark.stop()
+      return
     }
 
     // stage 2: EP3 — positions day → three CSVs (the 6:30 AM job).

@@ -53,9 +53,12 @@ object IngestPositions {
         col("j._corrupt_record").as("_corrupt_record"))
   }
 
-  /** Average file size of the first `sample` files under `path` —
-    * the scale statistic that picks the decode strategy. Listing cost
-    * is bounded by the sample, not the zone. */
+  /** Average DECODED file size of the first `sample` files under `path`
+    * — the scale statistic that picks the decode strategy. Listing cost
+    * is bounded by the sample, not the zone. For gzip members the
+    * on-disk length lies by the codec ratio, so the gzip ISIZE trailer
+    * (last 4 LE bytes = uncompressed size mod 2³², exact for < 4 GB
+    * members — RFC 1952) is read instead: two seeks per sampled file. */
   private def avgFileBytes(spark: SparkSession, path: String,
                            sample: Int = 256): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -65,7 +68,20 @@ object IngestPositions {
     var n = 0L; var bytes = 0L
     while (it.hasNext && n < sample) {
       val st = it.next()
-      if (!st.getPath.getName.startsWith("_")) { n += 1; bytes += st.getLen }
+      if (!st.getPath.getName.startsWith("_")) {
+        n += 1
+        bytes +=
+          (if (st.getPath.getName.endsWith(".gz") && st.getLen >= 4) {
+            val in = fs.open(st.getPath)
+            try {
+              in.seek(st.getLen - 4)
+              val b = new Array[Byte](4)
+              in.readFully(b)
+              ((b(0) & 0xffL)) | ((b(1) & 0xffL) << 8) |
+                ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+            } finally in.close()
+          } else st.getLen)
+      }
     }
     if (n == 0) 0L else bytes / n
   }
