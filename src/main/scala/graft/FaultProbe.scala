@@ -158,9 +158,15 @@ object FaultProbe {
         val t = new Thread(() => {
           try {
             if (pinToBlocks) {
-              // wait for checkpoint blocks to exist (cap: 20× the fuse),
-              // then a short grace so the holder's lineage truncation
-              // lands, then kill the majority holder
+              // kill MID-query (killAfter here is set to half the
+              // measured no-fault duration — r14 lesson: the first
+              // rdd_* block updates are the operator's recoverable
+              // CACHE blocks, so a kill on first-blocks fires before
+              // any lineage truncation and the relaunched executors
+              // just recompute), and only once rdd blocks exist (cap:
+              // 20× the fuse), with a short grace for the truncation
+              // to land
+              Thread.sleep((killAfter * 1000).toLong)
               val deadline = System.nanoTime() + (killAfter * 20 * 1e9).toLong
               while (state.get == 0 &&
                   blockCounts.values.stream.mapToLong(_.get).sum < 8 &&
@@ -176,6 +182,21 @@ object FaultProbe {
                 target.foreach { exec =>
                   pinnedExec.set(Some(exec))
                   killed.set(guardedKill(byId(exec), state))
+                  // r14 second-pass lesson: a single pinned kill was
+                  // STILL luck-dependent (the survivor may hold enough
+                  // replicas/partitions to finish — observed q110
+                  // failing one run and completing the next). With the
+                  // CAS won, take EVERY remaining executor in the same
+                  // action: all localCheckpoint replicas are now gone
+                  // while the truncated lineage is mid-use, which is
+                  // the documented lost-on-executor-death failure with
+                  // no placement freedom left. The workers relaunch
+                  // fresh executors, so the cluster itself recovers.
+                  if (killed.get().isDefined) {
+                    import scala.sys.process._
+                    executorPids().filterNot(_ == byId(exec))
+                      .foreach(p => s"kill -9 $p".!)
+                  }
                 }
                 // no block ever landed (or holder already gone): fall
                 // back to any live executor so the row is still a fault
@@ -231,8 +252,9 @@ object FaultProbe {
       * killAfterSec) proved nothing — retry with a shorter fuse so the
       * per-query claim is never vacuous. The delay actually used is
       * threaded out in Run.killAfterUsed and recorded per row. */
-    def faultRun(s: SparkSession, name: String, pinToBlocks: Boolean = false): Run = {
-      var delay = killAfterSec
+    def faultRun(s: SparkSession, name: String, pinToBlocks: Boolean = false,
+                 startDelay: Option[Double] = None): Run = {
+      var delay = startDelay.getOrElse(killAfterSec)
       var r = run(s, name, kill = true, delay, pinToBlocks)
       var tries = 1
       while (r.killedPid.isEmpty && tries < 3) {
@@ -275,7 +297,11 @@ object FaultProbe {
       val s = session(reliable = false)
       try names.map { n =>
         val base = run(s, n, kill = false)
-        val fault = faultRun(s, n, pinToBlocks = true)
+        // mid-query pin: half the measured no-fault duration puts the
+        // kill inside the iteration phase, where the newest truncated
+        // lineage is an input of the running stage
+        val fault = faultRun(s, n, pinToBlocks = true,
+          startDelay = Some(math.max(1.0, base.secs * 0.5)))
         val matched = (base.fp, fault.fp) match {
           case (Some(a), Some(b)) => a == b
           case _ => false
