@@ -817,32 +817,8 @@ object DedupOps {
   }
 
   val q134Sql: String = {
-    val N = graft.text.ExactSpanDedup.N
     spanExcisionSql(
-      s"""tchars AS (
-         |  SELECT doc_id, i, text[i + 1] AS ch
-         |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)),
-         |tkst AS (
-         |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
-         |  FROM (SELECT doc_id, i, ch,
-         |          lag(ch) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-         |        FROM tchars)
-         |  WHERE ch <> ' ' AND (pv IS NULL OR pv = ' ')),
-         |tken AS (
-         |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
-         |  FROM (SELECT doc_id, i, ch,
-         |          lead(ch) OVER (PARTITION BY doc_id ORDER BY i) AS nx
-         |        FROM tchars)
-         |  WHERE ch <> ' ' AND (nx IS NULL OR nx = ' ')),
-         |tok AS (
-         |  SELECT st.doc_id, st.k, st.i AS ts, en.i AS te
-         |  FROM tkst st JOIN tken en USING (doc_id, k)),
-         |gr AS (
-         |  SELECT a.doc_id, a.ts AS s, b.te AS e,
-         |    substr(d.text, a.ts + 1, b.te - a.ts + 1) AS gram
-         |  FROM tok a
-         |  JOIN tok b ON a.doc_id = b.doc_id AND b.k = a.k + ${N - 1}
-         |  JOIN documents d ON d.doc_id = a.doc_id)""".stripMargin,
+      tokenGramCtes(graft.text.ExactSpanDedup.N),
       s"""own AS (
          |  SELECT gram, min(doc_id) AS keeper
          |  FROM (SELECT DISTINCT doc_id, gram FROM gr)
@@ -853,7 +829,62 @@ object DedupOps {
       docPredicate = None)
   }
 
+  /** The token-gram discovery prefix shared by q134 and q137 (per-char
+    * token boundaries → k-th start/end pairing → n-gram intervals with
+    * their verbatim substrings). */
+  private def tokenGramCtes(n: Int): String =
+    s"""tchars AS (
+       |  SELECT doc_id, i, text[i + 1] AS ch
+       |  FROM documents, LATERAL (SELECT unnest(range(0, length(text))) AS i)),
+       |tkst AS (
+       |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+       |  FROM (SELECT doc_id, i, ch,
+       |          lag(ch) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       |        FROM tchars)
+       |  WHERE ch <> ' ' AND (pv IS NULL OR pv = ' ')),
+       |tken AS (
+       |  SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+       |  FROM (SELECT doc_id, i, ch,
+       |          lead(ch) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+       |        FROM tchars)
+       |  WHERE ch <> ' ' AND (nx IS NULL OR nx = ' ')),
+       |tok AS (
+       |  SELECT st.doc_id, st.k, st.i AS ts, en.i AS te
+       |  FROM tkst st JOIN tken en USING (doc_id, k)),
+       |gr AS (
+       |  SELECT a.doc_id, a.ts AS s, b.te AS e,
+       |    substr(d.text, a.ts + 1, b.te - a.ts + 1) AS gram
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.k = a.k + ${n - 1}
+       |  JOIN documents d ON d.doc_id = a.doc_id)""".stripMargin
+
+  /** EXACT span-level decontamination (text.ExactSpanDedup
+    * .removeSpansMatching): every ≥ 5-token span of a corpus document
+    * (doc_id % 41 ≠ 0) that appears VERBATIM in the held-out benchmark
+    * slice (doc_id % 41 = 0) is excised, remainder reassembled — the
+    * exact twin of q122 (winnow sampling) and the Lee-et-al
+    * decontamination modality: zero false negatives at ≥ n tokens. */
+  def q137ExactDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scope = graft.CacheScope.scoped()
+    scope.materializeAndRelease(
+      graft.text.ExactSpanDedup.removeSpansMatching(
+        graft.Tables.spread(s, docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)),
+        "doc_id", col("text"),
+        docs.filter(pmod(col("doc_id"), lit(41)) === 0), col("text"),
+        scope = scope))
+  }
+
+  val q137Sql: String = spanExcisionSql(
+    tokenGramCtes(graft.text.ExactSpanDedup.N),
+    """ref AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 41 = 0),
+      |rm AS (
+      |  SELECT DISTINCT g.doc_id, g.s, g.e
+      |  FROM gr g JOIN ref USING (gram) WHERE g.doc_id % 41 <> 0)""".stripMargin,
+    docPredicate = Some("doc_id % 41 <> 0"))
+
   val queries: Map[String, Q] = Map(
+    "q137_exact_decontaminate" -> q137ExactDecontaminate,
     "q134_exact_substring" -> q134ExactSubstring,
     "q122_decontaminate_spans" -> q122DecontaminateSpans,
     "q121_span_removal"   -> q121SpanRemoval,
@@ -874,6 +905,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_exact_decontaminate" -> q137Sql,
     "q134_exact_substring" -> q134Sql,
     "q122_decontaminate_spans" -> q122Sql,
     "q121_span_removal"   -> q121Sql,

@@ -281,19 +281,27 @@ class PlanAuditSpec extends SparkTestBase {
   test("q134 exact substring dedup: df prefilter is a semi join; gram text only for candidates; never all-pairs") {
     // audited on the operator directly (unmanaged scope), like q121/q122
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{pmod, lit}
     val docs = graft.Tables.documents(spark, dir)
-    val df = graft.text.ExactSpanDedup.removeSharedSpans(docs, "doc_id", col("text"))
-    val p = plan(df)
-    assert(!p.contains("Scan ExistingRDD"),
-      s"audit target is lineage-truncated — assertions would be vacuous:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"exact-span dedup degenerated to all-pairs:\n$p")
-    assert(!p.contains("rangepartitioning"),
-      s"exact-span dedup acquired a global sort:\n$p")
-    // the 100 TB property: the hash-df prefilter plans as a LeftSemi so
-    // corpus-sized gram rows never carry text, and no gram-to-gram join
-    // exists (keeper/df come from aggregations)
-    assert(p.contains("LeftSemi"), s"hash-df prefilter must be a semi join:\n$p")
+    val frames = Seq(
+      graft.text.ExactSpanDedup.removeSharedSpans(docs, "doc_id", col("text")),
+      graft.text.ExactSpanDedup.removeSpansMatching(
+        docs.filter(pmod(col("doc_id"), lit(41)) =!= 0), "doc_id", col("text"),
+        docs.filter(pmod(col("doc_id"), lit(41)) === 0), col("text")))
+    for (df <- frames) {
+      val p = plan(df)
+      assert(!p.contains("Scan ExistingRDD"),
+        s"audit target is lineage-truncated — assertions would be vacuous:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"exact-span dedup degenerated to all-pairs:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"exact-span dedup acquired a global sort:\n$p")
+      // the 100 TB property: the hash membership prefilter plans as a
+      // LeftSemi so corpus-sized gram rows never carry text, and no
+      // gram-to-gram join exists (keeper/df/membership come from
+      // aggregations or the vocabulary-bounded reference side)
+      assert(p.contains("LeftSemi"), s"hash prefilter must be a semi join:\n$p")
+    }
     spark.catalog.clearCache()
   }
 

@@ -58,6 +58,24 @@ class ExactSpanDedupSpec extends SparkTestBase {
     assert(out(2L) == (("aa  ", 1L, 8L)))
   }
 
+  test("decontamination: only verbatim benchmark spans are excised; no keeper rule") {
+    val bench = Seq(100L -> "the quick brown fox jumps over lazy dogs").toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "intro quick brown fox ending",            // 3-gram "quick brown fox" quoted
+      2L -> "quick  brown fox differs by separator",   // not verbatim
+      3L -> "nothing shared at all here")
+      .toDF("doc_id", "text")
+    val out = ExactSpanDedup.removeSpansMatching(
+        corpus, "doc_id", col("text"), bench, col("text"), n = N)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("intro  ending", 1L, 15L)))
+    assert(out(2L)._2 == 0L, "separator-differing span must NOT match")
+    assert(out(3L) == (("nothing shared at all here", 0L, 0L)))
+    // every corpus doc surfaces, benchmark docs do not
+    assert(out.keySet == Set(1L, 2L, 3L))
+  }
+
   test("three-way share keeps exactly the minimum id") {
     val s = "zeta eta theta"
     val docs = Seq(5L -> s"x $s", 9L -> s"y $s", 7L -> s"z $s")
