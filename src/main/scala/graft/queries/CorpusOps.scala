@@ -189,13 +189,18 @@ object CorpusOps {
     * corrupt record (or dropped a good one) hash-mismatches. Like
     * q103's bucketed layout, the first call per dir pays the zone write
     * (SparkEntry.artifactEntries). */
-  def q136WarcRead(s: SparkSession, dir: String): DataFrame = {
-    val zone = warcZones.computeIfAbsent(dir, { d =>
+  /** The per-dir synthesized WARC zone (shared with q138's streaming
+    * twin — both must read the SAME bytes for their common oracle). */
+  private[queries] def warcZoneFor(s: SparkSession, dir: String): String =
+    warcZones.computeIfAbsent(dir, { d =>
       val base = graft.TempArtifacts.dir("graft_warc")
       graft.sources.Warc.synthesize(s,
         Tables.documents(s, d).select(col("doc_id"), col("text")), base)
       base
     })
+
+  def q136WarcRead(s: SparkSession, dir: String): DataFrame = {
+    val zone = warcZoneFor(s, dir)
     graft.sources.Warc.readClean(s, zone)
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),

@@ -349,7 +349,39 @@ object StreamingOps {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.TempArtifacts.deleteRecursively(f)
 
+  /** STREAMING WARC ingestion — the continuous-crawl posture of q136:
+    * the same synthesized zone (CorpusOps.warcZoneFor, so both entries
+    * read the same bytes) discovered incrementally by a
+    * `readStream.text` source with the record-magic lineSep, parsed by
+    * the SAME `Warc.parseChunks` the batch scan uses, validity-filtered
+    * per record, memory sink. The parse is stateless per record and the
+    * zone split is per file, so micro-batch boundaries cannot change the
+    * surviving set — the batch oracle (expected survivors stated from
+    * `documents`) checks the streaming output exactly. At scale this is
+    * the crawl-landing shape: WARC members arrive continuously and the
+    * curation chain consumes them without a batch re-list of the zone. */
+  def q138WarcStream(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.queries.CorpusOps.warcZoneFor(s, dir)
+    val chunks = s.readStream
+      .option("lineSep", "WARC/1.0\r\n")
+      .option("maxFilesPerTrigger", "2")
+      .text(zone)
+    val parsed = graft.sources.Warc.parseChunks(chunks)
+      .filter(col("is_valid"))
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"), col("content_length"), col("payload"))
+    withStatePartitions(s, 8) {
+      val query = parsed.writeStream.format("memory").queryName("q138_warc")
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    s.table("q138_warc").localCheckpoint(true)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q138_warc_stream" -> q138WarcStream,
     "q75_streaming_hops" -> q75StreamingHops,
     "q77_streaming_dedup" -> q77StreamingDedup,
     "q88_streaming_upsert" -> q88StreamingUpsert,
@@ -363,6 +395,7 @@ object StreamingOps {
     * (micro-batch-boundary invariance), q89 via sentinel-driven
     * watermark completion (every real session closes and emits). */
   val oracles: Map[String, String] = Map(
+    "q138_warc_stream" -> graft.queries.CorpusOps.q136Sql,
     "q75_streaming_hops" -> q75Sql,
     "q77_streaming_dedup" -> q77Sql,
     "q88_streaming_upsert" -> q88Sql,

@@ -96,7 +96,16 @@ object Warc {
     * is_valid). Invalid records carry is_valid = false and whatever
     * fields parsed — the caller decides between audit (count them) and
     * curation ([[readClean]]). */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseChunks(spark.read.option("lineSep", "WARC/1.0\r\n").text(path))
+
+  /** The record parse over a `value: string` chunk relation — shared
+    * verbatim by the batch scan above and the STREAMING ingest (a
+    * `readStream.text` source with the same lineSep: continuous-crawl
+    * landing zones are discovered incrementally, and the parse is
+    * stateless per record, so micro-batch boundaries cannot change the
+    * output set). */
+  def parseChunks(chunks: DataFrame): DataFrame = {
     val chunk = col("value")
     // header block = everything before the first blank line; rest =
     // payload + the record-final "\r\n\r\n" (so the payload needs no
@@ -105,9 +114,8 @@ object Warc {
     val rest = expr(
       raw"substr(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)")
     val hmap = str_to_map(headers, lit("\r\n"), lit(": "))
-    val clen = hmap.getItem("Content-Length").cast("long")
     val payload = expr(raw"substr(__rest, 1, length(__rest) - 4)")
-    spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+    chunks
       // the zone split at the magic leaves one empty head chunk per file
       .filter(length(chunk) > 0)
       .select(hmap.as("__h"), rest.as("__rest"), chunk.as("__chunk"))

@@ -52,6 +52,24 @@ class WarcSpec extends SparkTestBase {
     assert(plain.except(gz).count() == 0 && gz.except(plain).count() == 0)
   }
 
+  test("streaming ingest ≡ batch scan on the same zone (incremental discovery, same parse)") {
+    val dir = zone()
+    val batch = Warc.readClean(spark, dir).select("url", "payload")
+    val streamed = {
+      val chunks = spark.readStream
+        .option("lineSep", "WARC/1.0\r\n").option("maxFilesPerTrigger", "1")
+        .text(dir)
+      val q = Warc.parseChunks(chunks).filter(col("is_valid"))
+        .select("url", "payload")
+        .writeStream.format("memory").queryName("warc_stream_spec")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("warc_stream_spec")
+    }
+    assert(batch.except(streamed).count() == 0 &&
+      streamed.except(batch).count() == 0)
+  }
+
   test("a payload containing the record magic splits into two INVALID fragments; neighbors survive") {
     val dir = scratchDir("warc").toString
     val evil = Seq(
