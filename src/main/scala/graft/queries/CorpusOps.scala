@@ -217,7 +217,64 @@ object CorpusOps {
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }
 
+  // ------------------------------------- q139 URL canonicalization dedup
+
+  /** URL-level dedup (text.UrlCanonical) — the first, cheapest dedup
+    * stage of web-corpus curation: collapse cosmetic URL variants
+    * (scheme/host case, default ports, trailing slash, fragments,
+    * tracking params, param order) BEFORE any content pass. The messy
+    * URLs are synthesized deterministically from doc_id — three variant
+    * classes by residue, all canonicalizing to the same logical URL —
+    * and the oracle builds the identical strings and replays the
+    * identical string algebra (UrlCanonical.duckCanonCtes), so a
+    * canonicalization rule that diverges between spellings
+    * hash-mismatches. Output: one row per canonical URL with its
+    * variant count and first holder. */
+  def q139UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d37 = pmod(col("doc_id"), lit(13)).cast("string")
+    val d101 = pmod(col("doc_id"), lit(17)).cast("string")
+    val v = pmod(col("doc_id"), lit(3))
+    val url = concat(
+      when(v === 1, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(v === 1, concat(lit("Site"), d37, lit(".ORG")))
+        .otherwise(concat(lit("site"), d37, lit(".org"))),
+      when(v === 2, lit(":80")).otherwise(lit("")),
+      lit("/Page/"), d101,
+      when(v === 1, lit("/")).otherwise(lit("")),
+      when(v === 2, lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?b=2&a=1")),
+      when(v === 2, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.text.UrlCanonical.canonicalize(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+  }
+
+  val q139Sql: String = {
+    val mk =
+      """mk AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 1
+        |          THEN 'Site' || (doc_id % 13) || '.ORG'
+        |          ELSE 'site' || (doc_id % 13) || '.org' END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE '' END) ||
+        |    '/Page/' || (doc_id % 17) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN '?utm_source=feed&b=2&a=1'
+        |          ELSE '?b=2&a=1' END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents)""".stripMargin
+    s"""WITH $mk,
+       |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id")}
+       |SELECT canon AS canonical_url, count(*) AS n_urls,
+       |  min(doc_id) AS first_doc
+       |FROM u4 GROUP BY canon""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_url_dedup" -> q139UrlDedup,
     "q136_warc_read" -> q136WarcRead,
     "q120_pmi"       -> q120Pmi,
     "q98_fluency"    -> q98Fluency,
@@ -229,6 +286,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_url_dedup" -> q139Sql,
     "q136_warc_read" -> q136Sql,
     "q120_pmi"       -> q120Sql,
     "q98_fluency"    -> q98Sql,

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** URL canonicalization semantics, edge by edge. */
+class UrlCanonicalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlCanonical.canonicalize($"url")).as[String]
+      .collect().toSeq
+
+  test("case, default ports, trailing slash, fragments, tracking params, param order") {
+    val got = canon(
+      "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
+      "https://host.org:443/p",
+      "https://host.org:8443/p",            // non-default port KEPT
+      "http://h.io/CaseSensitivePath",      // path case preserved
+      "http://h.io/",                       // root slash KEPT (the one exception)
+      "http://h.io/x?utm_source=a&utm_medium=b&fbclid=1&gclid=2", // all tracked
+      "http://h.io/x?z=1&a=2")
+    assert(got == Seq(
+      "http://www.example.com/A/b?a=1&b=2",
+      "https://host.org/p",
+      "https://host.org:8443/p",
+      "http://h.io/CaseSensitivePath",
+      "http://h.io/",
+      "http://h.io/x",
+      "http://h.io/x?a=2&z=1"))
+  }
+
+  test("variants of one logical URL collapse to one canonical string") {
+    val variants = canon(
+      "http://site.org/Page/5?b=2&a=1",
+      "HTTP://Site.ORG/Page/5/?b=2&a=1",
+      "http://site.org:80/Page/5?utm_source=feed&b=2&a=1#sec")
+    assert(variants.distinct.size == 1, s"did not collapse: $variants")
+  }
+
+  test("http default port on https (and vice versa) is NOT stripped") {
+    assert(canon("https://h.io:80/p") == Seq("https://h.io:80/p"))
+    assert(canon("http://h.io:443/p") == Seq("http://h.io:443/p"))
+  }
+}
