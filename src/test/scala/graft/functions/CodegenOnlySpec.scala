@@ -99,4 +99,13 @@ class CodegenOnlySpec extends SparkTestBase {
     }
     assert(n > 0, s"expected fingerprints, got $n")
   }
+
+  test("token_ngrams compiles and evaluates under CODEGEN_ONLY") {
+    val n = codegenOnly {
+      Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+        .select(size(call_function("token_ngrams", $"t", lit(5))).as("n"))
+        .head().getInt(0)
+    }
+    assert(n == 5, s"expected 5 token 5-grams of 9 tokens, got $n")
+  }
 }
