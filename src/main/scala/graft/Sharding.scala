@@ -138,6 +138,17 @@ object Sharding {
     val free = new java.io.File(scratchDir).getUsableSpace
     val budget = (free * headroom).toLong
     val estPeak = (bytes * peakExpansion).toLong
+    // getUsableSpace returns 0 when the scratch dir doesn't exist on
+    // THIS host (spark.local.dir may only be provisioned on workers) or
+    // the disk is genuinely full — either way a divide would throw and
+    // `--vehicle-passes=auto` would die instead of choosing. Fail with
+    // the measurement in the message: a silent default pass count would
+    // hide a full disk until the run exhausts it mid-pass (ADVICE r14).
+    require(budget > 0,
+      s"chooseVehiclePasses: no usable scratch budget (dir=$scratchDir, " +
+        s"free=$free bytes, headroom=$headroom) — the scratch dir is " +
+        "missing on this host or its disk is full; provision " +
+        "spark.local.dir or pass an explicit pass count")
     val k = math.max(1L, (estPeak + budget - 1) / budget).toInt
     PassChoice(k, bytes, estPeak, free, budget, scratchDir)
   }

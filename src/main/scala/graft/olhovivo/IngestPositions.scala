@@ -58,7 +58,19 @@ object IngestPositions {
     * is bounded by the sample, not the zone. For gzip members the
     * on-disk length lies by the codec ratio, so the gzip ISIZE trailer
     * (last 4 LE bytes = uncompressed size mod 2³², exact for < 4 GB
-    * members — RFC 1952) is read instead: two seeks per sampled file. */
+    * members — RFC 1952) is read instead: two seeks per sampled file.
+    *
+    * SINGLE-MEMBER assumption (ADVICE r14): a concatenated multi-member
+    * .gz (the Common Crawl warc.gz layout, one member per record)
+    * carries one ISIZE trailer PER member and this read returns only the
+    * LAST member's size — under-reporting the decoded size by the member
+    * count. That is safe here: the zones this cutover samples are the
+    * poll-landing zones DayScale/OlhoVivoClient synthesize, which write
+    * exactly one gzip member per file (DayScale.synthesizeRawZone wraps
+    * the whole file in a single GZIPOutputStream). An under-reported
+    * size could only steer the pick toward the small-doc file source,
+    * whose failure mode is slower, not wrong. Multi-member WARC zones go
+    * through [[graft.sources.WarcGz]]'s member index, never this path. */
   private def avgFileBytes(spark: SparkSession, path: String,
                            sample: Int = 256): Long = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -35,7 +35,10 @@ object Warc {
   val UriPrefix = "http://example.org/doc/"
 
   // deterministic corruption residues for synthesized test zones:
-  // %97 → payload truncated to half (Content-Length then overstates),
+  // %97 → Content-Length overstates the payload by one byte (an
+  //       UNCONDITIONAL length mismatch: the earlier truncate-to-half
+  //       was a no-op for texts of length ≤ 1, silently diverging from
+  //       the oracle's unconditional %97 exclusion — ADVICE r14),
   // %89 → Content-Length header missing entirely
   val TruncMod = 97
   val NoLenMod = 89
@@ -47,10 +50,10 @@ object Warc {
   def recordColumn(docId: Column, text: Column): Column = {
     val trunc = pmod(docId, lit(TruncMod)) === 0
     val noLen = pmod(docId, lit(NoLenMod)) === 0
-    val written = when(trunc,
-      expr("substr(text, 1, greatest(length(text) div 2, 1))")).otherwise(text)
+    val written = text
     val clenHeader = when(noLen, lit(""))
-      .otherwise(concat(lit("Content-Length: "), octet_length(text).cast("string"),
+      .otherwise(concat(lit("Content-Length: "),
+        (octet_length(text) + when(trunc, lit(1)).otherwise(lit(0))).cast("string"),
         lit("\r\n")))
     concat(
       lit("WARC/1.0\r\n"),
@@ -72,6 +75,12 @@ object Warc {
   def synthesize(spark: SparkSession, docs: DataFrame, outDir: String,
                  nFiles: Int = 8, gzip: Boolean = false): Unit = {
     val ext = if (gzip) "warc.gz" else "warc"
+    // the SESSION's Hadoop conf, broadcast into the partition closure: a
+    // fresh Configuration() would drop defaultFS / S3 credentials /
+    // custom FS impls and silently write local-only (ADVICE r14)
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     docs
       .select(pmod(col("doc_id"), lit(nFiles)).as("__f"), col("doc_id"),
         recordColumn(col("doc_id"), col("text")).as("__r"))
@@ -82,7 +91,7 @@ object Warc {
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.$ext")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value.value)
           val raw = fs.create(path, true)
           val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
           try it.foreach(r => out.write(r.getString(0).getBytes("UTF-8")))

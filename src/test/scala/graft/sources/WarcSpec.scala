@@ -9,14 +9,15 @@ import graft.olhovivo.SparkTestBase
 class WarcSpec extends SparkTestBase {
   import spark.implicits._
 
-  // ids chosen around the corruption residues: 97·1 truncated, 89·1
-  // missing Content-Length, 0 both, the rest clean
+  // ids chosen around the corruption residues: 97·1 length-mismatched
+  // (header overstates by one byte — unconditional, so even the empty
+  // doc 0 corrupts), 89·1 missing Content-Length, 0 both, rest clean
   private val docs = Seq(
     0L -> "both modes hit this doc",
     1L -> "plain clean document one",
     2L -> "",
     89L -> "this one loses its content length header",
-    97L -> "this one gets its payload truncated in the zone",
+    97L -> "this one gets a Content-Length overstating its payload",
     100L -> "ünïcødé payload — octet length ≠ char length here")
 
   private def zone(gzip: Boolean = false): String = {
