@@ -181,13 +181,17 @@ object CorpusOps {
 
   /** WARC ingestion (sources.Warc): a zone synthesized ONCE per source
     * dir from the documents table — one response record per doc, with
-    * the two corruption modes injected by residue (doc_id % 97 payload
-    * truncation, % 89 missing Content-Length) — then read back through
-    * the splittable lineSep text scan with per-record validation. Only
-    * valid records surface; the oracle states the expected survivors
-    * directly from `documents`, so a reader that silently admitted a
-    * corrupt record (or dropped a good one) hash-mismatches. Like
-    * q103's bucketed layout, the first call per dir pays the zone write
+    * the two corruption modes injected by residue (doc_id % 97
+    * Content-Length overstating by one byte, % 89 missing
+    * Content-Length) plus the % 101 magic-QUOTING valid mode (the
+    * payload contains the record magic — the real-crawl shape that
+    * defeats a naive split-parse) — then read back through the
+    * Content-Length-aware exact scan. Valid records surface, INCLUDING
+    * the reassembled magic-quoting ones; the oracle states the expected
+    * survivors and payloads directly from `documents`, so a reader that
+    * admitted a corrupt record, dropped a good one, or lost a quoting
+    * record to fragmentation hash-mismatches. Like q103's bucketed
+    * layout, the first call per dir pays the zone write
     * (SparkEntry.artifactEntries). */
   /** The per-dir synthesized WARC zone (shared with q138's streaming
     * twin — both must read the SAME bytes for their common oracle). */
@@ -201,18 +205,22 @@ object CorpusOps {
 
   def q136WarcRead(s: SparkSession, dir: String): DataFrame = {
     val zone = warcZoneFor(s, dir)
-    graft.sources.Warc.readClean(s, zone)
+    graft.sources.Warc.readExactClean(s, zone)
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("url"), col("content_length"), col("payload"))
   }
 
   val q136Sql: String = {
-    import graft.sources.Warc.{TruncMod, NoLenMod, UriPrefix}
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod, UriPrefix}
+    // the %101 quote prefix, spelled in DuckDB ("see: WARC/1.0\r\n")
+    val prefix = s"'see: WARC/1.0' || chr(13) || chr(10)"
     s"""SELECT doc_id,
        |  '$UriPrefix' || doc_id AS url,
-       |  strlen(text)::BIGINT AS content_length,
-       |  text AS payload
+       |  strlen(CASE WHEN doc_id % $MagicQuoteMod = 0
+       |              THEN $prefix || text ELSE text END)::BIGINT AS content_length,
+       |  CASE WHEN doc_id % $MagicQuoteMod = 0
+       |       THEN $prefix || text ELSE text END AS payload
        |FROM documents
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }

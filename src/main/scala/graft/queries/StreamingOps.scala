@@ -351,22 +351,18 @@ object StreamingOps {
 
   /** STREAMING WARC ingestion — the continuous-crawl posture of q136:
     * the same synthesized zone (CorpusOps.warcZoneFor, so both entries
-    * read the same bytes) discovered incrementally by a
-    * `readStream.text` source with the record-magic lineSep, parsed by
-    * the SAME `Warc.parseChunks` the batch scan uses, validity-filtered
-    * per record, memory sink. The parse is stateless per record and the
-    * zone split is per file, so micro-batch boundaries cannot change the
-    * surviving set — the batch oracle (expected survivors stated from
-    * `documents`) checks the streaming output exactly. At scale this is
-    * the crawl-landing shape: WARC members arrive continuously and the
-    * curation chain consumes them without a batch re-list of the zone. */
+    * read the same bytes) discovered incrementally by a `binaryFile`
+    * source and parsed by the SAME Content-Length-aware automaton the
+    * batch exact scan uses (Warc.assemble via readStreamExact), so the
+    * magic-quoting %101 records survive HERE too and the two entries
+    * share one oracle verbatim. Files land whole, the automaton is
+    * per-file, so micro-batch boundaries cannot change the surviving
+    * set. At scale this is the crawl-landing shape: WARC members arrive
+    * continuously and the curation chain consumes them without a batch
+    * re-list of the zone. */
   def q138WarcStream(s: SparkSession, dir: String): DataFrame = {
     val zone = graft.queries.CorpusOps.warcZoneFor(s, dir)
-    val chunks = s.readStream
-      .option("lineSep", "WARC/1.0\r\n")
-      .option("maxFilesPerTrigger", "2")
-      .text(zone)
-    val parsed = graft.sources.Warc.parseChunks(chunks)
+    val parsed = graft.sources.Warc.readStreamExact(s, zone, maxFilesPerTrigger = 2)
       .filter(col("is_valid"))
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),

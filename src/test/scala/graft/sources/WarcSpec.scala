@@ -41,7 +41,11 @@ class WarcSpec extends SparkTestBase {
     val rows = Warc.read(spark, zone())
       .select(col("url"), col("is_valid")).collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(rows.size == docs.size, "every record surfaces, valid or not")
+    // doc 0 is also %101 (magic-quoting): under the chunk-parallel read
+    // it splits into a head (counted under its url) and a headerless
+    // tail (null url) — the extra surfaced fragment
+    assert(rows.size == docs.size + 1, "every record surfaces, valid or not")
+    assert(rows.contains(null), "doc 0's tail fragment surfaces under a null url")
     for ((id, _) <- docs)
       assert(rows(s"${Warc.UriPrefix}$id") == (id % 97 != 0 && id % 89 != 0),
         s"validity wrong for doc $id")
@@ -84,5 +88,83 @@ class WarcSpec extends SparkTestBase {
       "the damaged record must drop alone")
     // the split produces one length-mismatched head and one headerless tail
     assert(all.filter(!col("is_valid")).count() == 2)
+  }
+
+  // ---------------------------------------------- Content-Length-aware
+
+  test("readExact: a magic-quoting payload round-trips VALID, reassembled verbatim") {
+    val dir = scratchDir("warc").toString
+    val quoted = s"spec says each record begins ${Warc.Magic}then continues"
+    val docs2 = Seq(
+      1L -> "clean before",
+      2L -> quoted,
+      3L -> "clean after",
+      97L -> "corrupt stays corrupt",
+      89L -> "still headerless")
+    Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 1)
+    val out = Warc.readExact(spark, dir)
+    val valid = out.filter(col("is_valid"))
+      .select("url", "payload").as[(String, String)].collect().toMap
+    assert(valid == Map(
+      s"${Warc.UriPrefix}1" -> "clean before",
+      s"${Warc.UriPrefix}2" -> quoted,
+      s"${Warc.UriPrefix}3" -> "clean after"),
+      "the quoting record must survive with its exact payload; corrupt ones must not")
+    // corrupt records still isolate: one length-mismatch head, one no-CL
+    assert(out.filter(!col("is_valid")).count() == 2)
+  }
+
+  test("readExact: multiple quotes in one payload reassemble across several fragments") {
+    val dir = scratchDir("warc").toString
+    val m = Warc.Magic
+    val docs2 = Seq(
+      5L -> s"a${m}b${m}c${m}d",
+      6L -> "plain neighbor")
+    Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 1)
+    val valid = Warc.readExactClean(spark, dir)
+      .select("url", "payload").as[(String, String)].collect().toMap
+    assert(valid == Map(
+      s"${Warc.UriPrefix}5" -> s"a${m}b${m}c${m}d",
+      s"${Warc.UriPrefix}6" -> "plain neighbor"))
+  }
+
+  test("readExact ≡ read on zones without magic-quoting payloads") {
+    val dir = zone()
+    val a = Warc.read(spark, dir)
+    val b = Warc.readExact(spark, dir)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "on intact zones the exact reader must be a drop-in for the parallel one")
+  }
+
+  test("readExact: a corrupt overstating header cannot swallow its neighbor") {
+    // %97 doc following by a clean doc in the SAME file: the head's
+    // Content-Length points one byte past its payload; the borrow
+    // overshoots, is pushed back, and the neighbor parses on its own
+    val dir = scratchDir("warc").toString
+    val docs2 = Seq(97L -> "liar header", 98L -> "innocent neighbor")
+    Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 1)
+    val out = Warc.readExact(spark, dir)
+    assert(out.filter(col("is_valid")).select("url").as[String].collect().toSeq ==
+      Seq(s"${Warc.UriPrefix}98"))
+    assert(out.filter(!col("is_valid")).select("url").as[String].collect().toSeq ==
+      Seq(s"${Warc.UriPrefix}97"))
+  }
+
+  test("streaming exact ingest ≡ batch exact scan, plain and gz") {
+    for (gz <- Seq(false, true)) {
+      val dir = scratchDir("warc").toString
+      val quoted = s"stream me ${Warc.Magic}whole"
+      val docs2 = Seq(1L -> "one", 2L -> quoted, 97L -> "drop me")
+      Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 2, gzip = gz)
+      val batch = Warc.readExactClean(spark, dir).select("url", "payload")
+      val name = s"warc_exact_stream_$gz"
+      val q = Warc.readStreamExact(spark, dir, maxFilesPerTrigger = 1)
+        .filter(col("is_valid")).select("url", "payload")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(name)
+      assert(batch.except(streamed).count() == 0 &&
+        streamed.except(batch).count() == 0, s"gz=$gz")
+    }
   }
 }
