@@ -113,8 +113,11 @@ object Warc {
     * records grouped by doc_id residue and sorted within each file —
     * fully deterministic. The write is a distributed foreachPartition
     * through the Hadoop FS (the synthesizeRawZone seam), one file per
-    * partition; `gzip` writes `.warc.gz` members (the Common Crawl
-    * layout). */
+    * partition; `gzip` writes ONE gzip member PER RECORD concatenated
+    * (the real Common Crawl layout — what makes [[WarcGz]]'s member
+    * index able to split INSIDE a file; plain whole-file readers still
+    * work because both Java's GZIPInputStream and Hadoop's gzip codec
+    * decode concatenated members transparently). */
   def synthesize(spark: SparkSession, docs: DataFrame, outDir: String,
                  nFiles: Int = 8, gzip: Boolean = false): Unit = {
     val ext = if (gzip) "warc.gz" else "warc"
@@ -136,9 +139,16 @@ object Warc {
           val path = new org.apache.hadoop.fs.Path(f"$outDir/part-$pid%05d.$ext")
           val fs = path.getFileSystem(hconf.value.value)
           val raw = fs.create(path, true)
-          val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
-          try it.foreach(r => out.write(r.getString(0).getBytes("UTF-8")))
-          finally out.close()
+          try {
+            if (gzip) it.foreach { r =>
+              // per-record member: header + deflate + trailer, then the
+              // stream is finished (not closed) so members concatenate
+              val gz = new java.util.zip.GZIPOutputStream(raw)
+              gz.write(r.getString(0).getBytes("UTF-8"))
+              gz.finish()
+            }
+            else it.foreach(r => raw.write(r.getString(0).getBytes("UTF-8")))
+          } finally raw.close()
         }
       }
   }

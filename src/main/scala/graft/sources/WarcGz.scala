@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.{DataFormatException, Inflater}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-member-splittable `.warc.gz` reading (VERDICT r14 missing #2 /
+  * next #3). Real Common Crawl WARCs are ONE gzip member per record,
+  * concatenated into ~1 GB files; a whole-file gzip decode caps
+  * parallelism at one task per file. This reader restores intra-file
+  * parallelism the way Common Crawl's own cdx sidecars do:
+  *
+  *   1. [[memberIndex]] — one sequential pass per file that walks the
+  *      gzip member boundaries EXACTLY (RFC 1952: parse each member's
+  *      header, run the deflate stream through an Inflater discarding
+  *      output, account the 8-byte trailer) and emits
+  *      (file, offset, length, ok) per member. No decompressed bytes
+  *      are materialized, so the walk is I/O-bound; the index is built
+  *      once per zone and reused like q103's bucketed layout — a crawl
+  *      pipeline would build it at landing time.
+  *   2. [[readMembers]] — the parallel scan: the index repartitions
+  *      across the cluster and every task seeks to its members' byte
+  *      ranges independently, decodes them, and runs the SAME
+  *      [[Warc.assemble]] automaton per member. A 1 GB file with 50k
+  *      members now spreads over every core instead of one.
+  *
+  * Corrupt isolation: a member whose header or deflate stream is
+  * damaged is recorded in the index as ok=false spanning the bytes up
+  * to the next plausible member magic (resync), and surfaces from
+  * [[readMembers]] as one is_valid=false record — the per-record
+  * isolation contract of the uncompressed path, kept under gzip.
+  */
+object WarcGz {
+
+  /** One indexed gzip member: byte range within `file`; `ok` = the
+    * member's framing parsed and its deflate stream inflated cleanly.
+    * ok=false rows span skipped (resynced) byte ranges. */
+  case class Member(file: String, offset: Long, length: Long, ok: Boolean)
+
+  // ------------------------------------------------------------------
+  // The streaming member walker (driver- and executor-side pure JVM)
+  // ------------------------------------------------------------------
+
+  /** Walk a raw `.warc.gz` byte stream and emit each gzip member's
+    * (offset, length, ok). Constant memory: a 64 KiB input buffer and a
+    * discard buffer; the inflater never keeps decompressed output.
+    * Exact by construction — member ends come from the inflater's own
+    * input accounting (`getRemaining`), not from scanning for magic
+    * bytes, so deflate payloads containing `1f 8b` can never split a
+    * member. Magic-scanning is used only to RESYNC after a corrupt
+    * member. */
+  def memberOffsets(in: InputStream): Iterator[Member] =
+    new scala.collection.AbstractIterator[Member] {
+      private val buf = new Array[Byte](64 * 1024)
+      private val scratch = new Array[Byte](64 * 1024)
+      private var bufLen = 0
+      private var bufPos = 0
+      private var streamRead = 0L // total bytes pulled from `in`
+      private val inf = new Inflater(true)
+
+      private def absPos: Long = streamRead - (bufLen - bufPos)
+      /** true if at least one byte is available after refilling */
+      private def ensure(): Boolean = {
+        if (bufPos < bufLen) return true
+        val n = in.read(buf)
+        if (n <= 0) return false
+        streamRead += n; bufLen = n; bufPos = 0
+        true
+      }
+      private def readByte(): Int =
+        if (!ensure()) -1 else { val b = buf(bufPos) & 0xff; bufPos += 1; b }
+      private def readLe16(): Int = {
+        val a = readByte(); val b = readByte()
+        if (a < 0 || b < 0) -1 else a | (b << 8)
+      }
+
+      /** RFC 1952 header after the 3 magic/CM bytes are consumed.
+        * Returns false on malformed/truncated header. */
+      private def parseHeaderRest(): Boolean = {
+        val flg = readByte()
+        if (flg < 0) return false
+        var i = 0
+        while (i < 6) { if (readByte() < 0) return false; i += 1 } // MTIME+XFL+OS
+        if ((flg & 0x04) != 0) { // FEXTRA
+          val xlen = readLe16(); if (xlen < 0) return false
+          var j = 0
+          while (j < xlen) { if (readByte() < 0) return false; j += 1 }
+        }
+        if ((flg & 0x08) != 0) { // FNAME, zero-terminated
+          var b = readByte(); while (b > 0) b = readByte(); if (b < 0) return false
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          var b = readByte(); while (b > 0) b = readByte(); if (b < 0) return false
+        }
+        if ((flg & 0x02) != 0) { // FHCRC
+          if (readByte() < 0 || readByte() < 0) return false
+        }
+        true
+      }
+
+      /** Inflate one deflate stream, discarding output; leaves bufPos at
+        * the first byte AFTER the compressed data. False on damage. */
+      private def drainDeflate(): Boolean = {
+        inf.reset()
+        var given = 0
+        try {
+          while (!inf.finished()) {
+            if (inf.needsInput()) {
+              if (!ensure()) return false // truncated
+              given = bufLen - bufPos
+              inf.setInput(buf, bufPos, given)
+            }
+            inf.inflate(scratch)
+            if (inf.finished()) bufPos += given - inf.getRemaining
+            else if (inf.needsInput()) { bufPos += given; given = 0 }
+          }
+          true
+        } catch { case _: DataFormatException => false }
+      }
+
+      /** Scan forward for the next 1f 8b 08 candidate. Returns the
+        * candidate's absolute offset (those 3 bytes CONSUMED), or -1 at
+        * EOF. */
+      private def resync(): Long = {
+        var w1 = -1; var w2 = -1
+        var b = readByte()
+        while (b >= 0) {
+          if (w1 == 0x1f && w2 == 0x8b && b == 0x08) return absPos - 3
+          w1 = w2; w2 = b; b = readByte()
+        }
+        -1L
+      }
+
+      private var out: Member = _
+      private var loaded = false
+      private var done = false
+      /** set when resync() already consumed a member's first 3 bytes */
+      private var pendingStart = -1L
+
+      private def advance(): Unit = {
+        while (!loaded && !done) {
+          var start = pendingStart
+          var magicOk = true
+          if (start < 0) {
+            if (!ensure()) { done = true; return }
+            start = absPos
+            magicOk = readByte() == 0x1f && readByte() == 0x8b && readByte() == 0x08
+          }
+          pendingStart = -1L
+          val ok = magicOk && parseHeaderRest() && drainDeflate() && {
+            var i = 0; var t = true
+            while (i < 8) { if (readByte() < 0) t = false; i += 1 } // CRC32+ISIZE
+            t
+          }
+          if (ok) {
+            out = Member(null, start, absPos - start, ok = true); loaded = true
+          } else {
+            // damaged member: resync at the next plausible magic (or
+            // EOF) and report the skipped range as one corrupt span
+            val next = resync()
+            val end = if (next < 0) absPos else next
+            if (next >= 0) pendingStart = next
+            if (end > start) {
+              out = Member(null, start, end - start, ok = false); loaded = true
+            } else if (next < 0) done = true
+          }
+        }
+      }
+      override def hasNext: Boolean = { if (!loaded && !done) advance(); loaded }
+      override def next(): Member = {
+        if (!hasNext) throw new NoSuchElementException("memberOffsets")
+        loaded = false; out
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // Distributed index build + parallel member scan
+  // ------------------------------------------------------------------
+
+  private def listGzFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".gz")) out += st.getPath.toString
+    }
+    out.result()
+  }
+
+  /** Build the member index for every `.gz` file under `path`: one
+    * walker task per file (the walk is sequential per file by nature —
+    * exactly the pass a landing pipeline folds into the write), emitted
+    * as (file, offset, length, ok). The index is ~24 bytes per member:
+    * 100 TB at ~1 MB/member is a 2.4 GB relation — a normal DataFrame,
+    * joinable/broadcastable, and worth persisting next to the zone the
+    * way Common Crawl persists cdx. */
+  def memberIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = listGzFiles(spark, path)
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    files.toDS()
+      .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { file =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(hconf.value.value)
+        val in = fs.open(p)
+        // the walker is lazy; materialize within the open stream's life
+        try memberOffsets(in).map(_.copy(file = file)).toVector
+        finally in.close()
+      }
+      .toDF()
+  }
+
+  /** The parallel scan: decode every indexed member independently and
+    * run [[Warc.assemble]] on its records. `parallelism` spreads the
+    * members regardless of how few files they came from — the whole
+    * point of the index. Output = [[Warc.read]]'s schema. A member
+    * indexed ok=false (or whose decode throws despite the index — e.g.
+    * bytes changed since indexing) surfaces as one is_valid=false row. */
+  def readMembers(spark: SparkSession, index: DataFrame,
+                  parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    index.select(col("file"), col("offset"), col("length"), col("ok"))
+      .as[(String, Long, Long, Boolean)]
+      .repartition(par)
+      .mapPartitions { it =>
+        // group consecutive same-file members so a task reopens each
+        // file once per run, not once per member
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def open(file: String) = {
+          if (in != null) in.close()
+          val p = new org.apache.hadoop.fs.Path(file)
+          in = p.getFileSystem(hconf.value.value).open(p)
+          curFile = file
+        }
+        val invalid = WarcRec(null, null, null, null, None, null, is_valid = false)
+        val recs = it.flatMap { case (file, offset, length, ok) =>
+          if (!ok) Iterator.single(invalid)
+          else {
+            try {
+              if (file != curFile) open(file)
+              val bytes = new Array[Byte](length.toInt)
+              in.readFully(offset, bytes)
+              Warc.recordsFromFileBytes(file, bytes)
+            } catch { case _: java.io.IOException => Iterator.single(invalid) }
+          }
+        }
+        // close the last stream after the iterator drains
+        new scala.collection.AbstractIterator[WarcRec] {
+          override def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          override def next(): WarcRec = recs.next()
+        }
+      }
+      .toDF()
+  }
+
+  /** Index + scan in one call (fresh index — callers that reuse a
+    * stored index should call the two stages directly). */
+  def readSplit(spark: SparkSession, path: String, parallelism: Int = 0): DataFrame =
+    readMembers(spark, memberIndex(spark, path), parallelism)
+}

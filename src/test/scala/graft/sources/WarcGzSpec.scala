@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** Per-member-splittable .warc.gz: index exactness, parallel-scan
+  * equivalence with the whole-file decode, and corrupt-member
+  * isolation with resync. */
+class WarcGzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = (0L until 300L).map(i => i -> s"document number $i with some body text")
+
+  private def gzZone(nFiles: Int = 2): String = {
+    val dir = scratchDir("warcgz").toString
+    Warc.synthesize(spark, docs.toDF("doc_id", "text"), dir,
+      nFiles = nFiles, gzip = true)
+    dir
+  }
+
+  test("member index finds exactly one member per record, covering every byte") {
+    val dir = gzZone()
+    val idx = WarcGz.memberIndex(spark, dir)
+      .as[WarcGz.Member].collect().groupBy(_.file)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(idx.valuesIterator.map(_.length).sum == docs.size)
+    for ((file, members) <- idx) {
+      val sorted = members.sortBy(_.offset)
+      assert(sorted.head.offset == 0)
+      assert(sorted.forall(_.ok))
+      // contiguous: each member starts where the previous ended, and the
+      // last ends at the file's physical length
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.offset + a.length == b.offset)
+        case _ =>
+      }
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(file)).getLen
+      assert(sorted.last.offset + sorted.last.length == len)
+    }
+  }
+
+  test("parallel member scan ≡ whole-file exact decode") {
+    val dir = gzZone()
+    val whole = Warc.readExact(spark, dir)
+    val split = WarcGz.readSplit(spark, dir, parallelism = 7)
+    assert(whole.except(split).count() == 0 && split.except(whole).count() == 0)
+  }
+
+  test("a corrupt member drops alone; the walker resyncs to the next member") {
+    val dir = gzZone(nFiles = 1)
+    // flip bytes INSIDE the deflate stream of a middle member
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".gz")).get
+    val clean = WarcGz.memberIndex(spark, dir).as[WarcGz.Member]
+      .collect().sortBy(_.offset)
+    val victim = clean(clean.length / 2)
+    val bytes = {
+      val in = fs.open(file)
+      try { val b = new Array[Byte](fs.getFileStatus(file).getLen.toInt)
+        in.readFully(0, b); b } finally in.close()
+    }
+    var i = victim.offset.toInt + 14
+    while (i < victim.offset.toInt + victim.length.toInt - 9) {
+      bytes(i) = (~bytes(i)).toByte; i += 1
+    }
+    val out = fs.create(file, true)
+    try out.write(bytes) finally out.close()
+
+    val idx = WarcGz.memberIndex(spark, dir).as[WarcGz.Member]
+      .collect().sortBy(_.offset)
+    assert(idx.count(!_.ok) >= 1, "the damaged span must be indexed as corrupt")
+    // exact recovery contract: every record whose member bytes the
+    // damage does NOT touch survives iff it was valid before (the
+    // single file is sorted by doc_id, so member k ↔ k-th id)
+    val sortedIds = docs.map(_._1).sorted
+    val corruptSpans = idx.filter(!_.ok).map(m => (m.offset, m.offset + m.length))
+    val damagedIds = clean.zipWithIndex.collect {
+      case (m, i) if corruptSpans.exists(s =>
+        m.offset < s._2 && m.offset + m.length > s._1) => sortedIds(i)
+    }.toSet
+    val baselineIds = docs.map(_._1).filter(id =>
+      id % Warc.TruncMod != 0 && id % Warc.NoLenMod != 0).toSet
+    val recovered = WarcGz.readMembers(spark, WarcGz.memberIndex(spark, dir))
+      .filter(col("is_valid"))
+      .select(regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long"))
+      .as[Long].collect().toSet
+    assert(damagedIds.nonEmpty, "the victim member must be in a corrupt span")
+    assert(recovered == baselineIds -- damagedIds,
+      s"recovered ${recovered.size}, expected ${(baselineIds -- damagedIds).size}" +
+        s" (damaged: $damagedIds)")
+  }
+
+  test("whole-file readers still decode the concatenated per-record layout") {
+    val dir = gzZone()
+    val viaText = Warc.readClean(spark, dir).select("url").as[String].collect().toSet
+    val expected = docs.filter { case (id, _) =>
+      id % Warc.TruncMod != 0 && id % Warc.NoLenMod != 0 &&
+        id % Warc.MagicQuoteMod != 0 }
+      .map { case (id, _) => s"${Warc.UriPrefix}$id" }.toSet
+    // readClean (chunk semantics) drops the %101 quoting docs; the
+    // member scan keeps them — both still DECODE every member
+    assert(viaText == expected)
+    val viaSplit = WarcGz.readSplit(spark, dir).filter(col("is_valid"))
+      .select("url").as[String].collect().toSet
+    assert(viaSplit == expected ++ docs.collect {
+      case (id, _) if id % Warc.MagicQuoteMod == 0 && id % Warc.TruncMod != 0 &&
+        id % Warc.NoLenMod != 0 => s"${Warc.UriPrefix}$id" })
+  }
+}
