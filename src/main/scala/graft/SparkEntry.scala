@@ -60,5 +60,6 @@ object SparkEntry {
   def artifactEntries: Seq[String] = Seq(
     "q52_ivf_topk", "q103_bucketed_join",
     "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats",
-    "q128_hard_negatives_ivf", "q136_warc_read", "q138_warc_stream")
+    "q128_hard_negatives_ivf", "q136_warc_read", "q138_warc_stream",
+    "q140_html_blocks")
 }

@@ -212,12 +212,22 @@ object GraftExtensions {
     * paths (`.withExtensions` injection and live-session register()),
     * so a new descriptor can't be present on one and missing on the
     * other. */
+  private[functions] val idnAsciiDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("idn_ascii"),
+    new ExpressionInfo(classOf[IdnAscii].getName, "idn_ascii"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "idn_ascii(host)")
+      IdnAscii(exprs(0))
+    })
+
   private[functions] val allDescriptors = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
     quantileRankDescriptor, winnowDescriptor, tokenNgramsDescriptor,
-    nearestCidDescriptor, nearestCidsDescriptor, fxRoundDescriptor)
+    nearestCidDescriptor, nearestCidsDescriptor, fxRoundDescriptor,
+    idnAsciiDescriptor)
   private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):

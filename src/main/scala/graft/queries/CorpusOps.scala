@@ -225,31 +225,210 @@ object CorpusOps {
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }
 
+  // --------------------------------------- q140 HTML→text extraction
+
+  private val htmlZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The deterministic HTML page for each document: head with title /
+    * style / script (the non-content elements the extractor must drop),
+    * a heading, the document text as the main content block, a
+    * link-only nav block (the boilerplate case), and an entity-bearing
+    * closing block. Built identically in Spark and DuckDB. */
+  private def htmlCol: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id, lit("</title>"),
+      lit("<style>body { margin: 0 }</style>"),
+      lit("<script>var doc = "), id, lit(";</script></head>"),
+      lit("<body><h1>Heading "), id, lit("</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
+      lit("<p>Second &amp; final &lt;block&gt;&nbsp;here "), id, lit("</p>"),
+      lit("</body></html>"))
+  }
+
+  private val htmlSqlExpr: String =
+    """'<html><head><title>Doc ' || doc_id || '</title>' ||
+      |'<style>body { margin: 0 }</style>' ||
+      |'<script>var doc = ' || doc_id || ';</script></head>' ||
+      |'<body><h1>Heading ' || doc_id || '</h1>' ||
+      |'<p>' || text || '</p>' ||
+      |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
+      |'<p>Second &amp; final &lt;block&gt;&nbsp;here ' || doc_id || '</p>' ||
+      |'</body></html>'""".stripMargin.replace("\n", " ")
+
+  /** A WARC zone whose payloads are the HTML pages (the real crawl
+    * shape q136's plain-text zone abstracts away). Shares recordColumn,
+    * so the corruption/quoting residues apply to the HTML payloads
+    * too. */
+  private[queries] def htmlZoneFor(s: SparkSession, dir: String): String =
+    htmlZones.computeIfAbsent(dir, { d =>
+      val base = graft.TempArtifacts.dir("graft_warc_html")
+      graft.sources.Warc.synthesize(s,
+        Tables.documents(s, d).select(col("doc_id"), htmlCol.as("text")), base)
+      base
+    })
+
+  /** q140: HTML→text extraction (text.HtmlExtract) over WARC payloads —
+    * the boilerplate-removal stage between the crawl reader and the
+    * curation chain. The oracle rebuilds the surviving payloads from
+    * `documents` and replays the identical block algebra
+    * (HtmlExtract.duckBlockCtes), so a divergence in script stripping,
+    * entity decode, block segmentation, or the link-density arithmetic
+    * hash-mismatches. Map-only after the zone read (PlanAuditSpec). */
+  def q140HtmlBlocks(s: SparkSession, dir: String): DataFrame = {
+    val zone = htmlZoneFor(s, dir)
+    val pages = graft.sources.Warc.readExactClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+    graft.text.HtmlExtract.blocks(pages, "doc_id", col("payload"))
+  }
+
+  val q140Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
+    s"""WITH h0 AS (
+       |  SELECT doc_id, $htmlSqlExpr AS html0
+       |  FROM documents
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0),
+       |hin AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $MagicQuoteMod = 0
+       |    THEN 'see: WARC/1.0' || chr(13) || chr(10) || html0
+       |    ELSE html0 END AS html
+       |  FROM h0),
+       |${graft.text.HtmlExtract.duckBlockCtes("hin", "doc_id")}
+       |SELECT doc_id, block_idx, block_text, n_chars, link_density_bp,
+       |  is_boilerplate
+       |FROM hb""".stripMargin
+  }
+
+  // ------------------------------------ q142 deterministic corpus shuffle
+
+  private val ShuffleSeed = "graft-r15"
+
+  /** q142: seeded reproducible global permutation
+    * (operators.CorpusShuffle) — the training-order shuffle. The oracle
+    * replays the identical h60 order as one naive global window, so any
+    * divergence in the two-phase offset machinery (partition counts,
+    * offsets, local indexing) hash-mismatches. Changing the seed is a
+    * different permutation; same seed is bit-identical anywhere. */
+  def q142CorpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusShuffle.permute(
+      Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id"), ShuffleSeed)
+
+  val q142Sql: String =
+    s"""SELECT doc_id, row_number() OVER (
+       |  ORDER BY ('0x' || substr(md5('$ShuffleSeed|' || doc_id), 1, 15))::BIGINT,
+       |    doc_id) AS shuffle_pos
+       |FROM documents""".stripMargin
+
+  // --------------------------------- q141 trained quality classifier
+
+  /** The deterministic "bad page" corruption: a spam/boilerplate
+    * template appended to the document (the label-correlated signal a
+    * real quality classifier learns — promo phrasing), ×3. */
+  private[graft] val SpamTemplate =
+    " click here buy now best free offer www promo"
+  private[graft] val BadMod = 4
+
+  private[graft] def qualityFixture(s: SparkSession, dir: String): DataFrame = {
+    val bad = pmod(col("doc_id"), lit(BadMod)) === 0
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(bad, lit("bad")).otherwise(lit("good")).as("label"),
+      when(bad, concat(lower(col("text")), repeat(lit(SpamTemplate), 3)))
+        .otherwise(lower(col("text"))).as("text"))
+  }
+
+  /** q141: trained quality classifier (text.QualityClassifier — binary
+    * NB over HASHED char-trigram buckets, the fastText posture, integer
+    * Q20 fixed-point). Labels are synthesized deterministically
+    * (doc_id % 4 → spam-template corruption), so the decision is
+    * learnable AND oracle-replayable: the oracle re-fits the identical
+    * model in SQL — same split hash, same feature hashing, same
+    * smoothing, same argmax — and hashes the held-out predictions.
+    * Held-out accuracy ≫ the 75% majority class (measured in
+    * QualityClassifierSpec and the round notes). */
+  def q141QualityNb(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.predictions(qualityFixture(s, dir))
+
+  val q141Sql: String = {
+    import graft.text.LangIdNB.{ilogDuckSql => L}
+    import graft.text.QualityClassifier.NBuckets
+    val h5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $BadMod = 0 THEN 'bad' ELSE 'good' END AS label,
+       |    CASE WHEN doc_id % $BadMod = 0
+       |         THEN lower(text) || repeat('$SpamTemplate', 3)
+       |         ELSE lower(text) END AS t,
+       |    ($h5) <> 0 AS is_train
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, label, is_train,
+       |    ('0x' || substr(md5(substr(t, u.i, 3)), 1, 15))::BIGINT % $NBuckets AS b
+       |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)),
+       |tg AS (SELECT label, b, count(*)::BIGINT AS c
+       |       FROM gr WHERE is_train GROUP BY 1, 2),
+       |lt AS (
+       |  SELECT s.label, s.tot, n.ndocs
+       |  FROM (SELECT label, sum(c)::BIGINT AS tot FROM tg GROUP BY 1) s
+       |  JOIN (SELECT label, count(*)::BIGINT AS ndocs
+       |        FROM d WHERE is_train GROUP BY 1) n USING (label)),
+       |vv AS (SELECT count(DISTINCT b)::BIGINT AS v FROM tg),
+       |tsg AS (SELECT doc_id, b, count(*)::BIGINT AS tf
+       |        FROM gr WHERE NOT is_train GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, coalesce(greatest(length(t) - 2, 0), 0)::BIGINT AS n
+       |       FROM d WHERE NOT is_train),
+       |m AS (
+       |  SELECT t.doc_id, tg.label, sum(t.tf * ${L("tg.c + 1")})::BIGINT AS mterm
+       |  FROM tsg t JOIN tg USING (b) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT dn.doc_id, lt.label,
+       |    (${L("lt.ndocs")} + coalesce(m.mterm, 0)
+       |      - dn.n * ${L("lt.tot + vv.v")})::BIGINT AS score_fp
+       |  FROM dn CROSS JOIN vv CROSS JOIN lt
+       |  LEFT JOIN m ON m.doc_id = dn.doc_id AND m.label = lt.label)
+       |SELECT doc_id, label AS quality_pred, score_fp FROM sc
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY score_fp DESC, label ASC) = 1""".stripMargin
+  }
+
   // ------------------------------------- q139 URL canonicalization dedup
 
   /** URL-level dedup (text.UrlCanonical) — the first, cheapest dedup
     * stage of web-corpus curation: collapse cosmetic URL variants
-    * (scheme/host case, default ports, trailing slash, fragments,
-    * tracking params, param order) BEFORE any content pass. The messy
-    * URLs are synthesized deterministically from doc_id — three variant
-    * classes by residue, all canonicalizing to the same logical URL —
-    * and the oracle builds the identical strings and replays the
-    * identical string algebra (UrlCanonical.duckCanonCtes), so a
-    * canonicalization rule that diverges between spellings
-    * hash-mismatches. Output: one row per canonical URL with its
-    * variant count and first holder. */
+    * BEFORE any content pass. The messy URLs are synthesized
+    * deterministically from doc_id — three variant classes by residue,
+    * all canonicalizing to the same logical URL — now exercising every
+    * normalization axis: scheme/host case, default ports, trailing
+    * slash, fragments, tracking params, param order, PLUS (r15)
+    * percent-escape case (`%2f` vs `%2F`), unreserved-escape decode
+    * (`%7Eusr` vs `~usr`), and IDN hosts (`BÜCHER.example` vs
+    * `xn--bcher-kva.example`). The oracle builds the identical strings
+    * and replays the identical string algebra
+    * (UrlCanonical.duckCanonCtes; the IDN labels via its fixture
+    * vocabulary, since DuckDB has no punycode), so a canonicalization
+    * rule that diverges between spellings hash-mismatches. Output: one
+    * row per canonical URL with its variant count and first holder. */
   def q139UrlDedup(s: SparkSession, dir: String): DataFrame = {
-    val d37 = pmod(col("doc_id"), lit(13)).cast("string")
-    val d101 = pmod(col("doc_id"), lit(17)).cast("string")
+    val d13 = pmod(col("doc_id"), lit(13)).cast("string")
+    val d17 = pmod(col("doc_id"), lit(17)).cast("string")
     val v = pmod(col("doc_id"), lit(3))
     val url = concat(
       when(v === 1, lit("HTTP")).otherwise(lit("http")), lit("://"),
-      when(v === 1, concat(lit("Site"), d37, lit(".ORG")))
-        .otherwise(concat(lit("site"), d37, lit(".org"))),
+      lit("site"), d13, lit("."),
+      when(v === 1, lit("BÜCHER")).otherwise(lit("xn--bcher-kva")),
+      lit(".example"),
       when(v === 2, lit(":80")).otherwise(lit("")),
-      lit("/Page/"), d101,
-      when(v === 1, lit("/")).otherwise(lit("")),
-      when(v === 2, lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?b=2&a=1")),
+      lit("/Page/"), d17,
+      when(v === 0, lit("/~usr"))
+        .when(v === 1, lit("/%7Eusr/")).otherwise(lit("/%7eusr")),
+      when(v === 2, lit("?utm_source=feed&b=2%2f2&a=1"))
+        .when(v === 1, lit("?b=2%2f2&a=1")).otherwise(lit("?b=2%2F2&a=1")),
       when(v === 2, lit("#sec")).otherwise(lit("")))
     Tables.documents(s, dir)
       .select(col("doc_id"), url.as("url"))
@@ -264,24 +443,30 @@ object CorpusOps {
       """mk AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
-        |    (CASE WHEN doc_id % 3 = 1
-        |          THEN 'Site' || (doc_id % 13) || '.ORG'
-        |          ELSE 'site' || (doc_id % 13) || '.org' END) ||
+        |    'site' || (doc_id % 13) || '.' ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'BÜCHER' ELSE 'xn--bcher-kva' END) ||
+        |    '.example' ||
         |    (CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE '' END) ||
         |    '/Page/' || (doc_id % 17) ||
-        |    (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 3 = 2 THEN '?utm_source=feed&b=2&a=1'
-        |          ELSE '?b=2&a=1' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/~usr'
+        |          WHEN doc_id % 3 = 1 THEN '/%7Eusr/' ELSE '/%7eusr' END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN '?utm_source=feed&b=2%2f2&a=1'
+        |          WHEN doc_id % 3 = 1 THEN '?b=2%2f2&a=1'
+        |          ELSE '?b=2%2F2&a=1' END) ||
         |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
         |  FROM documents)""".stripMargin
     s"""WITH $mk,
-       |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id")}
+       |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id",
+          idnVocab = Seq("bücher" -> "xn--bcher-kva"))}
        |SELECT canon AS canonical_url, count(*) AS n_urls,
        |  min(doc_id) AS first_doc
        |FROM u4 GROUP BY canon""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
+    "q142_corpus_shuffle" -> q142CorpusShuffle,
+    "q141_quality_nb" -> q141QualityNb,
+    "q140_html_blocks" -> q140HtmlBlocks,
     "q139_url_dedup" -> q139UrlDedup,
     "q136_warc_read" -> q136WarcRead,
     "q120_pmi"       -> q120Pmi,
@@ -294,6 +479,9 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_corpus_shuffle" -> q142Sql,
+    "q141_quality_nb" -> q141Sql,
+    "q140_html_blocks" -> q140Sql,
     "q139_url_dedup" -> q139Sql,
     "q136_warc_read" -> q136Sql,
     "q120_pmi"       -> q120Sql,

@@ -22,23 +22,69 @@ import org.apache.spark.sql.functions._
   *     server-insensitive for the overwhelming majority of pages; the
   *     canonical form must be order-stable to work as a dedup key).
   *
-  * Composed codegen builtins only (substring_index / split / filter /
-  * array_sort), each with an exact DuckDB twin, so the canonical string
-  * is oracle-reproducible. Input contract: absolute http(s) URLs
-  * (`scheme://host[:port][/path][?query][#frag]`); a malformed value
-  * canonicalizes to whatever the string algebra yields rather than
-  * throwing — curation drops junk rows by validity elsewhere (q136's
-  * reader), canonicalization must stay total and map-only at 100 TB.
+  *   - percent-encoding normalized (RFC 3986 §6.2.2.2): escapes of
+  *     UNRESERVED characters decoded (`%7E` → `~`, `%41` → `A`), all
+  *     other escapes' hex uppercased (`%2f` → `%2F`); malformed
+  *     escapes (`%zz`, dangling `%`) pass through untouched;
+  *   - internationalized hosts mapped to their ASCII punycode form
+  *     (RFC 3490: `bücher.example` ≡ `xn--bcher-kva.example`) via the
+  *     native idn_ascii expression — the ONE non-builtin step, since
+  *     punycode has no string-algebra form; pure-ASCII hosts never
+  *     reach it.
+  *
+  * Composed codegen builtins (substring_index / split / filter /
+  * array_sort / transform), each with an exact DuckDB twin, so the
+  * canonical string is oracle-reproducible (for IDN, DuckDB has no
+  * punycode — oracles supply the fixture's host vocabulary as a
+  * replace mapping; ASCII hosts replay exactly). Input contract:
+  * absolute http(s) URLs (`scheme://host[:port][/path][?query]
+  * [#frag]`); a malformed value canonicalizes to whatever the string
+  * algebra yields rather than throwing — curation drops junk rows by
+  * validity elsewhere (q136's reader), canonicalization must stay
+  * total and map-only at 100 TB.
   */
 object UrlCanonical {
 
+  /** Unreserved codepoints (RFC 3986 §2.3): ALPHA / DIGIT / - . _ ~ —
+    * the escapes that decode; everything else only uppercases. */
+  private def isUnreserved(v: Column): Column =
+    v.between(48, 57) || v.between(65, 90) || v.between(97, 122) ||
+      v.isin(45, 46, 95, 126)
+
+  /** Percent-encoding normalization as pure string algebra: mark every
+    * '%' with a \u0002 sentinel, split on the sentinel — every piece
+    * after the head then STARTS with '%' iff it is an escape candidate
+    * — and transform each piece (decode unreserved / uppercase hex /
+    * leave malformed), then rejoin. Map-only, same shape in DuckDB. */
+  def percentNormalize(url: Column): Column = {
+    val pieces = split(regexp_replace(url, "%", "\u0002%"), "\u0002")
+    array_join(transform(pieces, p => {
+      val hex = substring(p, 2, 2)
+      val isEsc = startswith(p, lit("%")) && hex.rlike("^[0-9a-fA-F]{2}$")
+      val v = conv(hex, 16, 10).cast("int")
+      val tail = expr_substr(p, 4)
+      when(!isEsc, p)
+        .when(isUnreserved(v), concat(call_function("char", v), tail))
+        .otherwise(concat(lit("%"), upper(hex), tail))
+    }), "")
+  }
+
+  /** substr(p, from) to end of string, 1-based (Column form). */
+  private def expr_substr(p: Column, from: Int): Column =
+    p.substr(lit(from), greatest(length(p) - lit(from - 1), lit(0)))
+
   /** The canonical form of `url` as a Column. Map-only. */
   def canonicalize(url: Column): Column = {
-    val noFrag = substring_index(url, "#", 1)
+    // percent-normalization first: decoding unreserved escapes can
+    // never produce a delimiter (reserved chars stay encoded), so the
+    // parse below sees the normalized spelling
+    val noFrag = substring_index(percentNormalize(url), "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)
     val hostport = substring_index(rest, "/", 1)
-    val host = lower(substring_index(hostport, ":", 1))
+    val hostLower = lower(substring_index(hostport, ":", 1))
+    val host = when(hostLower.rlike("^[\\x00-\\x7F]*$"), hostLower)
+      .otherwise(graft.functions.IdnAscii.idnAscii(hostLower))
     val port = when(hostport.contains(":"),
       substring_index(hostport, ":", -1)).otherwise(lit(""))
     val keepPort = (port =!= "") &&
@@ -64,14 +110,39 @@ object UrlCanonical {
 
   /** The identical algebra as a DuckDB CTE chain over a relation that
     * carries (`idCol`, `url`) — the oracle spelling, kept adjacent so
-    * the two cannot drift apart. Appends CTEs `u1..u4` and exposes
+    * the two cannot drift apart. Appends CTEs `u0..u4` and exposes
     * `u4 (idCol, canon)`. DuckDB twins used: substring_index ↔
     * string_split(...)[1]/[-1] (both return the whole string when the
     * separator is absent), filter ↔ list_filter, array_sort ↔
-    * list_sort, endswith ↔ LIKE '%/'. */
-  def duckCanonCtes(inputCte: String, idCol: String): String =
-    s"""u1 AS (
-       |  SELECT $idCol, string_split(url, '#')[1] AS nf FROM $inputCte),
+    * list_sort, endswith ↔ LIKE '%/', the \\u0002-sentinel percent
+    * algebra ↔ list_transform, conv ↔ ('0x'||hh)::INT.
+    *
+    * `idnVocab`: DuckDB has no punycode, so oracles over fixtures with
+    * internationalized hosts pass the (unicode-lowercase → punycode)
+    * label pairs here; they replay as replace() on the lowered host.
+    * ASCII hosts replay exactly with no vocabulary. */
+  def duckCanonCtes(inputCte: String, idCol: String,
+                    idnVocab: Seq[(String, String)] = Nil): String = {
+    val hh = "substr(p, 2, 2)"
+    val code = s"('0x' || $hh)::INT"
+    val hostExpr = idnVocab.foldLeft("lower(string_split(hp, ':')[1])") {
+      case (acc, (u, puny)) => s"replace($acc, '$u', '$puny')"
+    }
+    s"""u0 AS (
+       |  SELECT $idCol, array_to_string(list_transform(
+       |    string_split(replace(url, '%', chr(2) || '%'), chr(2)),
+       |    p -> CASE
+       |      WHEN NOT (starts_with(p, '%')
+       |                AND regexp_matches($hh, '^[0-9a-fA-F]{2}$$'))
+       |        THEN p
+       |      WHEN ($code BETWEEN 48 AND 57) OR ($code BETWEEN 65 AND 90)
+       |        OR ($code BETWEEN 97 AND 122) OR $code IN (45, 46, 95, 126)
+       |        THEN chr($code) || substr(p, 4)
+       |      ELSE '%' || upper($hh) || substr(p, 4)
+       |    END), '') AS url
+       |  FROM $inputCte),
+       |u1 AS (
+       |  SELECT $idCol, string_split(url, '#')[1] AS nf FROM u0),
        |u2 AS (
        |  SELECT $idCol, lower(string_split(nf, '://')[1]) AS scheme,
        |    string_split(nf, '://')[-1] AS rst,
@@ -79,7 +150,7 @@ object UrlCanonical {
        |  FROM u1),
        |u3 AS (
        |  SELECT $idCol, scheme,
-       |    lower(string_split(hp, ':')[1]) AS host,
+       |    $hostExpr AS host,
        |    CASE WHEN contains(hp, ':') THEN string_split(hp, ':')[-1]
        |         ELSE '' END AS port,
        |    string_split(substr(rst, length(hp) + 1), '?')[1] AS p0,
@@ -104,4 +175,5 @@ object UrlCanonical {
        |              AND NOT starts_with(pp, 'fbclid=')
        |              AND NOT starts_with(pp, 'gclid='))), '&') AS sq
        |    FROM u3))""".stripMargin
+  }
 }

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** HTML→text block extraction: structural stripping, entity decode,
+  * link-density boilerplate classification, and the map-only plan. */
+class HtmlExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def extract(html: String) =
+    HtmlExtract.blocks(Seq((1L, html)).toDF("doc_id", "html"),
+        "doc_id", col("html"))
+      .orderBy("block_idx")
+      .select("block_text", "n_chars", "link_density_bp", "is_boilerplate")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+
+  test("script, style and comments vanish with their contents; blocks split at block tags") {
+    val out = extract(
+      "<html><head><style>p { color: red }</style>" +
+        "<script>var x = '<p>not a block</p>';</script></head>" +
+        "<body><!-- navigation comment --><h1>The Heading</h1>" +
+        "<p>First paragraph of real content here.</p>" +
+        "<p>Second paragraph, also real content.</p></body></html>")
+    assert(out.map(_._1) == Seq(
+      "The Heading",
+      "First paragraph of real content here.",
+      "Second paragraph, also real content."))
+    assert(out.forall(b => !b._1.contains("not a block")))
+  }
+
+  test("entities decode once, single-pass semantics (&amp;lt; stays &lt;)") {
+    val out = extract("<p>Fish &amp; chips &lt;tasty&gt;&nbsp;&#39;quoted&#39; &amp;lt;</p>")
+    assert(out.map(_._1) == Seq("Fish & chips <tasty> 'quoted' &lt;"))
+  }
+
+  test("a link-only nav block classifies boilerplate; prose with one link does not") {
+    val out = extract(
+      "<p>A long enough paragraph of genuine readable content with " +
+        "<a href=\"/ref\">one link</a> inside it that stays content.</p>" +
+        "<div><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact</a></div>" +
+        "<p>tiny</p>")
+    val (prose, nav, tiny) = (out(0), out(1), out(2))
+    assert(!prose._4 && prose._3 < HtmlExtract.MaxLinkDensityBp,
+      s"prose misclassified: $prose")
+    assert(nav._4 && nav._3 > HtmlExtract.MaxLinkDensityBp,
+      s"nav not boilerplate: $nav")
+    assert(tiny._4 && tiny._2 < HtmlExtract.MinContentChars,
+      s"short block not boilerplate: $tiny")
+  }
+
+  test("link-density arithmetic is exact: chars inside anchors over block chars") {
+    // block text = "Home About" (10 chars), link chars = 4 + 5 = 9
+    val out = extract("<div><a href=\"/h\">Home</a> <a href=\"/a\">About</a></div>")
+    assert(out == Seq(("Home About", 10L, 10000L * 9 / 10, true)))
+  }
+
+  test("the block plan is map-only: one generator, zero exchanges") {
+    val df = HtmlExtract.blocks(
+      Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode generator:\n$p")
+  }
+}

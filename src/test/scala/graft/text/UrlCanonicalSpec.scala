@@ -42,4 +42,37 @@ class UrlCanonicalSpec extends SparkTestBase {
     assert(canon("https://h.io:80/p") == Seq("https://h.io:80/p"))
     assert(canon("http://h.io:443/p") == Seq("http://h.io:443/p"))
   }
+
+  test("percent-encoding: unreserved escapes decode, others uppercase, junk survives") {
+    val got = canon(
+      "http://h.io/%7Euser",              // ~ is unreserved → decodes
+      "http://h.io/~user",                // already literal → same key
+      "http://h.io/a%2fb",                // / is reserved → %2F, not decoded
+      "http://h.io/a%2Fb",
+      "http://h.io/%41%62c",              // A and b decode (case preserved)
+      "http://h.io/x%zz%4",               // malformed escapes pass through
+      "http://h.io/100%")                 // dangling % at end survives
+    assert(got(0) == "http://h.io/~user" && got(0) == got(1))
+    assert(got(2) == "http://h.io/a%2Fb" && got(2) == got(3))
+    assert(got(4) == "http://h.io/Abc")
+    assert(got(5) == "http://h.io/x%zz%4")
+    assert(got(6) == "http://h.io/100%")
+  }
+
+  test("IDN hosts collapse with their punycode spelling; ASCII hosts never change") {
+    val got = canon(
+      "http://BÜCHER.example/p",
+      "http://xn--bcher-kva.example/p",
+      "http://shop.bücher.example/p",
+      "http://plain-ascii.example/p")
+    assert(got(0) == "http://xn--bcher-kva.example/p" && got(0) == got(1))
+    assert(got(2) == "http://shop.xn--bcher-kva.example/p")
+    assert(got(3) == "http://plain-ascii.example/p")
+  }
+
+  test("an invalid IDN host passes through unchanged (total function)") {
+    // an empty non-ASCII-adjacent label IDN.toASCII rejects
+    val junk = "http://bad..ü.example/p"
+    assert(canon(junk) == Seq("http://bad..ü.example/p"))
+  }
 }
