@@ -58,7 +58,7 @@ object UrlCanonical {
     * leave malformed), then rejoin. Map-only, same shape in DuckDB. */
   def percentNormalize(url: Column): Column = {
     val pieces = split(regexp_replace(url, "%", "\u0002%"), "\u0002")
-    array_join(transform(pieces, p => {
+    val normalized = array_join(transform(pieces, p => {
       val hex = substring(p, 2, 2)
       val isEsc = startswith(p, lit("%")) && hex.rlike("^[0-9a-fA-F]{2}$")
       val v = conv(hex, 16, 10).cast("int")
@@ -67,6 +67,10 @@ object UrlCanonical {
         .when(isUnreserved(v), concat(call_function("char", v), tail))
         .otherwise(concat(lit("%"), upper(hex), tail))
     }), "")
+    // fast path: most real URLs carry no escapes at all - skip the
+    // split/transform entirely. Identity-preserving (the transform is a
+    // no-op without '%'), so the DuckDB twin needs no branch.
+    when(!url.contains("%"), url).otherwise(normalized)
   }
 
   /** substr(p, from) to end of string, 1-based (Column form). */
