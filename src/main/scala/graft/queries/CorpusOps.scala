@@ -245,7 +245,8 @@ object CorpusOps {
       lit("<p>"), col("text"), lit("</p>"),
       lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
         "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
-      lit("<p>Second &amp; final &lt;block&gt;&nbsp;here "), id, lit("</p>"),
+      lit("<p>Second &amp; final &lt;block&gt;&nbsp;here, "
+        + "&#70;ine &#x70;rint &#9999; &amp;#65; "), id, lit("</p>"),
       lit("</body></html>"))
   }
 
@@ -256,7 +257,7 @@ object CorpusOps {
       |'<body><h1>Heading ' || doc_id || '</h1>' ||
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
-      |'<p>Second &amp; final &lt;block&gt;&nbsp;here ' || doc_id || '</p>' ||
+      |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
       |'</body></html>'""".stripMargin.replace("\n", " ")
 
   /** A WARC zone whose payloads are the HTML pages (the real crawl
@@ -302,6 +303,90 @@ object CorpusOps {
        |SELECT doc_id, block_idx, block_text, n_chars, link_density_bp,
        |  is_boilerplate
        |FROM hb""".stripMargin
+  }
+
+  // --------------------------------------- q144 per-domain corpus stats
+
+  /** q144: host-level crawl statistics (text.UrlCanonical.hostOf) —
+    * the per-DOMAIN view every curation pipeline needs before applying
+    * domain quotas (C4 caps documents per domain; crawl health
+    * dashboards read exactly this relation). Hosts come from the
+    * canonical form, so the three cosmetic variant classes (case, IDN
+    * spelling, ports) land on ONE host key; the oracle replays the
+    * identical canonicalization and host algebra. */
+  def q144HostStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), messyUrlCol.as("url"))
+      .select(col("doc_id"),
+        graft.text.UrlCanonical.hostOf(col("url")).as("host"),
+        graft.text.UrlCanonical.canonicalize(col("url")).as("canon"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_pages"),
+        min(col("doc_id")).as("first_doc"))
+
+  val q144Sql: String =
+    s"""WITH $messyUrlMkCte,
+       |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id",
+          idnVocab = Seq("bücher" -> "xn--bcher-kva"))}
+       |SELECT ${graft.text.UrlCanonical.duckHostOf("canon")} AS host,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT canon) AS n_pages,
+       |  min(doc_id) AS first_doc
+       |FROM u4 GROUP BY 1""".stripMargin
+
+  // ----------------------------- q143 end-to-end curation composition
+
+  /** q143: the composed entry path a web-corpus user actually runs —
+    * WARC zone → Content-Length-aware read → HTML block extraction →
+    * boilerplate drop → CLEAN DOCUMENT reassembly (content blocks
+    * rejoined in block order) with per-doc stats and an h60
+    * fingerprint (the key the dedup chain consumes next). One gate
+    * entry proving the r15 stages COMPOSE: the oracle replays the
+    * whole chain (zone survivors → block algebra → ordered string_agg)
+    * in SQL. Still shuffle-light: the only exchange is the final
+    * per-doc aggregation. */
+  def q143CurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val zone = htmlZoneFor(s, dir)
+    val pages = graft.sources.Warc.readExactClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+    val blocks = graft.text.HtmlExtract.blocks(pages, "doc_id", col("payload"))
+    blocks
+      .filter(!col("is_boilerplate"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("block_idx"), col("block_text")))),
+            b => b.getField("block_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_blocks"))
+      .select(col("doc_id"), col("clean_text"), col("n_blocks"),
+        length(col("clean_text")).cast("long").as("n_chars"),
+        Portable.h60(col("clean_text")).as("fingerprint"))
+  }
+
+  val q143Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
+    s"""WITH h0 AS (
+       |  SELECT doc_id, $htmlSqlExpr AS html0
+       |  FROM documents
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0),
+       |hin AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $MagicQuoteMod = 0
+       |    THEN 'see: WARC/1.0' || chr(13) || chr(10) || html0
+       |    ELSE html0 END AS html
+       |  FROM h0),
+       |${graft.text.HtmlExtract.duckBlockCtes("hin", "doc_id")},
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text,
+       |    count(*)::BIGINT AS n_blocks
+       |  FROM hb WHERE NOT is_boilerplate GROUP BY doc_id)
+       |SELECT doc_id, clean_text, n_blocks,
+       |  length(clean_text)::BIGINT AS n_chars,
+       |  ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS fingerprint
+       |FROM agg""".stripMargin
   }
 
   // ------------------------------------ q142 deterministic corpus shuffle
@@ -414,11 +499,13 @@ object CorpusOps {
     * vocabulary, since DuckDB has no punycode), so a canonicalization
     * rule that diverges between spellings hash-mismatches. Output: one
     * row per canonical URL with its variant count and first holder. */
-  def q139UrlDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The q139/q144 messy-URL fixture column (three variant classes by
+    * doc_id residue — see q139's scaladoc). */
+  private def messyUrlCol: org.apache.spark.sql.Column = {
     val d13 = pmod(col("doc_id"), lit(13)).cast("string")
     val d17 = pmod(col("doc_id"), lit(17)).cast("string")
     val v = pmod(col("doc_id"), lit(3))
-    val url = concat(
+    concat(
       when(v === 1, lit("HTTP")).otherwise(lit("http")), lit("://"),
       lit("site"), d13, lit("."),
       when(v === 1, lit("BÜCHER")).otherwise(lit("xn--bcher-kva")),
@@ -430,16 +517,19 @@ object CorpusOps {
       when(v === 2, lit("?utm_source=feed&b=2%2f2&a=1"))
         .when(v === 1, lit("?b=2%2f2&a=1")).otherwise(lit("?b=2%2F2&a=1")),
       when(v === 2, lit("#sec")).otherwise(lit("")))
+  }
+
+  def q139UrlDedup(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), messyUrlCol.as("url"))
       .select(col("doc_id"),
         graft.text.UrlCanonical.canonicalize(col("url")).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
   }
 
-  val q139Sql: String = {
-    val mk =
+  /** q139/q144 shared oracle fixture CTE. */
+  private def messyUrlMkCte: String =
       """mk AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
@@ -455,7 +545,9 @@ object CorpusOps {
         |          ELSE '?b=2%2F2&a=1' END) ||
         |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
         |  FROM documents)""".stripMargin
-    s"""WITH $mk,
+
+  val q139Sql: String = {
+    s"""WITH $messyUrlMkCte,
        |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id",
           idnVocab = Seq("bücher" -> "xn--bcher-kva"))}
        |SELECT canon AS canonical_url, count(*) AS n_urls,
@@ -464,6 +556,8 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q144_host_stats" -> q144HostStats,
+    "q143_curation_e2e" -> q143CurationE2e,
     "q142_corpus_shuffle" -> q142CorpusShuffle,
     "q141_quality_nb" -> q141QualityNb,
     "q140_html_blocks" -> q140HtmlBlocks,
@@ -479,6 +573,8 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_host_stats" -> q144Sql,
+    "q143_curation_e2e" -> q143Sql,
     "q142_corpus_shuffle" -> q142Sql,
     "q141_quality_nb" -> q141Sql,
     "q140_html_blocks" -> q140Sql,

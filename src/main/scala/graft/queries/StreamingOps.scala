@@ -360,6 +360,29 @@ object StreamingOps {
     * set. At scale this is the crawl-landing shape: WARC members arrive
     * continuously and the curation chain consumes them without a batch
     * re-list of the zone. */
+  /** STREAMING curation: q138's exact WARC ingest COMPOSED with q140's
+    * HTML block extraction — landed crawl files flow straight into the
+    * boilerplate classifier without a batch re-list. Both stages are
+    * stateless per file/row, so micro-batch boundaries cannot change
+    * the block set and q140's batch oracle checks the stream output
+    * verbatim (the composition twin of q143's batch chain). */
+  def q145HtmlStream(s: SparkSession, dir: String): DataFrame = {
+    val zone = graft.queries.CorpusOps.htmlZoneFor(s, dir)
+    val pages = graft.sources.Warc.readStreamExact(s, zone, maxFilesPerTrigger = 2)
+      .filter(col("is_valid"))
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+    val blocks = graft.text.HtmlExtract.blocks(pages, "doc_id", col("payload"))
+    withStatePartitions(s, 8) {
+      val query = blocks.writeStream.format("memory").queryName("q145_html")
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    s.table("q145_html").localCheckpoint(true)
+  }
+
   def q138WarcStream(s: SparkSession, dir: String): DataFrame = {
     val zone = graft.queries.CorpusOps.warcZoneFor(s, dir)
     val parsed = graft.sources.Warc.readStreamExact(s, zone, maxFilesPerTrigger = 2)
@@ -377,6 +400,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q145_html_stream" -> q145HtmlStream,
     "q138_warc_stream" -> q138WarcStream,
     "q75_streaming_hops" -> q75StreamingHops,
     "q77_streaming_dedup" -> q77StreamingDedup,
@@ -391,6 +415,7 @@ object StreamingOps {
     * (micro-batch-boundary invariance), q89 via sentinel-driven
     * watermark completion (every real session closes and emits). */
   val oracles: Map[String, String] = Map(
+    "q145_html_stream" -> graft.queries.CorpusOps.q140Sql,
     "q138_warc_stream" -> graft.queries.CorpusOps.q136Sql,
     "q75_streaming_hops" -> q75Sql,
     "q77_streaming_dedup" -> q77Sql,

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   * structural 95% (tag stripping, script/style removal, block
   * segmentation, entity decode) and states its limits plainly: no
   * CDATA, no conditional comments, no malformed-tag recovery beyond
-  * the regexes, entity decode limited to the six ubiquitous names.
+  * the regexes, entity decode limited to the six ubiquitous names
+  * plus numeric references in the printable-ASCII range.
   * Those need a real parser — a per-partition tokenizer behind the
   * same block schema — which the oracle could not replay anyway.
   */
@@ -56,14 +57,48 @@ object HtmlExtract {
     "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
 
-  /** Visible text of an html fragment: strip tags, decode entities,
+  /** Numeric character references (`&#65;` decimal, `&#x42;` hex),
+    * decoded for the PRINTABLE-ASCII range 32..126 only: Spark's
+    * `char(n)` is ASCII (mod 256 above that) while DuckDB's `chr` is
+    * full Unicode, so the cross-engine-exact subset is the ASCII range
+    * — which is also where numeric references actually appear in the
+    * wild for markup-significant characters (&#39;, &#x2F;…).
+    * Out-of-range, overlong and malformed references pass through as
+    * literal text. Same sentinel-split algebra as
+    * UrlCanonical.percentNormalize, same fast path. */
+  def decodeNumericEntities(c: Column): Column = {
+    def substrFrom(p: Column, from: Column): Column =
+      p.substr(from, greatest(length(p) - from + 1, lit(0)))
+    val pieces = split(regexp_replace(c, "&#", "\u0003&#"), "\u0003")
+    val out = array_join(transform(pieces, p => {
+      val dec = regexp_extract(p, "^&#([0-9]{1,7});", 1)
+      val hex = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
+      val decCode = dec.cast("int")
+      val hexCode = conv(hex, 16, 10).cast("int")
+      when(dec =!= "" && decCode.between(32, 126),
+        concat(call_function("char", decCode),
+          substrFrom(p, length(dec) + lit(4))))
+        .when(hex =!= "" && hexCode.between(32, 126),
+          concat(call_function("char", hexCode),
+            substrFrom(p, length(hex) + lit(5))))
+        .otherwise(p)
+    }), "")
+    when(!c.contains("&#"), c).otherwise(out)
+  }
+
+  /** Visible text of an html fragment: strip tags, decode entities —
+    * NUMERIC first, then named with `&amp;` last, so `&amp;#65;`
+    * decodes to the literal text `&#65;` (single-pass semantics: the
+    * numeric scan never sees an `&#` adjacency inside `&amp;#65;`, and
+    * the `&` the amp-replace later produces is not re-scanned) —
     * collapse whitespace. */
   def visible(c: Column): Column = {
     val stripped = regexp_replace(c, TagPat, " ")
-    val decoded = Entities.foldLeft(stripped) {
+    val numeric = decodeNumericEntities(stripped)
+    val named = Entities.foldLeft(numeric) {
       case (acc, (e, r)) => regexp_replace(acc, java.util.regex.Pattern.quote(e), r)
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(named, "\\s+", " "))
   }
 
   /** Boilerplate thresholds (basis points / chars). */
@@ -107,10 +142,29 @@ object HtmlExtract {
   // drift (the UrlCanonical.duckCanonCtes discipline)
   // ------------------------------------------------------------------
 
+  /** DuckDB spelling of [[decodeNumericEntities]] over `e` (TRY_CAST
+    * everywhere a '' extraction could reach a cast — DuckDB's vectorized
+    * conjunctions don't promise short-circuit). */
+  def duckNumeric(e: String): String = {
+    val dec = "regexp_extract(p, '^&#([0-9]{1,7});', 1)"
+    val hex = "regexp_extract(p, '^&#[xX]([0-9a-fA-F]{1,6});', 1)"
+    val decCode = s"try_cast($dec AS INT)"
+    val hexCode = s"try_cast(('0x' || $hex) AS INT)"
+    s"""array_to_string(list_transform(
+       |      string_split(replace($e, '&#', chr(3) || '&#'), chr(3)),
+       |      p -> CASE
+       |        WHEN $decCode BETWEEN 32 AND 126
+       |          THEN chr($decCode) || substr(p, length($dec) + 4)
+       |        WHEN $hex <> '' AND $hexCode BETWEEN 32 AND 126
+       |          THEN chr($hexCode) || substr(p, length($hex) + 5)
+       |        ELSE p END), '')""".stripMargin
+  }
+
   /** DuckDB spelling of [[visible]] over the SQL fragment `e`. */
   def duckVisible(e: String): String = {
     val stripped = s"regexp_replace($e, '$TagPat', ' ', 'g')"
-    val decoded = Entities.foldLeft(stripped) {
+    val numeric = duckNumeric(stripped)
+    val decoded = Entities.foldLeft(numeric) {
       case (acc, (ent, r)) =>
         val rep = if (r == "'") "''" else r
         s"replace($acc, '$ent', '$rep')"

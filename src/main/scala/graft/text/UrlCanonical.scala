@@ -77,6 +77,20 @@ object UrlCanonical {
   private def expr_substr(p: Column, from: Int): Column =
     p.substr(lit(from), greatest(length(p) - lit(from - 1), lit(0)))
 
+  /** The canonical HOST of a url — the per-domain grouping/cap key
+    * (C4/CCNet-style domain quotas, host-level crawl stats). Derived
+    * from [[canonicalize]]'s output by string algebra, so the host is
+    * normalized exactly once and the two can never disagree. */
+  def hostOf(url: Column): Column = {
+    val rest = substring_index(canonicalize(url), "://", -1)
+    substring_index(substring_index(rest, "/", 1), ":", 1)
+  }
+
+  /** DuckDB twin of [[hostOf]] over a `canon` column (apply AFTER
+    * [[duckCanonCtes]]'s u4). */
+  def duckHostOf(canonExpr: String): String =
+    s"string_split(string_split(string_split($canonExpr, '://')[-1], '/')[1], ':')[1]"
+
   /** The canonical form of `url` as a Column. Map-only. */
   def canonicalize(url: Column): Column = {
     // percent-normalization first: decoding unreserved escapes can

@@ -34,6 +34,19 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(out.map(_._1) == Seq("Fish & chips <tasty> 'quoted' &lt;"))
   }
 
+  test("numeric references decode in the ASCII range; junk and out-of-range pass through") {
+    val out = extract(
+      "<p>&#70;ine &#x70;rint &#0065; &#9999; &#x110000; &#7; &#xZZ; &# 65; 100&#37;</p>")
+    // F (70), p (0x70), A (65 with leading zeros); &#9999; outside
+    // ASCII stays literal; control &#7; stays; malformed stay; %(37)
+    assert(out.map(_._1) == Seq("Fine print A &#9999; &#x110000; &#7; &#xZZ; &# 65; 100%"))
+  }
+
+  test("&amp;#65; decodes single-pass to the literal text &#65;") {
+    val out = extract("<p>the reference &amp;#65; is written as-is here</p>")
+    assert(out.map(_._1) == Seq("the reference &#65; is written as-is here"))
+  }
+
   test("a link-only nav block classifies boilerplate; prose with one link does not") {
     val out = extract(
       "<p>A long enough paragraph of genuine readable content with " +
