@@ -440,7 +440,11 @@ object CorpusOps {
   def q141QualityNb(s: SparkSession, dir: String): DataFrame =
     graft.text.QualityClassifier.predictions(qualityFixture(s, dir))
 
-  val q141Sql: String = {
+  /** The full NB-refit oracle over the quality fixture, scoring the
+    * docs selected by `scoreWhere` (NOT is_train for q141's held-out
+    * gate; TRUE for q146's score-everything stream) with the model
+    * fit on the train slice. */
+  private[graft] def qualitySqlFor(scoreWhere: String): String = {
     import graft.text.LangIdNB.{ilogDuckSql => L}
     import graft.text.QualityClassifier.NBuckets
     val h5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
@@ -465,9 +469,9 @@ object CorpusOps {
        |        FROM d WHERE is_train GROUP BY 1) n USING (label)),
        |vv AS (SELECT count(DISTINCT b)::BIGINT AS v FROM tg),
        |tsg AS (SELECT doc_id, b, count(*)::BIGINT AS tf
-       |        FROM gr WHERE NOT is_train GROUP BY 1, 2),
+       |        FROM gr WHERE $scoreWhere GROUP BY 1, 2),
        |dn AS (SELECT doc_id, coalesce(greatest(length(t) - 2, 0), 0)::BIGINT AS n
-       |       FROM d WHERE NOT is_train),
+       |       FROM d WHERE $scoreWhere),
        |m AS (
        |  SELECT t.doc_id, tg.label, sum(t.tf * ${L("tg.c + 1")})::BIGINT AS mterm
        |  FROM tsg t JOIN tg USING (b) GROUP BY 1, 2),
@@ -481,6 +485,8 @@ object CorpusOps {
        |QUALIFY row_number() OVER (
        |  PARTITION BY doc_id ORDER BY score_fp DESC, label ASC) = 1""".stripMargin
   }
+
+  val q141Sql: String = qualitySqlFor("NOT is_train")
 
   // ------------------------------------- q139 URL canonicalization dedup
 

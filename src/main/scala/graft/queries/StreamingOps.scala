@@ -360,6 +360,48 @@ object StreamingOps {
     * set. At scale this is the crawl-landing shape: WARC members arrive
     * continuously and the curation chain consumes them without a batch
     * re-list of the zone. */
+  /** STREAMING quality scoring — model-apply at the crawl landing: the
+    * classifier is FIT in batch on the labeled train slice
+    * (QualityClassifier.fit — a model-bounded collect), then every
+    * landed document is scored PER ROW by one map-only expression
+    * (literal-map lookups + fold: no join, no aggregation, no window —
+    * the only NB-scoring shape a streaming plan admits). Scores ALL
+    * docs, train slice included — a deployed scorer doesn't skip
+    * documents it trained on — and the oracle re-fits and re-scores
+    * everything in SQL, so the per-row literal-map arithmetic is
+    * hash-checked against the relational form. */
+  /** The fitted quality model, once per source dir (the bpeRules
+    * artifact economics: a deployed scorer fits once and scores every
+    * landed batch with the same model). */
+  private val qualityModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.QualityClassifier.Fitted]()
+
+  def q146QualityStream(s: SparkSession, dir: String): DataFrame = {
+    val fixture = graft.queries.CorpusOps.qualityFixture(s, dir)
+    val fitted = qualityModels.computeIfAbsent(dir, _ =>
+      graft.text.QualityClassifier.fit(
+        fixture.filter(graft.text.LangIdNB.isTrain(col("doc_id")))))
+    val zone = Files.createTempDirectory("graft_quality_zone").toString
+    fixture.select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").json(zone)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "2")
+      .json(zone)
+    val scored = graft.text.QualityClassifier
+      .scoreRows(stream, col("text"), fitted)
+      .select(col("doc_id"), col("quality_pred"), col("score_fp"))
+    withStatePartitions(s, 8) {
+      val query = scored.writeStream.format("memory").queryName("q146_quality")
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    val res = s.table("q146_quality").localCheckpoint(true)
+    deleteRecursively(new java.io.File(zone))
+    res
+  }
+
   /** STREAMING curation: q138's exact WARC ingest COMPOSED with q140's
     * HTML block extraction — landed crawl files flow straight into the
     * boilerplate classifier without a batch re-list. Both stages are
@@ -400,6 +442,7 @@ object StreamingOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q146_quality_stream" -> q146QualityStream,
     "q145_html_stream" -> q145HtmlStream,
     "q138_warc_stream" -> q138WarcStream,
     "q75_streaming_hops" -> q75StreamingHops,
@@ -415,6 +458,7 @@ object StreamingOps {
     * (micro-batch-boundary invariance), q89 via sentinel-driven
     * watermark completion (every real session closes and emits). */
   val oracles: Map[String, String] = Map(
+    "q146_quality_stream" -> graft.queries.CorpusOps.qualitySqlFor("TRUE"),
     "q145_html_stream" -> graft.queries.CorpusOps.q140Sql,
     "q138_warc_stream" -> graft.queries.CorpusOps.q136Sql,
     "q75_streaming_hops" -> q75Sql,

@@ -649,6 +649,53 @@ object TextOps {
          |  array_to_string(sym, ' ') AS segmented
          |FROM w$BpeRounds""".stripMargin
 
+  /** q147: sequence packing by TOKENIZER-EXACT counts — q68's
+    * fixed-window packing re-keyed from whitespace token counts to the
+    * learned BPE tokenizer's counts (the real training-prep shape:
+    * context windows are budgeted in model tokens, not words). Per-doc
+    * BPE length = the doc's words joined to the broadcast vocab→
+    * segmentation map (vocab-bounded build side, q126's discipline),
+    * then the same shard/offset/window algebra. The oracle replays
+    * training + encoding + packing end to end. */
+  def q147BpePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val enc = graft.text.BpeTrainer
+      .encodeWords(docs, col("text"), bpeRules(s, dir))
+      .select(col("word"), col("n_tokens"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("n_bpe"))
+    graft.text.Packing.packWindows(perDoc, col("doc_id"), col("n_bpe"),
+      windowTokens = PackWindow, shards = PackShards)
+  }
+
+  val q147Sql: String =
+    bpeCtes +
+      s""",
+         |occ2 AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> x <> '')) AS w
+         |  FROM documents),
+         |dt AS (
+         |  SELECT occ2.doc_id, CAST(sum(len(v.sym)) AS BIGINT) AS n_tokens
+         |  FROM occ2 JOIN w$BpeRounds v ON occ2.w = v.w GROUP BY 1),
+         |pk AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS BIGINT) AS tok_offset
+         |  FROM dt WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens, tok_offset,
+         |  tok_offset // $PackWindow AS first_window,
+         |  (tok_offset + n_tokens - 1) // $PackWindow AS last_window,
+         |  (tok_offset + n_tokens - 1) // $PackWindow
+         |    - tok_offset // $PackWindow + 1 AS n_windows
+         |FROM pk""".stripMargin
+
   /** q126: corpus compression under the learned tokenizer — per-source
     * chars-per-BPE-token, the metric tokenizer quality is judged by
     * (and a mixing diagnostic: a source that compresses poorly costs
@@ -894,6 +941,7 @@ object TextOps {
     "q132_weighted_sample" -> q132WeightedSample,
     "q131_langid_nb" -> q131LangIdNb,
     "q126_bpe_stats" -> q126BpeStats,
+    "q147_bpe_pack" -> q147BpePack,
     "q125_bpe_encode" -> q125BpeEncode,
     "q124_bpe_merges" -> q124BpeMerges,
     "q116_pareto_frontier" -> q116ParetoFrontier,
@@ -919,6 +967,7 @@ object TextOps {
     "q132_weighted_sample" -> q132Sql,
     "q131_langid_nb" -> q131Sql,
     "q126_bpe_stats" -> q126Sql,
+    "q147_bpe_pack" -> q147Sql,
     "q125_bpe_encode" -> q125Sql,
     "q124_bpe_merges" -> q124Sql,
     "q116_pareto_frontier" -> q116Sql,

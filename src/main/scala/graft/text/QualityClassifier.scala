@@ -40,24 +40,17 @@ object QualityClassifier {
     transform(LangIdNB.charTrigrams(text),
       g => pmod(Portable.h60(g), lit(NBuckets)))
 
-  /** Fit on the h60-train slice and score the held-out slice:
-    * (doc_id, quality_pred, score_fp). `docs` carries
-    * (doc_id, label, text); `label` is any binary (or small-k) string
-    * labeling. */
-  def predictions(docs: DataFrame): DataFrame = {
+  /** The fitted model's two relations over a labeled `train` slice:
+    * `model (label, b, lc)` — per-(label, bucket) add-one-smoothed
+    * log weights — and `labelW (label, prior, denom)`. Both bounded by
+    * construction (≤ |labels| × NBuckets + |labels| rows). Shared by
+    * the distributed scorer ([[predictions]]) and the driver-side
+    * collect ([[fit]]). */
+  private[graft] def fitRelations(train: DataFrame,
+                                  scope: graft.CacheScope): (DataFrame, DataFrame) = {
     val L: String => Column = s => expr(LangIdNB.ilogSparkSql(s))
-    val train = docs.filter(LangIdNB.isTrain(col("doc_id")))
-    val test = docs.filter(!LangIdNB.isTrain(col("doc_id")))
-
-    // explode_outer + null-drop (the q41 generator-inlining trap — see
-    // LangIdNB.predictions)
-    def feats(df: DataFrame, key: Column): DataFrame = df
-      .select(key.as("k"), explode_outer(featureBuckets(col("text"))).as("b"))
-      .filter(col("b").isNotNull)
-
-    val scope = graft.CacheScope.scoped()
     val trainFeats = scope.cache(feats(train, col("label"))
-      .groupBy(col("k").as("label"), col("b")).agg(count(lit(1)).as("c")))
+      .groupBy(col("k").as("label"), col("b")).agg(sum(col("__c")).as("c")))
     val labelTot = trainFeats.groupBy(col("label"))
       .agg(sum(col("c")).as("tot"))
       .join(train.groupBy(col("label")).agg(count(lit(1)).as("ndocs")),
@@ -65,16 +58,40 @@ object QualityClassifier {
     // V = OCCUPIED buckets (≤ NBuckets): the add-one smoothing mass,
     // mirroring LangIdNB's train-vocabulary size
     val vocab = trainFeats.select(countDistinct(col("b")).as("v"))
-
-    val testFeats = feats(test, col("doc_id"))
-      .groupBy(col("k").as("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
-    val docN = test.select(col("doc_id"),
-      coalesce(greatest(length(lower(col("text"))) - 2, lit(0)).cast("long"),
-        lit(0L)).as("n"))
-
     val model = trainFeats.withColumn("lc", L("c + 1")).drop("c")
     val labelW = labelTot.crossJoin(vocab)
       .select(col("label"), L("ndocs").as("prior"), L("tot + v").as("denom"))
+    (model, labelW)
+  }
+
+  // explode_outer + null-drop (the q41 generator-inlining trap — see
+  // LangIdNB.predictions). The bucket hash runs AFTER a per-key gram
+  // count: h60 is an md5 — per-OCCURRENCE hashing costs corpus-chars
+  // md5 calls, per-DISTINCT-(key, gram) hashing costs vocabulary-rows
+  // (measured 8.0 s → 5.9 s on the q141 fit). The grouped sums are
+  // identical by associativity.
+  private def feats(df: DataFrame, key: Column): DataFrame = df
+    .select(key.as("k"), explode_outer(LangIdNB.charTrigrams(col("text"))).as("g"))
+    .filter(col("g").isNotNull)
+    .groupBy(col("k"), col("g")).agg(count(lit(1)).as("__c"))
+    .select(col("k"), pmod(Portable.h60(col("g")), lit(NBuckets)).as("b"),
+      col("__c"))
+
+  /** Fit on the h60-train slice and score the held-out slice:
+    * (doc_id, quality_pred, score_fp). `docs` carries
+    * (doc_id, label, text); `label` is any binary (or small-k) string
+    * labeling. */
+  def predictions(docs: DataFrame): DataFrame = {
+    val train = docs.filter(LangIdNB.isTrain(col("doc_id")))
+    val test = docs.filter(!LangIdNB.isTrain(col("doc_id")))
+
+    val scope = graft.CacheScope.scoped()
+    val (model, labelW) = fitRelations(train, scope)
+    val testFeats = feats(test, col("doc_id"))
+      .groupBy(col("k").as("doc_id"), col("b")).agg(sum(col("__c")).as("tf"))
+    val docN = test.select(col("doc_id"),
+      coalesce(greatest(length(lower(col("text"))) - 2, lit(0)).cast("long"),
+        lit(0L)).as("n"))
 
     val matched = testFeats
       .join(broadcast(model), Seq("b"))
@@ -95,5 +112,61 @@ object QualityClassifier {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("quality_pred"), col("score_fp")))
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming model-apply (the crawl-landing deployment shape)
+  // ------------------------------------------------------------------
+
+  /** A fitted model collected to the driver — a MODEL-BOUNDED collect
+    * (≤ |labels| × NBuckets + |labels| rows, the BpeTrainer rule), so
+    * it can score as a literal/broadcast without any join or
+    * aggregation — which is what makes scoring STREAMING-safe. */
+  case class Fitted(labels: Seq[String],
+                    lc: Map[String, Map[Long, Long]],
+                    prior: Map[String, Long],
+                    denom: Map[String, Long])
+
+  /** Fit on the labeled `train` relation and collect the bounded
+    * model. */
+  def fit(train: DataFrame): Fitted = {
+    val scope = graft.CacheScope.scoped()
+    val (model, labelW) = fitRelations(train, scope)
+    val w = labelW.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = model.collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    scope.releaseConsumed()
+    Fitted(w.keys.toSeq.sorted, m.withDefaultValue(Map.empty),
+      w.view.mapValues(_._1).toMap, w.view.mapValues(_._2).toMap)
+  }
+
+  /** Score rows with a fitted model, PER ROW: the whole NB score is one
+    * map-only expression (trigram buckets → literal-map lookups →
+    * fold), no join, no aggregation, no window — legal in a streaming
+    * plan and embarrassingly parallel in batch. Argmax tie-break =
+    * (score desc, label asc), identical to [[predictions]]. Returns
+    * `df` plus (quality_pred, score_fp). */
+  def scoreRows(df: DataFrame, textCol: Column, f: Fitted): DataFrame = {
+    val buckets = featureBuckets(textCol)
+    val n = coalesce(greatest(length(textCol) - 2, lit(0)).cast("long"), lit(0L))
+    val scores: Seq[(String, Column)] = f.labels.map { l =>
+      val lcMap: Column =
+        if (f.lc(l).isEmpty) map().cast("map<bigint,bigint>")
+        else typedlit(f.lc(l))
+      l -> (lit(f.prior(l)) +
+        aggregate(buckets, lit(0L),
+          (acc, b) => acc + coalesce(element_at(lcMap, b), lit(0L))) -
+        n * lit(f.denom(l)))
+    }
+    val (firstLabel, firstScore) = scores.head
+    val (predCol, scoreCol) = scores.tail.foldLeft((lit(firstLabel), firstScore)) {
+      case ((accL, accS), (l, s)) =>
+        // strict > keeps the earlier (asc) label on ties
+        (when(s > accS, lit(l)).otherwise(accL), greatest(accS, s))
+    }
+    df.withColumn("quality_pred", predCol).withColumn("score_fp", scoreCol)
   }
 }
