@@ -150,6 +150,36 @@ class WarcSpec extends SparkTestBase {
       Seq(s"${Warc.UriPrefix}97"))
   }
 
+  test("readExact reassembles across INPUT-SPLIT boundaries (multi-split single file)") {
+    // one uncompressed file, forced to span many Hadoop splits: the
+    // (offset, idx) ordering must reconstruct file order across splits,
+    // and a fragment pair that happens to straddle a split boundary
+    // must still reassemble (the head's borrowed chunk is the first
+    // record of the next split)
+    val dir = scratchDir("warc").toString
+    val docs2 = (0L until 2000L).map { i =>
+      i -> (if (i % 101 == 0) s"quote ${Warc.Magic}tail of $i body" + ("x" * 50)
+            else s"doc $i body " + ("y" * 60))
+    }
+    Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("mapreduce.input.fileinputformat.split.maxsize")
+    hconf.set("mapreduce.input.fileinputformat.split.maxsize", "4096")
+    try {
+      val valid = Warc.readExactClean(spark, dir)
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long"))
+        .as[Long].collect().toSet
+      val expected = docs2.map(_._1).filter(i =>
+        i % Warc.TruncMod != 0 && i % Warc.NoLenMod != 0).toSet
+      assert(valid == expected,
+        s"missing=${(expected -- valid).take(5)} extra=${(valid -- expected).take(5)}")
+    } finally {
+      if (prev == null)
+        hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else hconf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+    }
+  }
+
   test("streaming exact ingest ≡ batch exact scan, plain and gz") {
     for (gz <- Seq(false, true)) {
       val dir = scratchDir("warc").toString
