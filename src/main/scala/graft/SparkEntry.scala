@@ -62,5 +62,5 @@ object SparkEntry {
     "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats",
     "q128_hard_negatives_ivf", "q136_warc_read", "q138_warc_stream",
     "q140_html_blocks", "q143_curation_e2e", "q145_html_stream",
-    "q146_quality_stream", "q147_bpe_pack")
+    "q146_quality_stream", "q147_bpe_pack", "q148_warcgz_read")
 }

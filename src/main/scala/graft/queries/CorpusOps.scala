@@ -225,6 +225,38 @@ object CorpusOps {
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }
 
+  // ---------------------------------- q148 gz member-index WARC read
+
+  private val warcGzZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The per-dir `.warc.gz` zone in the real Common Crawl layout (one
+    * gzip member per record, concatenated). */
+  private[queries] def warcGzZoneFor(s: SparkSession, dir: String): String =
+    warcGzZones.computeIfAbsent(dir, { d =>
+      val base = graft.TempArtifacts.dir("graft_warcgz")
+      graft.sources.Warc.synthesize(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")), base,
+        gzip = true)
+      base
+    })
+
+  /** q148: the per-member-splittable `.warc.gz` path (sources.WarcGz)
+    * under the SAME oracle as q136 — the member index is built once per
+    * dir (cdx economics), then every task seeks and decodes its own
+    * members. A boundary walked wrong, a member lost to resync, or a
+    * record mis-parsed after the seek all hash-mismatch. Puts the gz
+    * intra-file-parallel path under the DuckDB gate and the multi-JVM
+    * posture, not just its spec. */
+  def q148WarcGzRead(s: SparkSession, dir: String): DataFrame = {
+    val zone = warcGzZoneFor(s, dir)
+    graft.sources.WarcGz.readSplit(s, zone)
+      .filter(col("is_valid"))
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"), col("content_length"), col("payload"))
+  }
+
   // --------------------------------------- q140 HTML→text extraction
 
   private val htmlZones =
@@ -562,6 +594,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q148_warcgz_read" -> q148WarcGzRead,
     "q144_host_stats" -> q144HostStats,
     "q143_curation_e2e" -> q143CurationE2e,
     "q142_corpus_shuffle" -> q142CorpusShuffle,
@@ -579,6 +612,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_warcgz_read" -> q136Sql,
     "q144_host_stats" -> q144Sql,
     "q143_curation_e2e" -> q143Sql,
     "q142_corpus_shuffle" -> q142Sql,

@@ -108,4 +108,13 @@ class CodegenOnlySpec extends SparkTestBase {
     }
     assert(n == 5, s"expected 5 token 5-grams of 9 tokens, got $n")
   }
+
+  test("idn_ascii compiles and evaluates under CODEGEN_ONLY") {
+    val hosts = codegenOnly {
+      Seq("bücher.example", "plain.example").toDF("h")
+        .select(call_function("idn_ascii", $"h").as("a"))
+        .as[String].collect().toSeq
+    }
+    assert(hosts == Seq("xn--bcher-kva.example", "plain.example"))
+  }
 }
