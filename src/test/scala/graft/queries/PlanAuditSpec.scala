@@ -465,4 +465,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("nearest_cid"), s"E-step not on the native expression:\n$p")
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
   }
+  test("q144: host stats is the textbook two-phase distinct - two exchanges, nothing else") {
+    val p = plan(CorpusOps.q144HostStats(spark, dir))
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"expected the (host, canon) partial + host final exchanges only:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0 &&
+      !p.contains("CartesianProduct"), s"unexpected heavy operator:\n$p")
+  }
+
+  test("q147: the BPE segmentation map joins as a broadcast, never a shuffle join") {
+    val p = plan(TextOps.q147BpePack(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"enc map must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join crept in:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"no global sort:\n$p")
+  }
+
 }
