@@ -221,13 +221,22 @@ object GraftExtensions {
       IdnAscii(exprs(0))
     })
 
+  private[functions] val nfkcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfkc"),
+    new ExpressionInfo(classOf[Nfkc].getName, "nfkc"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "nfkc(text)")
+      Nfkc(exprs(0))
+    })
+
   private[functions] val allDescriptors = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
     quantileRankDescriptor, winnowDescriptor, tokenNgramsDescriptor,
     nearestCidDescriptor, nearestCidsDescriptor, fxRoundDescriptor,
-    idnAsciiDescriptor)
+    idnAsciiDescriptor, nfkcDescriptor)
   private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):

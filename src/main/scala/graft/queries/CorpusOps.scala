@@ -225,6 +225,70 @@ object CorpusOps {
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }
 
+  // ------------------------------------- q149 NFKC text normalization
+
+  /** The fixture's unicode vocabulary: compatibility characters a web
+    * corpus actually carries (ligature, fraction, full-width letter,
+    * squared unit, superscript, no-break space). Docs get one of two
+    * prefix spellings by residue — raw compatibility glyphs vs their
+    * NFKC forms — which must normalize to ONE string. */
+  private[graft] val NfkcVocab = "ﬁ½Ａ㎞²\u00a0"
+
+  private def nfkcPrefix(raw: Boolean): String =
+    if (raw) s"$NfkcVocab | " else {
+      java.text.Normalizer.normalize(NfkcVocab, java.text.Normalizer.Form.NFKC) + " | "
+    }
+
+  /** q149: NFKC normalization + control-char strip + whitespace
+    * collapse (functions.Nfkc — the CCNet text-cleanup stage before
+    * tokenization/dedup). The two prefix spellings collapse: their
+    * normalized texts and h60 fingerprints must agree pairwise, which
+    * the oracle checks by replaying NFKC over the fixture vocabulary
+    * (the replace pairs are generated AT ORACLE-BUILD TIME from
+    * java.text.Normalizer itself, so the oracle's ground truth is the
+    * Unicode reference implementation, not a hand-typed table). */
+  def q149NfkcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = pmod(col("doc_id"), lit(5)) === 0
+    val compat = pmod(col("doc_id"), lit(5)) === 1
+    val text = when(raw, concat(lit(nfkcPrefix(raw = true)), col("text")))
+      .when(compat, concat(lit(nfkcPrefix(raw = false)), col("text")))
+      .otherwise(col("text"))
+    val norm = trim(regexp_replace(regexp_replace(
+      graft.functions.Nfkc.nfkc(text), "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("n_chars"),
+        Portable.h60(col("norm_text")).as("fingerprint"))
+  }
+
+  val q149Sql: String = {
+    // ground-truth NFKC pairs for every fixture character (identity
+    // pairs drop out of the replay)
+    val pairs = NfkcVocab.toSeq.map { ch =>
+      ch.toString ->
+        java.text.Normalizer.normalize(ch.toString, java.text.Normalizer.Form.NFKC)
+    }.filter { case (a, b) => a != b }
+    val mk =
+      s"""mk AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 0 THEN '${nfkcPrefix(raw = true)}' || text
+         |    WHEN doc_id % 5 = 1 THEN '${nfkcPrefix(raw = false)}' || text
+         |    ELSE text END AS t
+         |  FROM documents)""".stripMargin
+    val replayed = pairs.foldLeft("t") { case (acc, (a, b)) =>
+      s"replace($acc, '$a', '$b')"
+    }
+    s"""WITH $mk,
+       |n AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+       |    $replayed, '[\\p{Cc}\\p{Cf}]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+       |  FROM mk)
+       |SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars,
+       |  ('0x' || substr(md5(norm_text), 1, 15))::BIGINT AS fingerprint
+       |FROM n""".stripMargin
+  }
+
   // ---------------------------------- q148 gz member-index WARC read
 
   private val warcGzZones =
@@ -594,6 +658,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q149_nfkc_normalize" -> q149NfkcNormalize,
     "q148_warcgz_read" -> q148WarcGzRead,
     "q144_host_stats" -> q144HostStats,
     "q143_curation_e2e" -> q143CurationE2e,
@@ -612,6 +677,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_nfkc_normalize" -> q149Sql,
     "q148_warcgz_read" -> q136Sql,
     "q144_host_stats" -> q144Sql,
     "q143_curation_e2e" -> q143Sql,

@@ -117,4 +117,13 @@ class CodegenOnlySpec extends SparkTestBase {
     }
     assert(hosts == Seq("xn--bcher-kva.example", "plain.example"))
   }
+  test("nfkc compiles and evaluates under CODEGEN_ONLY") {
+    val out = codegenOnly {
+      Seq("\ufb01le x\u00b2", "plain ascii").toDF("t")
+        .select(call_function("nfkc", $"t").as("n"))
+        .as[String].collect().toSeq
+    }
+    assert(out == Seq("file x2", "plain ascii"))
+  }
+
 }
