@@ -65,7 +65,10 @@ object HtmlExtract {
     * wild for markup-significant characters (&#39;, &#x2F;…).
     * Out-of-range, overlong and malformed references pass through as
     * literal text. Same sentinel-split algebra as
-    * UrlCanonical.percentNormalize, same fast path. */
+    * UrlCanonical.percentNormalize (including its caveat: a
+    * pre-existing \\u0003 control byte in the input is consumed by the
+    * split — identically on both engines, and q149's cleanup strips
+    * control bytes anyway), same fast path. */
   def decodeNumericEntities(c: Column): Column = {
     def substrFrom(p: Column, from: Column): Column =
       p.substr(from, greatest(length(p) - from + 1, lit(0)))

@@ -55,7 +55,14 @@ object UrlCanonical {
     * '%' with a \u0002 sentinel, split on the sentinel — every piece
     * after the head then STARTS with '%' iff it is an escape candidate
     * — and transform each piece (decode unreserved / uppercase hex /
-    * leave malformed), then rejoin. Map-only, same shape in DuckDB. */
+    * leave malformed), then rejoin. Map-only, same shape in DuckDB.
+    *
+    * A PRE-EXISTING \\u0002 in the input is consumed by the split —
+    * both engines apply the identical algebra, so the gate cannot
+    * diverge, but a URL genuinely containing that control byte (no RFC
+    * 3986 URL can: controls are not in any production) would lose it;
+    * junk-in, junk-keyed-consistently-out, the module's stated
+    * malformed-input posture. */
   def percentNormalize(url: Column): Column = {
     val pieces = split(regexp_replace(url, "%", "\u0002%"), "\u0002")
     val normalized = array_join(transform(pieces, p => {

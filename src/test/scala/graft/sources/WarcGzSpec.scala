@@ -93,6 +93,24 @@ class WarcGzSpec extends SparkTestBase {
         s" (damaged: $damagedIds)")
   }
 
+  test("degenerate gz inputs: empty file indexes to zero members; pure garbage to one corrupt span") {
+    val dir = scratchDir("warcgz").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty = new org.apache.hadoop.fs.Path(s"$dir/empty.warc.gz")
+    fs.create(empty, true).close()
+    val junk = new org.apache.hadoop.fs.Path(s"$dir/junk.warc.gz")
+    val out = fs.create(junk, true)
+    try out.write("this is not gzip at all".getBytes("UTF-8")) finally out.close()
+    val idx = WarcGz.memberIndex(spark, dir).as[WarcGz.Member].collect()
+    assert(!idx.exists(_.file.endsWith("empty.warc.gz")))
+    val junkRows = idx.filter(_.file.endsWith("junk.warc.gz"))
+    assert(junkRows.forall(!_.ok) && junkRows.nonEmpty)
+    // and the scan surfaces them as invalid records, never throwing
+    val rows = WarcGz.readMembers(spark, WarcGz.memberIndex(spark, dir))
+    assert(rows.filter(col("is_valid")).count() == 0)
+  }
+
   test("whole-file readers still decode the concatenated per-record layout") {
     val dir = gzZone()
     val viaText = Warc.readClean(spark, dir).select("url").as[String].collect().toSet
