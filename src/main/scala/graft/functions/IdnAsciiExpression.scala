@@ -48,7 +48,13 @@ object IdnAscii {
     while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
     if (ascii) host
     else try UTF8String.fromString(java.net.IDN.toASCII(s))
-    catch { case _: IllegalArgumentException => host }
+    catch {
+      // NonFatal, not just IllegalArgumentException: the JDK IDN/
+      // Punycode implementation surfaces index/state errors on some
+      // malformed label inputs, and ONE junk URL must never kill a
+      // 100 TB canonicalization job (total-function contract)
+      case scala.util.control.NonFatal(_) => host
+    }
   }
 
   /** Column-API entry point (requires GraftExtensions registration,

@@ -127,8 +127,22 @@ object Warc {
     val hconf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
+    // file routing: damaged and magic-quoting records CONCENTRATE in
+    // file 0; clean records spread over the remaining files. This is
+    // both the real-crawl shape (damage is rare — most files are
+    // intact) and what keeps BOTH of readExact's branches exercised by
+    // every gate zone: files 1..n-1 carry no suspect chunk and take
+    // the map-only columnar parse, file 0 takes the reassembly walk
+    // (a uniform doc_id % n routing made EVERY file suspect at gate
+    // scale, leaving the clean branch gate-dead).
+    val special = pmod(col("doc_id"), lit(TruncMod)) === 0 ||
+      pmod(col("doc_id"), lit(NoLenMod)) === 0 ||
+      pmod(col("doc_id"), lit(MagicQuoteMod)) === 0
+    val route = when(special, lit(0))
+      .otherwise(pmod(col("doc_id"), lit(math.max(nFiles - 1, 1))) +
+        lit(math.min(nFiles - 1, 1)))
     docs
-      .select(pmod(col("doc_id"), lit(nFiles)).as("__f"), col("doc_id"),
+      .select(route.as("__f"), col("doc_id"),
         recordColumn(col("doc_id"), col("text")).as("__r"))
       .repartition(nFiles, col("__f"))
       .sortWithinPartitions(col("doc_id"))
@@ -140,12 +154,20 @@ object Warc {
           val fs = path.getFileSystem(hconf.value.value)
           val raw = fs.create(path, true)
           try {
-            if (gzip) it.foreach { r =>
+            if (gzip) {
               // per-record member: header + deflate + trailer, then the
-              // stream is finished (not closed) so members concatenate
-              val gz = new java.util.zip.GZIPOutputStream(raw)
-              gz.write(r.getString(0).getBytes("UTF-8"))
-              gz.finish()
+              // member stream is CLOSED (releasing its native Deflater
+              // immediately — one leaked zlib state per record OOM-kills
+              // a real-size synthesis) behind a shield that keeps the
+              // underlying file stream open for the next member
+              val shield = new java.io.FilterOutputStream(raw) {
+                override def close(): Unit = flush()
+              }
+              it.foreach { r =>
+                val gz = new java.util.zip.GZIPOutputStream(shield)
+                gz.write(r.getString(0).getBytes("UTF-8"))
+                gz.close()
+              }
             }
             else it.foreach(r => raw.write(r.getString(0).getBytes("UTF-8")))
           } finally raw.close()
@@ -192,7 +214,14 @@ object Warc {
           col("__h").getItem("WARC-Type").isNotNull &&
           col("__h").getItem("Content-Length").cast("long").isNotNull &&
           endswith(col("__chunk"), lit("\r\n\r\n")) &&
-          octet_length(payload) === col("__h").getItem("Content-Length").cast("long")
+          // length check on REST (payload + terminator), not the
+          // truncated payload slice: a record cut off exactly at its
+          // header blank line ("…Content-Length: 0\r\n\r\n", final
+          // terminator missing) has payload "" == CL 0 but rest of 0
+          // bytes ≠ CL + 4 — the header separator must not double as
+          // the record terminator (found by the assemble-parity review)
+          octet_length(col("__rest")) - 4 ===
+            col("__h").getItem("Content-Length").cast("long")
           ).as("is_valid"))
   }
 
@@ -258,13 +287,22 @@ object Warc {
                 case None =>
                   out = mk(h, payloadOf(body0), None, valid = false); loaded = true
                 case Some(cl) =>
-                  var cur = body0
+                  // running BYTE length instead of re-encoding the whole
+                  // accumulator per borrow (utf8 length is additive over
+                  // fragments: body0 + Σ(magic + fragment)); fragments
+                  // join once on success — O(total bytes), not O(n²)
+                  var curBytes = utf8Len(body0)
                   val borrowed = scala.collection.mutable.ArrayBuffer.empty[String]
-                  while (utf8Len(cur) - 4 < cl && hasChunk && borrowed.size < MaxBorrow) {
-                    val b = nextChunk(); borrowed += b; cur = cur + Magic + b
+                  while (curBytes - 4 < cl && hasChunk && borrowed.size < MaxBorrow) {
+                    val b = nextChunk(); borrowed += b
+                    curBytes += Magic.length + utf8Len(b)
                   }
                   val required = h.contains("WARC-Target-URI") && h.contains("WARC-Type")
-                  if (required && utf8Len(cur) - 4 == cl && cur.endsWith(HdrSep)) {
+                  val tailChunk = if (borrowed.isEmpty) body0 else borrowed.last
+                  if (required && curBytes - 4 == cl && tailChunk.endsWith(HdrSep)) {
+                    val cur =
+                      if (borrowed.isEmpty) body0
+                      else borrowed.mkString(body0 + Magic, Magic, "")
                     out = mk(h, cur.substring(0, cur.length - 4), Some(cl), valid = true)
                   } else {
                     pending.prependAll(borrowed)

@@ -139,12 +139,17 @@ object WarcGz {
       /** set when resync() already consumed a member's first 3 bytes */
       private var pendingStart = -1L
 
+      /** release the native zlib state deterministically at EOF — one
+        * leaked Inflater per walked file would otherwise wait on GC
+        * (review finding). */
+      private def finish(): Unit = { done = true; inf.end() }
+
       private def advance(): Unit = {
         while (!loaded && !done) {
           var start = pendingStart
           var magicOk = true
           if (start < 0) {
-            if (!ensure()) { done = true; return }
+            if (!ensure()) { finish(); return }
             start = absPos
             magicOk = readByte() == 0x1f && readByte() == 0x8b && readByte() == 0x08
           }
@@ -164,7 +169,7 @@ object WarcGz {
             if (next >= 0) pendingStart = next
             if (end > start) {
               out = Member(null, start, end - start, ok = false); loaded = true
-            } else if (next < 0) done = true
+            } else if (next < 0) finish()
           }
         }
       }
@@ -239,6 +244,13 @@ object WarcGz {
         // file once per run, not once per member
         var curFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        // close at TASK completion, not iterator exhaustion: a
+        // short-circuiting consumer (limit/take) never drains the
+        // iterator and would leak the FS connection (review finding)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (in != null) { in.close(); in = null }
+          })
         def open(file: String) = {
           if (in != null) in.close()
           val p = new org.apache.hadoop.fs.Path(file)

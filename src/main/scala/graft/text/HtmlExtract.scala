@@ -45,10 +45,27 @@ object HtmlExtract {
   val BlockTags = "p|div|h[1-6]|li|ul|ol|br|td|tr|table|section|article|header|footer|nav|blockquote|pre|title"
 
   private val Sentinel = "\u0001"
-  private val DropPat = "(?is)<(script|style)\\b[^>]*>.*?</\\1>|<!--.*?-->"
+  /** The non-content drops, applied as THREE SEQUENTIAL passes (script,
+    * then style, then comments) — the identical order the DuckDB twin
+    * replays. A single alternation with a backreference would disagree
+    * with the oracle's sequential passes on pathological interleaved
+    * tags ('<style>A<script>B</style>C</script>': alternation keeps
+    * 'C', sequential keeps 'A' — found by review); one order, both
+    * engines. */
+  private val DropPats = Seq(
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?is)<!--.*?-->")
   private val BlockPat = s"(?i)</?($BlockTags)\\b[^>]*>"
   private val TagPat = "<[^>]*>"
   private val LinkPat = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Marker a numeric `&#38;`/`&#x26;` decodes to INSTEAD of a raw '&':
+    * a raw ampersand here would be re-scanned by the later named-entity
+    * replaces ('&#38;lt;' would double-decode to '<'); the marker is
+    * resolved to '&' AFTER the named pass — true single-pass semantics
+    * in both directions. */
+  private val AmpMarker = "\u0004"
 
   /** Entity decode order: the five markup entities first, `&amp;` LAST
     * (so a literal `&amp;lt;` decodes to the text `&lt;` — the
@@ -78,30 +95,35 @@ object HtmlExtract {
       val hex = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,6});", 1)
       val decCode = dec.cast("int")
       val hexCode = conv(hex, 16, 10).cast("int")
+      def emit(code: Column): Column =
+        when(code === 38, lit(AmpMarker)).otherwise(call_function("char", code))
       when(dec =!= "" && decCode.between(32, 126),
-        concat(call_function("char", decCode),
-          substrFrom(p, length(dec) + lit(4))))
+        concat(emit(decCode), substrFrom(p, length(dec) + lit(4))))
         .when(hex =!= "" && hexCode.between(32, 126),
-          concat(call_function("char", hexCode),
-            substrFrom(p, length(hex) + lit(5))))
+          concat(emit(hexCode), substrFrom(p, length(hex) + lit(5))))
         .otherwise(p)
     }), "")
     when(!c.contains("&#"), c).otherwise(out)
   }
 
   /** Visible text of an html fragment: strip tags, decode entities —
-    * NUMERIC first, then named with `&amp;` last, so `&amp;#65;`
-    * decodes to the literal text `&#65;` (single-pass semantics: the
-    * numeric scan never sees an `&#` adjacency inside `&amp;#65;`, and
-    * the `&` the amp-replace later produces is not re-scanned) —
-    * collapse whitespace. */
+    * NUMERIC first, then named with `&amp;` last — collapse
+    * whitespace. Single-pass in BOTH directions: `&amp;#65;` stays the
+    * literal text `&#65;` (the numeric scan sees no `&#` adjacency
+    * inside it, and the `&` the amp-replace later produces is never
+    * re-scanned), and `&#38;lt;` stays the literal text `&lt;` (the
+    * numeric decode of 38 emits [[AmpMarker]], resolved to '&' only
+    * after the named pass). */
   def visible(c: Column): Column = {
     val stripped = regexp_replace(c, TagPat, " ")
     val numeric = decodeNumericEntities(stripped)
     val named = Entities.foldLeft(numeric) {
       case (acc, (e, r)) => regexp_replace(acc, java.util.regex.Pattern.quote(e), r)
     }
-    trim(regexp_replace(named, "\\s+", " "))
+    // resolve the numeric-amp marker AFTER the named pass (see
+    // AmpMarker: keeps '&#38;lt;' as the literal text '&lt;')
+    val resolved = regexp_replace(named, AmpMarker, "&")
+    trim(regexp_replace(resolved, "\\s+", " "))
   }
 
   /** Boilerplate thresholds (basis points / chars). */
@@ -114,7 +136,8 @@ object HtmlExtract {
     * document (pre-filter, so it is stable under classification
     * changes). Map-only. */
   def blocks(df: DataFrame, idCol: String, htmlCol: Column): DataFrame = {
-    val deScripted = regexp_replace(htmlCol, DropPat, " ")
+    val deScripted = DropPats.foldLeft(htmlCol)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
     val marked = regexp_replace(deScripted, BlockPat, Sentinel)
     val frags = split(marked, Sentinel)
     val exploded = df.select(col(idCol),
@@ -157,9 +180,11 @@ object HtmlExtract {
        |      string_split(replace($e, '&#', chr(3) || '&#'), chr(3)),
        |      p -> CASE
        |        WHEN $decCode BETWEEN 32 AND 126
-       |          THEN chr($decCode) || substr(p, length($dec) + 4)
+       |          THEN (CASE WHEN $decCode = 38 THEN chr(4)
+       |                ELSE chr($decCode) END) || substr(p, length($dec) + 4)
        |        WHEN $hex <> '' AND $hexCode BETWEEN 32 AND 126
-       |          THEN chr($hexCode) || substr(p, length($hex) + 5)
+       |          THEN (CASE WHEN $hexCode = 38 THEN chr(4)
+       |                ELSE chr($hexCode) END) || substr(p, length($hex) + 5)
        |        ELSE p END), '')""".stripMargin
   }
 
@@ -172,7 +197,8 @@ object HtmlExtract {
         val rep = if (r == "'") "''" else r
         s"replace($acc, '$ent', '$rep')"
     }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    // resolve the numeric-amp marker after the named pass (AmpMarker)
+    s"trim(regexp_replace(replace($decoded, chr(4), '&'), '\\s+', ' ', 'g'))"
   }
 
   /** DuckDB CTE chain over `inputCte (idCol, html)` → exposes
@@ -180,9 +206,10 @@ object HtmlExtract {
     * is_boilerplate)`. Twins used: regexp_replace+'gis' ↔ Spark (?is)
     * global, string_split ↔ split, zipped unnest(…, range(len)) ↔
     * posexplode, regexp_extract_all(e, p, 1) ↔ same,
-    * list_sum∘list_transform ↔ aggregate∘transform. The \\1
-    * backreference in DropPat is not RE2-expressible, so the oracle
-    * drops script and style in two literal passes — same fixpoint. */
+    * list_sum∘list_transform ↔ aggregate∘transform. Script/style/
+    * comment removal is THREE sequential passes in the same order on
+    * both engines (DropPats) — identical by construction, not merely
+    * same-fixpoint. */
   def duckBlockCtes(inputCte: String, idCol: String): String =
     s"""hd AS (
        |  SELECT $idCol,

@@ -153,12 +153,18 @@ object QualityClassifier {
     val buckets = featureBuckets(textCol)
     val n = coalesce(greatest(length(textCol) - 2, lit(0)).cast("long"), lit(0L))
     val scores: Seq[(String, Column)] = f.labels.map { l =>
-      val lcMap: Column =
-        if (f.lc(l).isEmpty) map().cast("map<bigint,bigint>")
-        else typedlit(f.lc(l))
+      // the model as a DENSE NBuckets-slot ARRAY literal, not a map:
+      // Spark's GetMapValue is a linear key scan, so a map literal
+      // costs O(NBuckets) comparisons PER TRIGRAM — thousands of times
+      // the work; array element_at is O(1). Slot default 0 ≡ the
+      // unsmoothed-missing-bucket contribution (L(1) = 0), identical
+      // to the map form's coalesce (review finding).
+      val slots = Array.fill(NBuckets.toInt)(0L)
+      f.lc(l).foreach { case (b, w) => slots(b.toInt) = w }
+      val lcArr = typedlit(slots.toSeq)
       l -> (lit(f.prior(l)) +
         aggregate(buckets, lit(0L),
-          (acc, b) => acc + coalesce(element_at(lcMap, b), lit(0L))) -
+          (acc, b) => acc + element_at(lcArr, (b + lit(1L)).cast("int"))) -
         n * lit(f.denom(l)))
     }
     val (firstLabel, firstScore) = scores.head

@@ -90,6 +90,28 @@ class WarcSpec extends SparkTestBase {
     assert(all.filter(!col("is_valid")).count() == 2)
   }
 
+  test("a record truncated AT its header blank line is invalid in both read postures") {
+    // '…Content-Length: 0\r\n\r\n' with the payload terminator missing:
+    // the header separator must not double as the record terminator
+    // (parseChunks previously admitted it — review finding)
+    val dir = scratchDir("warc").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$dir/part-00000.warc")
+    val goodEmpty = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: ${Warc.UriPrefix}7\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: ${Warc.UriPrefix}8\r\nContent-Length: 0\r\n\r\n"
+    val out = fs.create(f, true)
+    try out.write((goodEmpty + truncated).getBytes("UTF-8")) finally out.close()
+    for (df <- Seq(Warc.read(spark, dir), Warc.readExact(spark, dir))) {
+      val validity = df.select(col("url"), col("is_valid"))
+        .as[(String, Boolean)].collect().toMap
+      assert(validity(s"${Warc.UriPrefix}7"), "well-formed empty record is valid")
+      assert(!validity(s"${Warc.UriPrefix}8"), "truncated record must be invalid")
+    }
+  }
+
   // ---------------------------------------------- Content-Length-aware
 
   test("readExact: a magic-quoting payload round-trips VALID, reassembled verbatim") {

@@ -47,6 +47,19 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(out.map(_._1) == Seq("the reference &#65; is written as-is here"))
   }
 
+  test("&#38;lt; decodes single-pass to the literal text &lt; (numeric-amp marker)") {
+    val out = extract("<p>source sample: &#38;lt;b&#38;gt; and a plain &#38; char</p>")
+    assert(out.map(_._1) == Seq("source sample: &lt;b&gt; and a plain & char"))
+  }
+
+  test("interleaved script/style drops match the sequential-pass order (script first)") {
+    // sequential passes: the script pass removes '<script>B</style>C</script>'
+    // first, keeping 'A' — the same order the oracle replays
+    val out = extract(
+      "<p>pad to content length</p><style>A<script>B</style>C</script><p>pad two text</p>")
+    assert(out.map(_._1) == Seq("pad to content length", "A", "pad two text"))
+  }
+
   test("a link-only nav block classifies boilerplate; prose with one link does not") {
     val out = extract(
       "<p>A long enough paragraph of genuine readable content with " +
