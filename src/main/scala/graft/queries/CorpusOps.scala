@@ -618,6 +618,11 @@ object CorpusOps {
         .when(v === 1, lit("/%7Eusr/")).otherwise(lit("/%7eusr")),
       when(v === 2, lit("?utm_source=feed&b=2%2f2&a=1"))
         .when(v === 1, lit("?b=2%2f2&a=1")).otherwise(lit("?b=2%2F2&a=1")),
+      // a redirect param embedding an ABSOLUTE URL — identical in every
+      // variant class (so they still collapse), present so the gate
+      // exercises the first-'://' parse: a last-'://' split re-rooted
+      // host/path on dest.example (ADVICE r15)
+      lit("&next=http://dest.example/x"),
       when(v === 2, lit("#sec")).otherwise(lit("")))
   }
 
@@ -645,6 +650,7 @@ object CorpusOps {
         |    (CASE WHEN doc_id % 3 = 2 THEN '?utm_source=feed&b=2%2f2&a=1'
         |          WHEN doc_id % 3 = 1 THEN '?b=2%2f2&a=1'
         |          ELSE '?b=2%2F2&a=1' END) ||
+        |    '&next=http://dest.example/x' ||
         |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
         |  FROM documents)""".stripMargin
 

@@ -160,7 +160,14 @@ object Warc {
               // immediately — one leaked zlib state per record OOM-kills
               // a real-size synthesis) behind a shield that keeps the
               // underlying file stream open for the next member
+              // bulk writes must pass through intact: FilterOutputStream's
+              // default write(byte[],int,int) forwards BYTE-BY-BYTE through
+              // write(int) — a significant slowdown for exactly the
+              // real-sized synthesis this path exists for (ADVICE r15)
               val shield = new java.io.FilterOutputStream(raw) {
+                override def write(b: Int): Unit = raw.write(b)
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  raw.write(b, off, len)
                 override def close(): Unit = flush()
               }
               it.foreach { r =>
@@ -213,6 +220,11 @@ object Warc {
         (col("__h").getItem("WARC-Target-URI").isNotNull &&
           col("__h").getItem("WARC-Type").isNotNull &&
           col("__h").getItem("Content-Length").cast("long").isNotNull &&
+          // non-negative guard: 'Content-Length: -4' on a chunk ending at
+          // the header blank line yields rest='' so -4 == -4 without it —
+          // assemble() rejects the same shape via its terminator check, so
+          // the two postures would diverge on crafted input (ADVICE r15)
+          col("__h").getItem("Content-Length").cast("long") >= 0 &&
           endswith(col("__chunk"), lit("\r\n\r\n")) &&
           // length check on REST (payload + terminator), not the
           // truncated payload slice: a record cut off exactly at its
@@ -297,7 +309,11 @@ object Warc {
                     val b = nextChunk(); borrowed += b
                     curBytes += Magic.length + utf8Len(b)
                   }
-                  val required = h.contains("WARC-Target-URI") && h.contains("WARC-Type")
+                  // cl >= 0 mirrors parseChunks' explicit guard (the
+                  // terminator check already rejects every negative-CL
+                  // shape, but parity is stated, not incidental)
+                  val required = h.contains("WARC-Target-URI") &&
+                    h.contains("WARC-Type") && cl >= 0
                   val tailChunk = if (borrowed.isEmpty) body0 else borrowed.last
                   if (required && curBytes - 4 == cl && tailChunk.endsWith(HdrSep)) {
                     val cur =
@@ -361,7 +377,11 @@ object Warc {
         it.zipWithIndex.map { case ((k, v), i) => (file, k.get(), i.toLong, v.toString) }
       }
       .toDF("file", "offset", "idx", "value")
-      .filter(length(col("value")) > 0)
+    // empty fragments (two ADJACENT magics in a quoting payload) are NOT
+    // filtered here: they contribute their consumed 10-byte magic to the
+    // borrow accounting, so dropping them wrongly invalidated a record
+    // quoting 'WARC/1.0\r\nWARC/1.0\r\n' (ADVICE r15). assemble skips
+    // them as record HEADS; parseChunks filters them on the clean path.
 
     val hmap = str_to_map(substring_index(col("value"), HdrSep, 1),
       lit("\r\n"), lit(": "))
@@ -404,8 +424,9 @@ object Warc {
         try in.readAllBytes() finally in.close()
       } else content
     val text = new String(bytes, "UTF-8")
-    val chunks = text.split(java.util.regex.Pattern.quote(Magic), -1)
-      .iterator.filter(_.nonEmpty)
+    // empties flow into assemble (adjacent-magic borrow accounting —
+    // ADVICE r15); assemble itself skips them as record heads
+    val chunks = text.split(java.util.regex.Pattern.quote(Magic), -1).iterator
     assemble(chunks)
   }
 

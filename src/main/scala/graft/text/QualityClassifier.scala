@@ -151,7 +151,12 @@ object QualityClassifier {
     * `df` plus (quality_pred, score_fp). */
   def scoreRows(df: DataFrame, textCol: Column, f: Fitted): DataFrame = {
     val buckets = featureBuckets(textCol)
-    val n = coalesce(greatest(length(textCol) - 2, lit(0)).cast("long"), lit(0L))
+    // n over the LOWERED text — the trigrams are taken over lower(text)
+    // (featureBuckets → charTrigrams), and lowercasing can change the
+    // char count ('İ' → 'i̇'), so length(textCol) diverged from the
+    // batch scorer's length(lower(text)) on such inputs (ADVICE r15)
+    val n = coalesce(greatest(length(lower(textCol)) - 2, lit(0)).cast("long"),
+      lit(0L))
     val scores: Seq[(String, Column)] = f.labels.map { l =>
       // the model as a DENSE NBuckets-slot ARRAY literal, not a map:
       // Spark's GetMapValue is a linear key scan, so a map literal

@@ -84,19 +84,34 @@ object UrlCanonical {
   private def expr_substr(p: Column, from: Int): Column =
     p.substr(lit(from), greatest(length(p) - lit(from - 1), lit(0)))
 
+  /** substr(p, from) to end of string, 1-based, Column `from`. */
+  private[text] def substrFrom(p: Column, from: Column): Column =
+    p.substr(from, greatest(length(p) - from + lit(1), lit(0)))
+
   /** The canonical HOST of a url — the per-domain grouping/cap key
     * (C4/CCNet-style domain quotas, host-level crawl stats). Derived
     * from [[canonicalize]]'s output by string algebra, so the host is
     * normalized exactly once and the two can never disagree. */
-  def hostOf(url: Column): Column = {
-    val rest = substring_index(canonicalize(url), "://", -1)
-    substring_index(substring_index(rest, "/", 1), ":", 1)
+  def hostOf(url: Column): Column = hostOfCanon(canonicalize(url))
+
+  /** [[hostOf]] over an ALREADY-canonical url (skips the redundant
+    * re-canonicalization when the caller holds [[canonicalize]]'s
+    * output — the q150/q151 edge chain). Splits at the FIRST '://':
+    * a query embedding an absolute URL (redirect/tracking params —
+    * `?next=http://b.com/x`) must not leak the embedded host
+    * (ADVICE r15). The authority ends at the first '/' OR '?'. */
+  def hostOfCanon(canon: Column): Column = {
+    val rest = substrFrom(canon,
+      length(substring_index(canon, "://", 1)) + lit(4))
+    substring_index(substring_index(
+      substring_index(rest, "/", 1), "?", 1), ":", 1)
   }
 
-  /** DuckDB twin of [[hostOf]] over a `canon` column (apply AFTER
-    * [[duckCanonCtes]]'s u4). */
+  /** DuckDB twin of [[hostOfCanon]] over a `canon` column (apply AFTER
+    * [[duckCanonCtes]]'s final CTE). */
   def duckHostOf(canonExpr: String): String =
-    s"string_split(string_split(string_split($canonExpr, '://')[-1], '/')[1], ':')[1]"
+    s"string_split(string_split(string_split(substr($canonExpr, " +
+      s"length(string_split($canonExpr, '://')[1]) + 4), '/')[1], '?')[1], ':')[1]"
 
   /** The canonical form of `url` as a Column. Map-only. */
   def canonicalize(url: Column): Column = {
@@ -104,9 +119,16 @@ object UrlCanonical {
     // never produce a delimiter (reserved chars stay encoded), so the
     // parse below sees the normalized spelling
     val noFrag = substring_index(percentNormalize(url), "#", 1)
-    val scheme = lower(substring_index(noFrag, "://", 1))
-    val rest = substring_index(noFrag, "://", -1)
-    val hostport = substring_index(rest, "/", 1)
+    // split at the FIRST '://' — substring_index(…, -1) took the LAST,
+    // so a query embedding an absolute URL (?next=http://b.com/x)
+    // re-rooted the whole parse on the embedded host (ADVICE r15)
+    val schemeRaw = substring_index(noFrag, "://", 1)
+    val scheme = lower(schemeRaw)
+    val rest = substrFrom(noFrag, length(schemeRaw) + lit(4))
+    // the authority ends at the first '/' OR the first '?' (a query
+    // may follow an empty path: http://h?q=1 — reachable through
+    // RFC 3986 §5 reference resolution of "?q=1" against a root URL)
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
     val hostLower = lower(substring_index(hostport, ":", 1))
     val host = when(hostLower.rlike("^[\\x00-\\x7F]*$"), hostLower)
       .otherwise(graft.functions.IdnAscii.idnAscii(hostLower))
@@ -115,13 +137,17 @@ object UrlCanonical {
     val keepPort = (port =!= "") &&
       !((scheme === "http") && (port === "80")) &&
       !((scheme === "https") && (port === "443"))
-    val pathq = substr(rest, length(hostport) + lit(1),
-      greatest(length(rest) - length(hostport), lit(0)))
+    val pathq = substrFrom(rest, length(hostport) + lit(1))
     val path0 = substring_index(pathq, "?", 1)
-    val path = when(length(path0) > 1 && endswith(path0, lit("/")),
+    val path1 = when(length(path0) > 1 && endswith(path0, lit("/")),
       substr(path0, lit(1), length(path0) - lit(1))).otherwise(path0)
+    // RFC 3986 §6.2.3 scheme-based normalization: an empty path is
+    // equivalent to "/" for http(s) — http://h ≡ http://h/
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    // everything after the FIRST '?' (substring_index(…, -1) broke on
+    // queries whose parameter values embed a second '?')
     val q0 = when(pathq.contains("?"),
-      substring_index(pathq, "?", -1)).otherwise(lit(""))
+      substrFrom(pathq, length(path0) + lit(2))).otherwise(lit(""))
     val params = filter(split(q0, "&"), p =>
       p =!= "" && !startswith(p, lit("utm_")) &&
         !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")))
@@ -147,13 +173,19 @@ object UrlCanonical {
     * label pairs here; they replay as replace() on the lowered host.
     * ASCII hosts replay exactly with no vocabulary. */
   def duckCanonCtes(inputCte: String, idCol: String,
-                    idnVocab: Seq[(String, String)] = Nil): String = {
+                    idnVocab: Seq[(String, String)] = Nil,
+                    prefix: String = "u"): String = {
     val hh = "substr(p, 2, 2)"
     val code = s"('0x' || $hh)::INT"
     val hostExpr = idnVocab.foldLeft("lower(string_split(hp, ':')[1])") {
       case (acc, (u, puny)) => s"replace($acc, '$u', '$puny')"
     }
-    s"""u0 AS (
+    val P = prefix
+    // parse mirrors canonicalize exactly: FIRST-'://' split (rst =
+    // substr past the first scheme separator, never string_split[-1]),
+    // authority ends at the first '/' or '?', query = everything after
+    // the FIRST '?', empty path ≡ '/' (§6.2.3)
+    s"""${P}0 AS (
        |  SELECT $idCol, array_to_string(list_transform(
        |    string_split(replace(url, '%', chr(2) || '%'), chr(2)),
        |    p -> CASE
@@ -166,31 +198,34 @@ object UrlCanonical {
        |      ELSE '%' || upper($hh) || substr(p, 4)
        |    END), '') AS url
        |  FROM $inputCte),
-       |u1 AS (
-       |  SELECT $idCol, string_split(url, '#')[1] AS nf FROM u0),
-       |u2 AS (
+       |${P}1 AS (
+       |  SELECT $idCol, string_split(url, '#')[1] AS nf FROM ${P}0),
+       |${P}2 AS (
        |  SELECT $idCol, lower(string_split(nf, '://')[1]) AS scheme,
-       |    string_split(nf, '://')[-1] AS rst,
-       |    string_split(string_split(nf, '://')[-1], '/')[1] AS hp
-       |  FROM u1),
-       |u3 AS (
+       |    substr(nf, length(string_split(nf, '://')[1]) + 4) AS rst,
+       |    string_split(string_split(substr(nf,
+       |      length(string_split(nf, '://')[1]) + 4), '/')[1], '?')[1] AS hp
+       |  FROM ${P}1),
+       |${P}3 AS (
        |  SELECT $idCol, scheme,
        |    $hostExpr AS host,
        |    CASE WHEN contains(hp, ':') THEN string_split(hp, ':')[-1]
        |         ELSE '' END AS port,
        |    string_split(substr(rst, length(hp) + 1), '?')[1] AS p0,
        |    CASE WHEN contains(substr(rst, length(hp) + 1), '?')
-       |         THEN string_split(substr(rst, length(hp) + 1), '?')[-1]
+       |         THEN substr(substr(rst, length(hp) + 1),
+       |           length(string_split(substr(rst, length(hp) + 1), '?')[1]) + 2)
        |         ELSE '' END AS q0
-       |  FROM u2),
-       |u4 AS (
+       |  FROM ${P}2),
+       |${P}4 AS (
        |  SELECT $idCol,
        |    scheme || '://' || host ||
        |    CASE WHEN port <> ''
        |          AND NOT (scheme = 'http' AND port = '80')
        |          AND NOT (scheme = 'https' AND port = '443')
        |         THEN ':' || port ELSE '' END ||
-       |    CASE WHEN length(p0) > 1 AND p0 LIKE '%/'
+       |    CASE WHEN p0 = '' THEN '/'
+       |         WHEN length(p0) > 1 AND p0 LIKE '%/'
        |         THEN substr(p0, 1, length(p0) - 1) ELSE p0 END ||
        |    CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
        |  FROM (
@@ -199,6 +234,6 @@ object UrlCanonical {
        |        pp -> pp <> '' AND NOT starts_with(pp, 'utm_')
        |              AND NOT starts_with(pp, 'fbclid=')
        |              AND NOT starts_with(pp, 'gclid='))), '&') AS sq
-       |    FROM u3))""".stripMargin
+       |    FROM ${P}3))""".stripMargin
   }
 }

@@ -202,6 +202,55 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("readExact: ADJACENT quoted magics (empty fragment) reassemble VALID") {
+    // 'WARC/1.0\r\nWARC/1.0\r\n' back-to-back in a payload splits out an
+    // EMPTY fragment whose consumed 10-byte magic must still count in
+    // the borrow accounting — filtering empties before assemble wrongly
+    // invalidated the record (ADVICE r15)
+    val dir = scratchDir("warc").toString
+    val m = Warc.Magic
+    val docs2 = Seq(
+      4L -> s"double ${m}${m}quote",
+      5L -> s"${m}${m}",           // payload IS two adjacent magics
+      6L -> "plain neighbor")
+    Warc.synthesize(spark, docs2.toDF("doc_id", "text"), dir, nFiles = 1)
+    val valid = Warc.readExactClean(spark, dir)
+      .select("url", "payload").as[(String, String)].collect().toMap
+    assert(valid == Map(
+      s"${Warc.UriPrefix}4" -> s"double ${m}${m}quote",
+      s"${Warc.UriPrefix}5" -> s"${m}${m}",
+      s"${Warc.UriPrefix}6" -> "plain neighbor"))
+    // the per-file automaton agrees (the streaming/gz unit)
+    val bytes = docs2.map { case (id, t) =>
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: ${Warc.UriPrefix}$id\r\n" +
+        s"Content-Length: ${t.getBytes("UTF-8").length}\r\n\r\n$t\r\n\r\n"
+    }.mkString.getBytes("UTF-8")
+    val recs = Warc.recordsFromFileBytes("f.warc", bytes).filter(_.is_valid).toSeq
+    assert(recs.map(r => r.url -> r.payload).toMap == valid)
+  }
+
+  test("a NEGATIVE declared Content-Length is invalid in both read postures") {
+    // 'Content-Length: -4' with the chunk ending at the header blank
+    // line: rest='' gave -4 == -4 under the old length predicate while
+    // assemble rejected it — the postures diverged (ADVICE r15)
+    val dir = scratchDir("warc").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$dir/part-00000.warc")
+    val negative = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: ${Warc.UriPrefix}9\r\nContent-Length: -4\r\n\r\n"
+    val good = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: ${Warc.UriPrefix}10\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    val out = fs.create(f, true)
+    try out.write((negative + good).getBytes("UTF-8")) finally out.close()
+    for (df <- Seq(Warc.read(spark, dir), Warc.readExact(spark, dir))) {
+      val validity = df.select(col("url"), col("is_valid"))
+        .as[(String, Boolean)].collect().toMap
+      assert(!validity(s"${Warc.UriPrefix}9"), "negative CL must be invalid")
+      assert(validity(s"${Warc.UriPrefix}10"), "the neighbor must survive")
+    }
+  }
+
   test("streaming exact ingest ≡ batch exact scan, plain and gz") {
     for (gz <- Seq(false, true)) {
       val dir = scratchDir("warc").toString

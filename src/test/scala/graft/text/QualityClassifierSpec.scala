@@ -28,6 +28,30 @@ class QualityClassifierSpec extends SparkTestBase {
       buckets.forall(b => b >= 0 && b < QualityClassifier.NBuckets))
   }
 
+  test("scoreRows is case-invariant on text whose LOWERCASE changes length ('İ')") {
+    // lower('İ') = 'i̇' (TWO code points — sanity-checked below): the
+    // trigrams are taken over lower(text), so n must be too, or the
+    // streaming score diverges from the batch/oracle score (ADVICE r15).
+    // Lowering is idempotent for the features, so scoring the raw text
+    // must equal scoring the pre-lowered text EXACTLY — which fails if
+    // n is taken over the un-lowered spelling.
+    assert("İ".toLowerCase.length == 2)
+    val docs = Seq(
+      (1L, "good", "a perfectly ordinary training document"),
+      (2L, "bad", "buy now buy now buy now promo"),
+      (3L, "good", "İstanbul İİİ mixed-case Turkish capital dotted I"),
+      (4L, "bad", "free offer promo click İİ buy"))
+      .toDF("doc_id", "label", "text")
+    val fitted = QualityClassifier.fit(docs)
+    def scored(df: org.apache.spark.sql.DataFrame) = QualityClassifier
+      .scoreRows(df, col("text"), fitted)
+      .select(col("doc_id"), col("quality_pred"), col("score_fp"))
+    val raw = scored(docs)
+    val lowered = scored(docs.withColumn("text", lower(col("text"))))
+    val diverged = raw.exceptAll(lowered).unionByName(lowered.exceptAll(raw))
+    assert(diverged.isEmpty, s"case-variant scores: ${diverged.take(4).toSeq}")
+  }
+
   test("short texts (< 3 chars) contribute no features and never break the fit") {
     val docs = Seq(
       (1L, "good", "a"), (2L, "good", ""), (3L, "bad", "xy"),

@@ -70,6 +70,26 @@ class UrlCanonicalSpec extends SparkTestBase {
     assert(got(3) == "http://plain-ascii.example/p")
   }
 
+  test("a query embedding an ABSOLUTE URL parses on the OUTER host (first-'://' split)") {
+    // redirect/tracking params are common real-crawl shapes; the old
+    // last-'://' split re-rooted the whole parse on the embedded host
+    // (ADVICE r15 medium)
+    val url = "http://a.com/r?next=http://b.com/x&z=1"
+    assert(canon(url) == Seq("http://a.com/r?next=http://b.com/x&z=1"))
+    val host = Seq(url).toDF("url")
+      .select(UrlCanonical.hostOf($"url")).as[String].collect().toSeq
+    assert(host == Seq("a.com"), s"hostOf leaked the embedded host: $host")
+  }
+
+  test("empty path normalizes to '/' (§6.2.3); query after empty path parses") {
+    assert(canon("http://h.io", "http://h.io/", "HTTP://H.IO#f") ==
+      Seq("http://h.io/", "http://h.io/", "http://h.io/"))
+    assert(canon("http://h.io?b=2&a=1") == Seq("http://h.io/?a=1&b=2"))
+    val host = Seq("http://h.io?b=2&a=1").toDF("url")
+      .select(UrlCanonical.hostOf($"url")).as[String].collect().toSeq
+    assert(host == Seq("h.io"))
+  }
+
   test("an invalid IDN host passes through unchanged (total function)") {
     // an empty non-ASCII-adjacent label IDN.toASCII rejects
     val junk = "http://bad..ü.example/p"
