@@ -230,13 +230,32 @@ object GraftExtensions {
       Nfkc(exprs(0))
     })
 
+  private[functions] val uchrDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("uchr"),
+    new ExpressionInfo(classOf[Uchr].getName, "uchr"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "uchr(codepoint)")
+      Uchr(exprs(0))
+    })
+
+  private[functions] val htmlEntityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("html_entity"),
+    new ExpressionInfo(classOf[HtmlEntity].getName, "html_entity"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "html_entity(name)")
+      HtmlEntity(exprs(0))
+    })
+
   private[functions] val allDescriptors = Seq(
     haversineDescriptor, dotProductDescriptor,
     minhashSigDescriptor, simhashDescriptor,
     bloomAggDescriptor, bloomMightContainDescriptor,
     quantileRankDescriptor, winnowDescriptor, tokenNgramsDescriptor,
     nearestCidDescriptor, nearestCidsDescriptor, fxRoundDescriptor,
-    idnAsciiDescriptor, nfkcDescriptor)
+    idnAsciiDescriptor, nfkcDescriptor, uchrDescriptor,
+    htmlEntityDescriptor)
   private def all = allDescriptors
 
   /** Register on an already-built session (tests, driver sessions):

@@ -343,6 +343,11 @@ object CorpusOps {
         "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
       lit("<p>Second &amp; final &lt;block&gt;&nbsp;here, "
         + "&#70;ine &#x70;rint &#9999; &amp;#65; "), id, lit("</p>"),
+      // full-decode coverage (r16): accented named, uppercase named,
+      // symbol named, supplementary-plane numeric, surrogate (stays
+      // literal), unknown name (stays literal), nbsp-as-whitespace
+      lit("<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; "
+        + "&#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 "), id, lit("</p>"),
       lit("</body></html>"))
   }
 
@@ -354,6 +359,7 @@ object CorpusOps {
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
       |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
+      |'<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; &#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 ' || doc_id || '</p>' ||
       |'</body></html>'""".stripMargin.replace("\n", " ")
 
   /** A WARC zone whose payloads are the HTML pages (the real crawl

@@ -34,12 +34,26 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(out.map(_._1) == Seq("Fish & chips <tasty> 'quoted' &lt;"))
   }
 
-  test("numeric references decode in the ASCII range; junk and out-of-range pass through") {
+  test("numeric references decode over full Unicode; junk and non-scalars pass through") {
     val out = extract(
-      "<p>&#70;ine &#x70;rint &#0065; &#9999; &#x110000; &#7; &#xZZ; &# 65; 100&#37;</p>")
-    // F (70), p (0x70), A (65 with leading zeros); &#9999; outside
-    // ASCII stays literal; control &#7; stays; malformed stay; %(37)
-    assert(out.map(_._1) == Seq("Fine print A &#9999; &#x110000; &#7; &#xZZ; &# 65; 100%"))
+      "<p>&#70;ine &#x70;rint &#0065; &#9999; &#x110000; &#xZZ; &# 65; 100&#37;</p>")
+    // F (70), p (0x70), A (65 with leading zeros), ✏ (9999 — decodes
+    // now, full-Unicode r16); past-the-last-plane and malformed stay
+    // literal; %(37)
+    assert(out.map(_._1) ==
+      Seq("Fine print A ✏ &#x110000; &#xZZ; &# 65; 100%"))
+  }
+
+  test("supplementary-plane, accented and uppercase NAMED references decode; surrogates don't") {
+    val out = extract(
+      "<p>Caf&eacute; &Uuml;ber &mdash; &hellip; &euro;2 &#x1F600; &#55296; &bogus;</p>")
+    assert(out.map(_._1) ==
+      Seq("Café Über — … €2 😀 &#55296; &bogus;"))
+  }
+
+  test("&nbsp; decodes to U+00A0 and collapses as whitespace") {
+    val out = extract("<p>one&nbsp;&nbsp;two&nbsp; three no-break words here</p>")
+    assert(out.map(_._1) == Seq("one two three no-break words here"))
   }
 
   test("&amp;#65; decodes single-pass to the literal text &#65;") {
