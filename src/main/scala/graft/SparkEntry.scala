@@ -37,6 +37,7 @@ object SparkEntry {
       (graft.queries.SqlText.queries, graft.queries.SqlText.oracles),
       (graft.queries.ScaleOps.queries, graft.queries.ScaleOps.oracles),
       (graft.queries.GraphOps.queries, graft.queries.GraphOps.oracles),
+      (graft.queries.WebGraphOps.queries, graft.queries.WebGraphOps.oracles),
     )
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -62,5 +63,7 @@ object SparkEntry {
     "q124_bpe_merges", "q125_bpe_encode", "q126_bpe_stats",
     "q128_hard_negatives_ivf", "q136_warc_read", "q138_warc_stream",
     "q140_html_blocks", "q143_curation_e2e", "q145_html_stream",
-    "q146_quality_stream", "q147_bpe_pack", "q148_warcgz_read")
+    "q146_quality_stream", "q147_bpe_pack", "q148_warcgz_read",
+    "q150_outlinks", "q151_host_rank", "q152_warcgz_index",
+    "q154_warcgz_stream")
 }

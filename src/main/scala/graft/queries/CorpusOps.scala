@@ -321,6 +321,39 @@ object CorpusOps {
         col("url"), col("content_length"), col("payload"))
   }
 
+  // --------------------------- q152 stored member-index sidecar read
+
+  private val warcGzIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The persisted cdx sidecar for the per-dir gz zone, written once
+    * (the landing-time economics the sidecar exists for). */
+  private[queries] def warcGzIndexFor(s: SparkSession, dir: String): String =
+    warcGzIndexes.computeIfAbsent(dir, { d =>
+      val zone = warcGzZoneFor(s, d)
+      val side = graft.TempArtifacts.dir("graft_warcgz_cdx")
+      graft.sources.WarcGz.writeIndex(
+        graft.sources.WarcGz.memberIndex(s, zone), side)
+      side
+    })
+
+  /** q152: q148's member-parallel gz read through the PERSISTED sidecar
+    * (WarcGz.writeIndex/readIndex — VERDICT r15 missing #3): the
+    * member-boundary walk is paid once per zone and stored as Parquet;
+    * this entry reads ONLY the stored relation and seeks. Hash-equal to
+    * q148 and the fresh-index read by the shared q136 oracle — a
+    * sidecar row lost, reordered, or mis-typed in the round trip
+    * hash-mismatches. */
+  def q152WarcGzStoredIndex(s: SparkSession, dir: String): DataFrame = {
+    val side = warcGzIndexFor(s, dir)
+    graft.sources.WarcGz.readMembers(s,
+        graft.sources.WarcGz.readIndex(s, side))
+      .filter(col("is_valid"))
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("url"), col("content_length"), col("payload"))
+  }
+
   // --------------------------------------- q140 HTML→text extraction
 
   private val htmlZones =
@@ -329,10 +362,18 @@ object CorpusOps {
   /** The deterministic HTML page for each document: head with title /
     * style / script (the non-content elements the extractor must drop),
     * a heading, the document text as the main content block, a
-    * link-only nav block (the boilerplate case), and an entity-bearing
-    * closing block. Built identically in Spark and DuckDB. */
-  private def htmlCol: org.apache.spark.sql.Column = {
+    * link-only nav block (the boilerplate case), an OUTLINK block
+    * (r16 — every RFC 3986 reference class: path-relative with dot
+    * segments, protocol-relative ring/far links that weave the 13
+    * site-hosts into a real host graph, absolute external,
+    * query-only, non-hierarchical mailto, fragment-only, empty), and
+    * an entity-bearing closing block. Built identically in Spark and
+    * DuckDB. */
+  private[queries] def htmlCol: org.apache.spark.sql.Column = {
     val id = col("doc_id").cast("string")
+    val d13 = pmod(col("doc_id"), lit(13))
+    val ring = pmod(d13 + lit(1), lit(13)).cast("string")
+    val far = pmod(d13 + lit(5), lit(13)).cast("string")
     concat(
       lit("<html><head><title>Doc "), id, lit("</title>"),
       lit("<style>body { margin: 0 }</style>"),
@@ -341,6 +382,14 @@ object CorpusOps {
       lit("<p>"), col("text"), lit("</p>"),
       lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
         "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
+      lit("<p>More at <a href=\"../up/one\">up</a> <a href=\"a/b/../c\">dots</a> "),
+      lit("<a href=\"//site"), ring, lit(".xn--bcher-kva.example/m/\">ring</a> "),
+      when(pmod(d13, lit(2)) === 1,
+        concat(lit("<a href=\"//site"), far,
+          lit(".xn--bcher-kva.example/far\">far</a> "))).otherwise(lit("")),
+      lit("<a href=\"http://ext.example:8080/e/?z=2&amp;a=%7e#f\">ext</a> " +
+        "<a href=\"?lang=en\">q</a> <a href=\"mailto:x@example.org\">mail</a> " +
+        "<a href=\"#top\">self</a> <a href=\"\">empty</a></p>"),
       lit("<p>Second &amp; final &lt;block&gt;&nbsp;here, "
         + "&#70;ine &#x70;rint &#9999; &amp;#65; "), id, lit("</p>"),
       // full-decode coverage (r16): accented named, uppercase named,
@@ -358,6 +407,12 @@ object CorpusOps {
       |'<body><h1>Heading ' || doc_id || '</h1>' ||
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
+      |'<p>More at <a href="../up/one">up</a> <a href="a/b/../c">dots</a> ' ||
+      |'<a href="//site' || ((doc_id % 13 + 1) % 13) || '.xn--bcher-kva.example/m/">ring</a> ' ||
+      |(CASE WHEN (doc_id % 13) % 2 = 1
+      |      THEN '<a href="//site' || ((doc_id % 13 + 5) % 13) || '.xn--bcher-kva.example/far">far</a> '
+      |      ELSE '' END) ||
+      |'<a href="http://ext.example:8080/e/?z=2&amp;a=%7e#f">ext</a> <a href="?lang=en">q</a> <a href="mailto:x@example.org">mail</a> <a href="#top">self</a> <a href="">empty</a></p>' ||
       |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
       |'<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; &#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 ' || doc_id || '</p>' ||
       |'</body></html>'""".stripMargin.replace("\n", " ")
@@ -390,9 +445,12 @@ object CorpusOps {
     graft.text.HtmlExtract.blocks(pages, "doc_id", col("payload"))
   }
 
-  val q140Sql: String = {
+  /** The WARC-surviving HTML pages as CTEs `h0` + `hin (doc_id, html)`
+    * — the shared oracle prefix of q140/q143/q145 and the q150/q151
+    * web-graph chain. */
+  private[queries] def htmlInCtes: String = {
     import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
-    s"""WITH h0 AS (
+    s"""h0 AS (
        |  SELECT doc_id, $htmlSqlExpr AS html0
        |  FROM documents
        |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0),
@@ -400,12 +458,15 @@ object CorpusOps {
        |  SELECT doc_id, CASE WHEN doc_id % $MagicQuoteMod = 0
        |    THEN 'see: WARC/1.0' || chr(13) || chr(10) || html0
        |    ELSE html0 END AS html
-       |  FROM h0),
+       |  FROM h0)""".stripMargin
+  }
+
+  val q140Sql: String =
+    s"""WITH $htmlInCtes,
        |${graft.text.HtmlExtract.duckBlockCtes("hin", "doc_id")}
        |SELECT doc_id, block_idx, block_text, n_chars, link_density_bp,
        |  is_boilerplate
        |FROM hb""".stripMargin
-  }
 
   // --------------------------------------- q144 per-domain corpus stats
 
@@ -469,16 +530,7 @@ object CorpusOps {
   }
 
   val q143Sql: String = {
-    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
-    s"""WITH h0 AS (
-       |  SELECT doc_id, $htmlSqlExpr AS html0
-       |  FROM documents
-       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0),
-       |hin AS (
-       |  SELECT doc_id, CASE WHEN doc_id % $MagicQuoteMod = 0
-       |    THEN 'see: WARC/1.0' || chr(13) || chr(10) || html0
-       |    ELSE html0 END AS html
-       |  FROM h0),
+    s"""WITH $htmlInCtes,
        |${graft.text.HtmlExtract.duckBlockCtes("hin", "doc_id")},
        |agg AS (
        |  SELECT doc_id,
@@ -609,7 +661,7 @@ object CorpusOps {
     * row per canonical URL with its variant count and first holder. */
   /** The q139/q144 messy-URL fixture column (three variant classes by
     * doc_id residue — see q139's scaladoc). */
-  private def messyUrlCol: org.apache.spark.sql.Column = {
+  private[queries] def messyUrlCol: org.apache.spark.sql.Column = {
     val d13 = pmod(col("doc_id"), lit(13)).cast("string")
     val d17 = pmod(col("doc_id"), lit(17)).cast("string")
     val v = pmod(col("doc_id"), lit(3))
@@ -642,7 +694,7 @@ object CorpusOps {
   }
 
   /** q139/q144 shared oracle fixture CTE. */
-  private def messyUrlMkCte: String =
+  private[queries] def messyUrlMkCte: String =
       """mk AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
@@ -670,6 +722,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q152_warcgz_index" -> q152WarcGzStoredIndex,
     "q149_nfkc_normalize" -> q149NfkcNormalize,
     "q148_warcgz_read" -> q148WarcGzRead,
     "q144_host_stats" -> q144HostStats,
@@ -689,6 +742,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_warcgz_index" -> q136Sql,
     "q149_nfkc_normalize" -> q149Sql,
     "q148_warcgz_read" -> q136Sql,
     "q144_host_stats" -> q144Sql,

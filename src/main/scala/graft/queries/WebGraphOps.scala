@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.PageRank
+import graft.text.{HtmlExtract, UrlCanonical}
+
+/** The crawl-graph chain (VERDICT r15 next #1/#2): outlink extraction
+  * from WARC HTML payloads, RFC 3986 §5 relative-reference resolution
+  * against each page's URL, canonicalization of both endpoints — and
+  * the host-level PageRank over the REAL link graph those edges form
+  * (domain authority as a curation signal, replacing q110's
+  * co-occurrence-edge stand-in).
+  *
+  * Scale shape: q150 is MAP-ONLY after the zone read — href extraction,
+  * entity decode, resolution and canonicalization are all composed
+  * string algebra per row; 100 TB of pages emit edges at scan speed
+  * with zero exchanges. q151 adds exactly the exchanges a link-graph
+  * rank needs: one distinct on the host-edge relation (host-cardinality
+  * rows, tiny next to the page scan) and PageRank's per-sweep
+  * aggregation over its once-laid-out edge relation.
+  */
+object WebGraphOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-hierarchical references (`mailto:`, `javascript:`, `data:` —
+    * a scheme with no '://') are screened out BEFORE resolution: they
+    * are not crawl edges, and §5.2's merge would otherwise treat them
+    * as relative paths. Mirrored verbatim in the oracle. */
+  private val SchemeLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+  private val Hierarchical = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+
+  /** The outlink-edge relation over the per-dir HTML WARC zone:
+    * (doc_id, link_idx, href, src_canon, dst_canon). `link_idx` is the
+    * href's position among ALL extracted targets (pre-screen, so
+    * indices are stable); `href` is the entity-DECODED attribute value
+    * (what a browser resolves); both endpoints are canonical. */
+  private[queries] def outlinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val zone = CorpusOps.htmlZoneFor(s, dir)
+    val pages = graft.sources.Warc.readExactClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+    // the page's own URL is the q139/q144 messy fixture (deterministic
+    // from doc_id): resolution runs against the RAW spelling — variant
+    // case, IDN hosts, ports, dot-segment-bearing directories — and
+    // canonicalization collapses the results, exactly the real-crawl
+    // order of operations
+    pages
+      .select(col("doc_id"),
+        CorpusOps.messyUrlCol.as("__base"),
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("src_canon"),
+        posexplode_outer(HtmlExtract.hrefs(col("payload")))
+          .as(Seq("link_idx", "__raw")))
+      .filter(col("__raw").isNotNull)
+      .withColumn("href", HtmlExtract.decodeEntities(col("__raw")))
+      .filter(!(col("href").rlike(SchemeLike) && !col("href").rlike(Hierarchical)))
+      .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+        col("href"), col("src_canon"),
+        UrlCanonical.canonicalize(
+          UrlCanonical.resolve(col("__base"), col("href"))).as("dst_canon"))
+  }
+
+  /** q150: the outlink edges themselves, gate-hashed — a reference
+    * class resolved wrong (merge, dot segments, query/fragment
+    * semantics), an entity left in an href, a screen that leaks
+    * mailto:, or a canonicalization divergence on either endpoint all
+    * hash-mismatch against the oracle's replay of the identical chain. */
+  def q150Outlinks(s: SparkSession, dir: String): DataFrame =
+    outlinkEdges(s, dir)
+
+  val q150Sql: String =
+    s"""WITH $outlinkCtePrefix
+       |SELECT lf.doc_id, lf.link_idx, lf.href,
+       |  s4.canon AS src_canon, d4.canon AS dst_canon
+       |FROM lf JOIN s4 ON lf.doc_id = s4.doc_id
+       |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx""".stripMargin
+
+  // ------------------------------------------------ q151 host PageRank
+
+  private val Iterations = 3
+  private val Scale = 1000000L
+  private val Base = 150000L // Scale * (100-85)/100
+
+  /** q151: PageRank over the HOST graph q150's edges induce — collapse
+    * both endpoints to hosts, drop intra-host links (self-loops carry
+    * no authority), distinct, rank. Hosts are keyed by h60(host) for
+    * the long-keyed PageRank engine (injective in practice: a 60-bit
+    * hash over the corpus's host cardinality; the oracle ranks over
+    * host STRINGS, so an engine-side collision would hash-mismatch the
+    * gate, not silently merge) and the names join back over the
+    * host-cardinality broadcast relation. Output: (host, pr), integer
+    * fixed-point — bit-exact against the oracle's chained-CTE replay. */
+  def q151HostRank(s: SparkSession, dir: String): DataFrame = {
+    val hostEdges = outlinkEdges(s, dir)
+      .select(UrlCanonical.hostOfCanon(col("src_canon")).as("src_host"),
+        UrlCanonical.hostOfCanon(col("dst_canon")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .distinct()
+    val scope = graft.CacheScope.scoped()
+    val edges = scope.cache(hostEdges.select(
+      Portable.h60(col("src_host")).as("src"),
+      Portable.h60(col("dst_host")).as("dst"),
+      col("src_host"), col("dst_host")))
+    val names = edges.select(col("src").as("node"), col("src_host").as("host"))
+      .unionByName(edges.select(col("dst").as("node"), col("dst_host").as("host")))
+      .distinct()
+    val ranks = PageRank.run(edges.select(col("src"), col("dst")),
+      "src", "dst", Iterations, scale = Scale, scope = Some(scope))
+    scope.materializeAndRelease(
+      ranks.join(broadcast(names), Seq("node"))
+        .select(col("host"), col("pr")))
+  }
+
+  /** q110Sql's chained-CTE integer PageRank, over host strings (the
+    * oracle never needs the engine's h60 keys — rank depends only on
+    * graph structure, so a key collision cannot hide). */
+  val q151Sql: String = {
+    val edgeSelect =
+      s"""SELECT DISTINCT ${UrlCanonical.duckHostOf("s4.canon")} AS src,
+         |  ${UrlCanonical.duckHostOf("d4.canon")} AS dst
+         |FROM lf JOIN s4 ON lf.doc_id = s4.doc_id
+         |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx
+         |WHERE ${UrlCanonical.duckHostOf("s4.canon")} <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
+    val out = new StringBuilder
+    out ++= s"""WITH $outlinkCtePrefix,
+       |e AS (
+       |$edgeSelect),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, ${Scale}::BIGINT AS pr FROM n)""".stripMargin
+    for (i <- 1 to Iterations) {
+      out ++= s""",
+        |c$i AS (SELECT e.dst AS node, CAST(sum((85 * r.pr) // (100 * d.outdeg)) AS BIGINT) AS in_c
+        |       FROM e JOIN r${i - 1} r ON e.src = r.node
+        |              JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r$i AS (SELECT n.node, CAST($Base + coalesce(c.in_c, 0) AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }
+    out ++= s"\nSELECT node AS host, pr FROM r$Iterations"
+    out.toString
+  }
+
+  /** The q150 CTE chain WITHOUT the leading WITH/final SELECT — the
+    * reusable prefix q151 builds on. */
+  private def outlinkCtePrefix: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |hl AS (
+       |  SELECT doc_id, ${HtmlExtract.duckHrefs("html")} AS l FROM hin),
+       |lx AS (
+       |  SELECT doc_id, unnest(range(len(l))) AS link_idx, unnest(l) AS rawref
+       |  FROM hl),
+       |lf AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, link_idx,
+       |      ${HtmlExtract.duckEntities("rawref")} AS href
+       |    FROM lx)
+       |  WHERE NOT (regexp_matches(href, '$SchemeLike')
+       |             AND NOT regexp_matches(href, '$Hierarchical'))),
+       |rin AS (
+       |  SELECT lf.doc_id, lf.link_idx, mk.url AS base, lf.href AS ref
+       |  FROM lf JOIN mk ON lf.doc_id = mk.doc_id),
+       |${UrlCanonical.duckResolveCtes("rin", "doc_id, link_idx", "rv")},
+       |tin AS (SELECT doc_id, link_idx, target AS url FROM rv4),
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q150_outlinks" -> q150Outlinks,
+    "q151_host_rank" -> q151HostRank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q150_outlinks" -> q150Sql,
+    "q151_host_rank" -> q151Sql,
+  )
+}

@@ -61,6 +61,32 @@ object HtmlExtract {
   private val BlockPat = s"(?i)</?($BlockTags)\\b[^>]*>"
   private val TagPat = "<[^>]*>"
   private val LinkPat = "(?is)<a\\b[^>]*>(.*?)</a>"
+  /** Double-quoted href attributes of anchor tags (the fixture/crawl
+    * contract this extractor states: attribute values are
+    * double-quoted; single-quoted and bare attributes need the real
+    * parser this module's scope note defers to). */
+  private val HrefPat = "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""
+
+  /** Raw `<a href="…">` targets of an html document, in document order,
+    * AFTER the non-content drops (a link inside a script or comment is
+    * not an outlink). Values are the RAW attribute text — callers
+    * entity-decode ([[decodeEntities]]) before resolving, as a browser
+    * does. Map-only. */
+  def hrefs(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    regexp_extract_all(deScripted, lit(HrefPat), lit(1))
+  }
+
+  /** DuckDB twin of [[hrefs]] (over the SQL fragment `e`). */
+  def duckHrefs(e: String): String = {
+    val descripted =
+      s"""regexp_replace(regexp_replace(regexp_replace($e,
+         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?is)<!--.*?-->', ' ', 'g')""".stripMargin
+    s"""regexp_extract_all($descripted, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)"""
+  }
 
   /** Character-reference decode, FULL coverage (clears VERDICT r15 weak
     * #1): named references over the complete HTML 4.01 + `apos` table

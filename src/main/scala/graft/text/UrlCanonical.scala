@@ -88,6 +88,18 @@ object UrlCanonical {
   private[text] def substrFrom(p: Column, from: Column): Column =
     p.substr(from, greatest(length(p) - from + lit(1), lit(0)))
 
+  /** A LET-BINDING for column expressions: evaluate `value` once and
+    * reference it as a lambda variable inside `body`. Column vals in
+    * Scala are TEXTUAL substitution — every use site gets a full copy
+    * of the subtree, so chaining canonicalize∘resolve multiplied into
+    * a ~10⁶-node expression (planning OOM, found wiring q150). A
+    * higher-order-function lambda variable is a true binding (one node
+    * per use; Catalyst never inlines lambda variables), at the cost of
+    * a one-element array per binding per row — noise next to the regex
+    * work these expressions do. */
+  private[text] def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** The canonical HOST of a url — the per-domain grouping/cap key
     * (C4/CCNet-style domain quotas, host-level crawl stats). Derived
     * from [[canonicalize]]'s output by string algebra, so the host is
@@ -100,12 +112,12 @@ object UrlCanonical {
     * a query embedding an absolute URL (redirect/tracking params —
     * `?next=http://b.com/x`) must not leak the embedded host
     * (ADVICE r15). The authority ends at the first '/' OR '?'. */
-  def hostOfCanon(canon: Column): Column = {
-    val rest = substrFrom(canon,
-      length(substring_index(canon, "://", 1)) + lit(4))
-    substring_index(substring_index(
-      substring_index(rest, "/", 1), "?", 1), ":", 1)
-  }
+  def hostOfCanon(canon: Column): Column =
+    let(canon) { c =>
+      val rest = substrFrom(c, length(substring_index(c, "://", 1)) + lit(4))
+      substring_index(substring_index(
+        substring_index(rest, "/", 1), "?", 1), ":", 1)
+    }
 
   /** DuckDB twin of [[hostOfCanon]] over a `canon` column (apply AFTER
     * [[duckCanonCtes]]'s final CTE). */
@@ -113,50 +125,209 @@ object UrlCanonical {
     s"string_split(string_split(string_split(substr($canonExpr, " +
       s"length(string_split($canonExpr, '://')[1]) + 4), '/')[1], '?')[1], ':')[1]"
 
-  /** The canonical form of `url` as a Column. Map-only. */
+  // ------------------------------------------------------------------
+  // RFC 3986 §5: relative-reference resolution (the crawl-graph step —
+  // VERDICT r15 missing #1: real pages link relatively, and without
+  // merge + remove_dot_segments there is no link graph)
+  // ------------------------------------------------------------------
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path ('' or
+    * '/…'): fold the '/'-split segments with a string-encoded stack —
+    * '.' is a no-op, '..' pops one component, anything else (including
+    * the empty segments of '//') appends. A trailing '/', '/.', or
+    * '/..' leaves a directory path (trailing slash restored after the
+    * fold). Map-only; the DuckDB twin is the identical fold via
+    * list_reduce. */
+  def removeDotSegments(path: Column): Column =
+    let(path) { p =>
+      let({
+        val segs = split(p, "/")
+        aggregate(slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), lit(""),
+          (acc, s) =>
+            when(s === ".", acc)
+              .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
+              .otherwise(concat(acc, lit("/"), s)))
+      }) { folded =>
+        let(when(folded === "", lit("/")).otherwise(folded)) { out =>
+          val trail = endswith(p, lit("/.")) || endswith(p, lit("/.."))
+          when(p === "", lit(""))
+            .otherwise(when(trail && !endswith(out, lit("/")),
+              concat(out, lit("/"))).otherwise(out))
+        }
+      }
+    }
+
+  /** RFC 3986 §5.2 reference resolution: the absolute URL `ref` points
+    * to, against the absolute http(s) `base`. Handles every reference
+    * class a crawl page carries — absolute (`http://h/p`),
+    * protocol-relative (`//h/p`), root-relative (`/p`), path-relative
+    * (`a/../b`, merged against the base directory per §5.2.3),
+    * query-only (`?q=1`), fragment-only / empty (the base itself) —
+    * with §5.2.4 dot-segment removal on the merged path. Fragments are
+    * dropped (this library's canonical posture). The output keeps the
+    * base's RAW spelling (case, IDN, ports); [[canonicalize]] is the
+    * normalization stage and callers compose the two. Callers screen
+    * non-hierarchical schemes (`mailto:`, `javascript:` — no '://')
+    * BEFORE resolving; such refs would otherwise merge as relative
+    * paths (the RFC itself requires './'-prefixing a relative segment
+    * containing ':'). Map-only. */
+  def resolve(base: Column, ref: Column): Column =
+    let(substring_index(ref, "#", 1)) { r =>
+    let(substring_index(base, "#", 1)) { baseNf =>
+    let(substring_index(baseNf, "://", 1)) { bSchemeRaw =>
+    let(substrFrom(baseNf, length(bSchemeRaw) + lit(4))) { bAfter =>
+    let(substring_index(substring_index(bAfter, "/", 1), "?", 1)) { bAuth =>
+    let(substrFrom(bAfter, length(bAuth) + lit(1))) { bPathQ =>
+    let(substring_index(bPathQ, "?", 1)) { bPath =>
+      val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
+      val protoRel = startswith(r, lit("//"))
+      // §5.2.3 merge: the base path up to (and including) its last '/',
+      // or '/' when the base path is empty
+      val mergeDir = when(bPath.contains("/"),
+        regexp_replace(bPath, "[^/]*$", "")).otherwise(lit("/"))
+      val relPathQ = when(r === "", bPathQ)
+        .when(startswith(r, lit("?")), concat(bPath, r))
+        .when(startswith(r, lit("/")), r)
+        .otherwise(concat(mergeDir, r))
+      val after0 = when(hasScheme,
+          substrFrom(r, length(substring_index(r, "://", 1)) + lit(4)))
+        .when(protoRel, substrFrom(r, lit(3)))
+        .otherwise(concat(bAuth, relPathQ))
+      val scheme = when(hasScheme, substring_index(r, "://", 1))
+        .otherwise(bSchemeRaw)
+      let(after0) { after =>
+      let(substring_index(substring_index(after, "/", 1), "?", 1)) { auth =>
+      let(substrFrom(after, length(auth) + lit(1))) { pathQ =>
+      let(substring_index(pathQ, "?", 1)) { p0 =>
+        val q = substrFrom(pathQ, length(p0) + lit(1)) // '?…' or ''
+        concat(scheme, lit("://"), auth, removeDotSegments(p0), q)
+      }}}}
+    }}}}}}}
+
+  /** The identical §5.2 algebra as DuckDB CTEs over
+    * `inputCte ($idCols, base, ref)` → exposes `${prefix}4 ($idCols,
+    * target)`. `idCols` may be a comma-joined column list (it is
+    * spliced into every SELECT). Twins: the dot-segment fold is
+    * list_reduce over the same string-encoded stack (list_prepend('')
+    * supplies the fold's init). */
+  def duckResolveCtes(inputCte: String, idCols: String,
+                      prefix: String = "rv"): String = {
+    val P = prefix
+    val fold =
+      """list_reduce(list_prepend('', p0segs[2:]),
+        |      (acc, x) -> CASE WHEN x = '.' THEN acc
+        |                       WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+        |                       ELSE acc || '/' || x END)""".stripMargin
+    s"""${P}0 AS (
+       |  SELECT $idCols, string_split(ref, '#')[1] AS r,
+       |    string_split(base, '#')[1] AS bnf
+       |  FROM $inputCte),
+       |${P}1 AS (
+       |  SELECT $idCols, r,
+       |    string_split(bnf, '://')[1] AS bs,
+       |    substr(bnf, length(string_split(bnf, '://')[1]) + 4) AS bafter
+       |  FROM ${P}0),
+       |${P}2 AS (
+       |  SELECT $idCols, r, bs,
+       |    string_split(string_split(bafter, '/')[1], '?')[1] AS bauth,
+       |    substr(bafter,
+       |      length(string_split(string_split(bafter, '/')[1], '?')[1]) + 1) AS bpq
+       |  FROM ${P}1),
+       |${P}3 AS (
+       |  SELECT $idCols,
+       |    CASE WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+       |         THEN string_split(r, '://')[1] ELSE bs END AS scheme,
+       |    CASE WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+       |         THEN substr(r, length(string_split(r, '://')[1]) + 4)
+       |         WHEN starts_with(r, '//') THEN substr(r, 3)
+       |         ELSE bauth ||
+       |           CASE WHEN r = '' THEN bpq
+       |                WHEN starts_with(r, '?')
+       |                  THEN string_split(bpq, '?')[1] || r
+       |                WHEN starts_with(r, '/') THEN r
+       |                ELSE (CASE WHEN contains(string_split(bpq, '?')[1], '/')
+       |                           THEN regexp_replace(string_split(bpq, '?')[1],
+       |                                               '[^/]*$$', '')
+       |                           ELSE '/' END) || r END
+       |         END AS after
+       |  FROM ${P}2),
+       |${P}3b AS (
+       |  SELECT $idCols, scheme,
+       |    string_split(string_split(after, '/')[1], '?')[1] AS auth,
+       |    string_split(substr(after,
+       |      length(string_split(string_split(after, '/')[1], '?')[1]) + 1),
+       |      '?')[1] AS p0,
+       |    substr(substr(after,
+       |        length(string_split(string_split(after, '/')[1], '?')[1]) + 1),
+       |      length(string_split(substr(after,
+       |        length(string_split(string_split(after, '/')[1], '?')[1]) + 1),
+       |        '?')[1]) + 1) AS q
+       |  FROM ${P}3),
+       |${P}4 AS (
+       |  SELECT $idCols,
+       |    scheme || '://' || auth ||
+       |    (CASE WHEN p0 = '' THEN ''
+       |          ELSE (CASE WHEN (p0 LIKE '%/.' OR p0 LIKE '%/..')
+       |                      AND NOT (CASE WHEN folded = '' THEN '/'
+       |                               ELSE folded END) LIKE '%/'
+       |                     THEN (CASE WHEN folded = '' THEN '/'
+       |                           ELSE folded END) || '/'
+       |                     ELSE (CASE WHEN folded = '' THEN '/'
+       |                           ELSE folded END) END) END) || q AS target
+       |  FROM (
+       |    SELECT *, $fold AS folded
+       |    FROM (SELECT *, string_split(p0, '/') AS p0segs FROM ${P}3b)))""".stripMargin
+  }
+
+  /** The canonical form of `url` as a Column. Map-only (intermediates
+    * are [[let]]-bound — textual substitution made this a million-node
+    * tree when composed with [[resolve]]). */
   def canonicalize(url: Column): Column = {
     // percent-normalization first: decoding unreserved escapes can
     // never produce a delimiter (reserved chars stay encoded), so the
     // parse below sees the normalized spelling
-    val noFrag = substring_index(percentNormalize(url), "#", 1)
+    let(substring_index(percentNormalize(url), "#", 1)) { noFrag =>
     // split at the FIRST '://' — substring_index(…, -1) took the LAST,
     // so a query embedding an absolute URL (?next=http://b.com/x)
     // re-rooted the whole parse on the embedded host (ADVICE r15)
-    val schemeRaw = substring_index(noFrag, "://", 1)
-    val scheme = lower(schemeRaw)
-    val rest = substrFrom(noFrag, length(schemeRaw) + lit(4))
+    let(substring_index(noFrag, "://", 1)) { schemeRaw =>
+    let(lower(schemeRaw)) { scheme =>
+    let(substrFrom(noFrag, length(schemeRaw) + lit(4))) { rest =>
     // the authority ends at the first '/' OR the first '?' (a query
     // may follow an empty path: http://h?q=1 — reachable through
     // RFC 3986 §5 reference resolution of "?q=1" against a root URL)
-    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
-    val hostLower = lower(substring_index(hostport, ":", 1))
-    val host = when(hostLower.rlike("^[\\x00-\\x7F]*$"), hostLower)
-      .otherwise(graft.functions.IdnAscii.idnAscii(hostLower))
-    val port = when(hostport.contains(":"),
-      substring_index(hostport, ":", -1)).otherwise(lit(""))
-    val keepPort = (port =!= "") &&
-      !((scheme === "http") && (port === "80")) &&
-      !((scheme === "https") && (port === "443"))
-    val pathq = substrFrom(rest, length(hostport) + lit(1))
-    val path0 = substring_index(pathq, "?", 1)
-    val path1 = when(length(path0) > 1 && endswith(path0, lit("/")),
-      substr(path0, lit(1), length(path0) - lit(1))).otherwise(path0)
-    // RFC 3986 §6.2.3 scheme-based normalization: an empty path is
-    // equivalent to "/" for http(s) — http://h ≡ http://h/
-    val path = when(path1 === "", lit("/")).otherwise(path1)
-    // everything after the FIRST '?' (substring_index(…, -1) broke on
-    // queries whose parameter values embed a second '?')
-    val q0 = when(pathq.contains("?"),
-      substrFrom(pathq, length(path0) + lit(2))).otherwise(lit(""))
-    val params = filter(split(q0, "&"), p =>
-      p =!= "" && !startswith(p, lit("utm_")) &&
-        !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")))
-    val sortedQ = array_join(array_sort(params), "&")
-    concat(
-      scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      path,
-      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+    let(substring_index(substring_index(rest, "/", 1), "?", 1)) { hostport =>
+    let(substrFrom(rest, length(hostport) + lit(1))) { pathq =>
+    let(substring_index(pathq, "?", 1)) { path0 =>
+      val hostLower = lower(substring_index(hostport, ":", 1))
+      val host = let(hostLower)(h =>
+        when(h.rlike("^[\\x00-\\x7F]*$"), h)
+          .otherwise(graft.functions.IdnAscii.idnAscii(h)))
+      val port = when(hostport.contains(":"),
+        substring_index(hostport, ":", -1)).otherwise(lit(""))
+      val keepPort = let(port)(pt =>
+        when((pt =!= "") &&
+          !((scheme === "http") && (pt === "80")) &&
+          !((scheme === "https") && (pt === "443")),
+          concat(lit(":"), pt)).otherwise(lit("")))
+      val path1 = when(length(path0) > 1 && endswith(path0, lit("/")),
+        substr(path0, lit(1), length(path0) - lit(1))).otherwise(path0)
+      // RFC 3986 §6.2.3 scheme-based normalization: an empty path is
+      // equivalent to "/" for http(s) — http://h ≡ http://h/
+      val path = let(path1)(p1 => when(p1 === "", lit("/")).otherwise(p1))
+      // everything after the FIRST '?' (substring_index(…, -1) broke on
+      // queries whose parameter values embed a second '?')
+      val q0 = when(pathq.contains("?"),
+        substrFrom(pathq, length(path0) + lit(2))).otherwise(lit(""))
+      val params = filter(split(q0, "&"), p =>
+        p =!= "" && !startswith(p, lit("utm_")) &&
+          !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")))
+      val sortedQ = array_join(array_sort(params), "&")
+      concat(
+        scheme, lit("://"), host, keepPort, path,
+        let(sortedQ)(sq =>
+          when(sq =!= "", concat(lit("?"), sq)).otherwise(lit(""))))
+    }}}}}}}
   }
 
   /** The identical algebra as a DuckDB CTE chain over a relation that

@@ -95,4 +95,62 @@ class UrlCanonicalSpec extends SparkTestBase {
     val junk = "http://bad..ü.example/p"
     assert(canon(junk) == Seq("http://bad..ü.example/p"))
   }
+
+  // ---------------------------- RFC 3986 §5 reference resolution (r16)
+
+  private def res(base: String, refs: String*): Seq[String] =
+    refs.map(r => (base, r)).toDF("base", "ref")
+      .select(UrlCanonical.resolve($"base", $"ref")).as[String]
+      .collect().toSeq
+
+  test("RFC 3986 §5.4.1 normal reference examples (hierarchical subset)") {
+    val base = "http://a/b/c/d;p?q"
+    val got = res(base,
+      "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s", "",
+      "g?y#s", ";x", "g;x", ".", "./", "..", "../", "../g",
+      "../..", "../../", "../../g")
+    assert(got == Seq(
+      "http://a/b/c/g", "http://a/b/c/g", "http://a/b/c/g/", "http://a/g",
+      "http://g", "http://a/b/c/d;p?y", "http://a/b/c/g?y",
+      "http://a/b/c/d;p?q", "http://a/b/c/g", "http://a/b/c/d;p?q",
+      "http://a/b/c/g?y", "http://a/b/c/;x", "http://a/b/c/g;x",
+      "http://a/b/c/", "http://a/b/c/", "http://a/b/", "http://a/b/",
+      "http://a/b/g", "http://a/", "http://a/", "http://a/g"), s"got $got")
+  }
+
+  test("RFC 3986 §5.4.2 abnormal examples: dot segments cannot climb above root") {
+    val base = "http://a/b/c/d;p?q"
+    val got = res(base,
+      "../../../g", "../../../../g", "/./g", "/../g", "g.", ".g",
+      "g..", "..g", "./../g", "./g/.", "g/./h", "g/../h",
+      "g;x=1/./y", "g;x=1/../y")
+    assert(got == Seq(
+      "http://a/g", "http://a/g", "http://a/g", "http://a/g",
+      "http://a/b/c/g.", "http://a/b/c/.g", "http://a/b/c/g..",
+      "http://a/b/c/..g", "http://a/b/g", "http://a/b/c/g/",
+      "http://a/b/c/g/h", "http://a/b/c/h", "http://a/b/c/g;x=1/y",
+      "http://a/b/c/y"), s"got $got")
+  }
+
+  test("resolution keeps the base's RAW spelling; canonicalize composes after") {
+    val got = res("HTTP://BÜCHER.example:80/Page/7/%7Eusr/?b=1",
+      "../up/one", "//other.example/x", "?lang=en", "")
+    assert(got == Seq(
+      "HTTP://BÜCHER.example:80/Page/7/up/one",
+      "HTTP://other.example/x",
+      "HTTP://BÜCHER.example:80/Page/7/%7Eusr/?lang=en",
+      "HTTP://BÜCHER.example:80/Page/7/%7Eusr/?b=1"), s"got $got")
+    val canoned = Seq(("HTTP://BÜCHER.example:80/Page/7/%7Eusr/?b=1", "../up/one"))
+      .toDF("base", "ref")
+      .select(UrlCanonical.canonicalize(
+        UrlCanonical.resolve($"base", $"ref"))).as[String].collect().toSeq
+    assert(canoned == Seq("http://xn--bcher-kva.example/Page/7/up/one"))
+  }
+
+  test("removeDotSegments handles empty segments and directory endings") {
+    val got = Seq("/a//b/../c", "/a/./b/.", "/..", "/a/b/..", "")
+      .toDF("p").select(UrlCanonical.removeDotSegments($"p")).as[String]
+      .collect().toSeq
+    assert(got == Seq("/a//c", "/a/b/", "/", "/a/", ""), s"got $got")
+  }
 }
