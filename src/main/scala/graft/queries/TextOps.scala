@@ -836,10 +836,18 @@ object TextOps {
     * tie-break (score DESC, lang ASC). `textExpr` is the document text
     * spelling — q131 scores the corpus as-is, q135 the
     * correlated-fixture rotation. */
-  private def langIdSqlFor(textExpr: String): String = {
+  private def langIdSqlFor(textExpr: String): String =
+    s"""WITH ${langIdScoreCtes(textExpr, "NOT is_train")}
+       |SELECT doc_id, lang_pred, score_fp FROM pred""".stripMargin
+
+  /** The NB fit + score chain as CTEs, exposing
+    * `pred (doc_id, lang_pred, score_fp, n)`. `scoreWhere` selects the
+    * scored slice: `NOT is_train` for the held-out gates (q131/q135),
+    * `TRUE` for the score-everything routing posture (q153). */
+  private def langIdScoreCtes(textExpr: String, scoreWhere: String): String = {
     import graft.text.LangIdNB.{ilogDuckSql => L}
     val h5 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, lang, $textExpr AS t, ($h5) <> 0 AS is_train
        |  FROM documents),
        |gr AS (
@@ -854,21 +862,23 @@ object TextOps {
        |        FROM d WHERE is_train GROUP BY 1) n USING (lang)),
        |vv AS (SELECT count(DISTINCT g)::BIGINT AS v FROM tg),
        |tsg AS (SELECT doc_id, g, count(*)::BIGINT AS tf
-       |        FROM gr WHERE NOT is_train GROUP BY 1, 2),
+       |        FROM gr WHERE $scoreWhere GROUP BY 1, 2),
        |dn AS (SELECT doc_id, coalesce(greatest(length(t) - 2, 0), 0)::BIGINT AS n
-       |       FROM d WHERE NOT is_train),
+       |       FROM d WHERE $scoreWhere),
        |m AS (
        |  SELECT t.doc_id, tg.lang, sum(t.tf * ${L("tg.c + 1")})::BIGINT AS mterm
        |  FROM tsg t JOIN tg USING (g) GROUP BY 1, 2),
        |sc AS (
        |  SELECT dn.doc_id, lt.lang,
        |    (${L("lt.ndocs")} + coalesce(m.mterm, 0)
-       |      - dn.n * ${L("lt.tot + vv.v")})::BIGINT AS score_fp
+       |      - dn.n * ${L("lt.tot + vv.v")})::BIGINT AS score_fp,
+       |    dn.n
        |  FROM dn CROSS JOIN vv CROSS JOIN lt
-       |  LEFT JOIN m ON m.doc_id = dn.doc_id AND m.lang = lt.lang)
-       |SELECT doc_id, lang AS lang_pred, score_fp FROM sc
-       |QUALIFY row_number() OVER (
-       |  PARTITION BY doc_id ORDER BY score_fp DESC, lang ASC) = 1""".stripMargin
+       |  LEFT JOIN m ON m.doc_id = dn.doc_id AND m.lang = lt.lang),
+       |pred AS (
+       |  SELECT doc_id, lang AS lang_pred, score_fp, n FROM sc
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_fp DESC, lang ASC) = 1)""".stripMargin
   }
 
   val q131Sql: String = langIdSqlFor("lower(text)")
@@ -929,13 +939,61 @@ object TextOps {
     graft.text.LangIdNB.predictions(correlatedText(docs))
   }
 
-  val q135Sql: String = langIdSqlFor(
+  /** The correlated fixture's rotation, DuckDB spelling (shared by
+    * q135's held-out gate and q153's routing composition). */
+  private val rotatedTextSql: String =
     s"""translate(lower(text), '$Alpha',
        |    substr('$Alpha$Alpha',
        |      1 + (('0x' || substr(md5(lang || 'graft'), 1, 15))::BIGINT % 26)::INT,
-       |      26))""".stripMargin)
+       |      26))""".stripMargin
+
+  val q135Sql: String = langIdSqlFor(rotatedTextSql)
+
+  // ------------------------------- q153 per-language curation routing
+
+  /** q153: the CCNet composition (VERDICT r15 missing #5) — route every
+    * document by its PREDICTED language, then keep/drop against that
+    * language's OWN score distribution. LID is the q135 machinery fit
+    * on the h60-train slice but scoring ALL documents (a deployed
+    * router doesn't skip its training data — LangIdNB.scoreAll); the
+    * per-language threshold is the language's length-weighted mean
+    * per-trigram LM score (CCNet keeps the head of each language's
+    * perplexity distribution — the mean as threshold, so the gate
+    * carries no magic constants), and the comparison
+    * `score·Σn ≥ Σscore·n` is exact integer cross-multiplication in
+    * decimal(38,0) ↔ HUGEINT — no division, so Spark's truncating
+    * `div` vs DuckDB's flooring `//` never meet a negative operand.
+    * Exchanges: the NB machinery's own plus ONE |langs|-row aggregate
+    * broadcast back — nothing new corpus-sized. */
+  def q153LangRouting(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.LangIdNB.scoreAll(
+      correlatedText(Tables.documents(s, dir)))
+    val scope = graft.CacheScope.scoped()
+    val sc = scope.cache(scored)
+    val thr = sc.groupBy(col("lang_pred"))
+      .agg(sum(col("score_fp")).as("s_tot"), sum(col("n")).as("n_tot"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val out = sc.join(broadcast(thr), Seq("lang_pred"))
+      .select(col("doc_id"), col("lang_pred"), col("score_fp"),
+        col("n").as("n_trigrams"),
+        (d(col("score_fp")) * d(col("n_tot")) >=
+          d(col("s_tot")) * d(col("n"))).as("keep"))
+    scope.materializeAndRelease(out)
+  }
+
+  val q153Sql: String =
+    s"""WITH ${langIdScoreCtes(rotatedTextSql, "TRUE")},
+       |thr AS (
+       |  SELECT lang_pred, sum(score_fp)::BIGINT AS s_tot,
+       |    sum(n)::BIGINT AS n_tot
+       |  FROM pred GROUP BY 1)
+       |SELECT p.doc_id, p.lang_pred, p.score_fp, p.n AS n_trigrams,
+       |  (p.score_fp::HUGEINT * t.n_tot::HUGEINT
+       |     >= t.s_tot::HUGEINT * p.n::HUGEINT) AS keep
+       |FROM pred p JOIN thr t USING (lang_pred)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q153_lang_routing" -> q153LangRouting,
     "q135_langid_corr" -> q135LangIdCorr,
     "q133_stratified_sample" -> q133StratifiedSample,
     "q132_weighted_sample" -> q132WeightedSample,
@@ -962,6 +1020,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_lang_routing" -> q153Sql,
     "q135_langid_corr" -> q135Sql,
     "q133_stratified_sample" -> q133Sql,
     "q132_weighted_sample" -> q132Sql,

@@ -88,10 +88,21 @@ object LangIdNB {
 
   /** Fit on the h60-train slice and score the held-out slice:
     * (doc_id, lang_pred, score_fp). */
-  def predictions(docs: DataFrame): DataFrame = {
+  def predictions(docs: DataFrame): DataFrame =
+    scoreWith(docs, docs.filter(!isTrain(col("doc_id"))))
+      .select(col("doc_id"), col("lang_pred"), col("score_fp"))
+
+  /** Fit on the h60-train slice and score EVERY document — the deployed
+    * routing posture (q153's CCNet composition: a router doesn't skip
+    * documents it trained on): (doc_id, lang_pred, score_fp, n), where
+    * `n` is the document's trigram count — the length normalizer that
+    * per-language thresholds divide the LM score by. */
+  def scoreAll(docs: DataFrame): DataFrame = scoreWith(docs, docs)
+
+  private def scoreWith(docs: DataFrame, toScore: DataFrame): DataFrame = {
     val L: String => Column = s => expr(ilogSparkSql(s))
     val train = docs.filter(isTrain(col("doc_id")))
-    val test = docs.filter(!isTrain(col("doc_id")))
+    val test = toScore
 
     // explode_outer + null-drop on the generator OUTPUT (the Fluency
     // pattern): a bare explode over the guarded trigram array would let
@@ -141,7 +152,8 @@ object LangIdNB {
       .join(matched, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior") + coalesce(col("mterm"), lit(0L))
-          - col("n") * col("denom")).as("score_fp"))
+          - col("n") * col("denom")).as("score_fp"),
+        col("n"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
@@ -149,6 +161,7 @@ object LangIdNB {
     scope.materializeAndRelease(scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"), col("score_fp")))
+      .select(col("doc_id"), col("lang").as("lang_pred"),
+        col("score_fp"), col("n")))
   }
 }

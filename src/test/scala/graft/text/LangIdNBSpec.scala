@@ -94,4 +94,25 @@ class LangIdNBSpec extends SparkTestBase {
     assert(pred.length == 2)
     assert(pred.forall(_.getString(1) == "aa"))
   }
+
+  test("scoreAll restricted to the held-out slice ≡ predictions; n is the trigram count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "der schnelle braune fuchs springt", "de"),
+      (3L, "the lazy dog sleeps all day long", "en"),
+      (4L, "ein fauler hund schlaeft den ganzen tag", "de"),
+      (5L, "quick brown things and lazy ones", "en"),
+      (10L, "springt der fuchs ueber den hund", "de"),
+      (15L, "ab", "en")) // < 3 chars → n = 0, still scored
+      .toDF("doc_id", "text", "lang")
+    val all = LangIdNB.scoreAll(docs)
+    assert(all.columns.toSeq == Seq("doc_id", "lang_pred", "score_fp", "n"))
+    assert(all.count() == docs.count(), "scoreAll must score every doc")
+    val nmap = all.select($"doc_id", $"n").as[(Long, Long)].collect().toMap
+    assert(nmap(15L) == 0)
+    assert(nmap(1L) == "the quick brown fox jumps over the lazy dog".length - 2)
+    val held = all.filter(!LangIdNB.isTrain($"doc_id")).drop("n")
+    val pred = LangIdNB.predictions(docs)
+    assert(held.except(pred).count() == 0 && pred.except(held).count() == 0)
+  }
 }
