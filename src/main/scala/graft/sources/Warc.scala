@@ -33,22 +33,29 @@ case class WarcRec(url: String, warc_type: String, warc_date: String,
   * numeric, and EQUAL to the payload's byte length, record terminated
   * by the spec's blank line.
   *
-  * Two read postures, one validity contract:
+  * Two read postures, one validity contract. **[[readExact]] is the
+  * DEFAULT for payload-bearing WARC** (response/request records —
+  * anything whose payload is arbitrary web content): real crawls
+  * contain pages that quote WARC headers verbatim, and only the
+  * Content-Length-aware walk keeps them. [[read]] is the opt-in for
+  * zones that are magic-free BY CONSTRUCTION — WET text extracts,
+  * metadata records — where the suspect-flag pass buys nothing:
   *
-  *   - [[read]] — single-pass, fully chunk-parallel. A payload that
-  *     itself contains the version magic splits into fragments — the
-  *     head fails the length check, the tail fails the header check —
-  *     so such records are dropped but COUNTED, never merged into a
-  *     neighbor. The right default when magic-quoting pages are known
-  *     absent (WET extracts, synthesized zones).
-  *   - [[readExact]] — Content-Length-aware (VERDICT r14 wrong #1):
-  *     records whose payload QUOTES the record magic (archiving specs,
-  *     WARC documentation pages — real Common Crawl content) are
+  *   - [[readExact]] (default) — Content-Length-aware: records whose
+  *     payload QUOTES the record magic (archiving specs, WARC
+  *     documentation pages — real Common Crawl content) are
   *     reassembled from their fragments by walking each file's chunk
   *     sequence with the header's declared length, exactly as a
   *     sequential spec-compliant reader would. Only files that contain
   *     a suspect fragment pay the reassembly; intact files keep the
-  *     map-only parallel parse.
+  *     map-only parallel parse. Costs one extra pass over the zone's
+  *     bytes for the per-file suspect flag (a landing deployment folds
+  *     it into the write, like the cdx sidecar).
+  *   - [[read]] (opt-in, magic-free zones) — single-pass, fully
+  *     chunk-parallel, no suspect pass. A payload that does contain
+  *     the version magic splits into fragments — the head fails the
+  *     length check, the tail fails the header check — so such records
+  *     are dropped but COUNTED, never merged into a neighbor.
   */
 object Warc {
 
