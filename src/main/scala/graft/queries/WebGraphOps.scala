@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.functions.Portable
 import graft.operators.PageRank
 import graft.text.{HtmlExtract, UrlCanonical}
@@ -38,31 +39,39 @@ object WebGraphOps {
     * href's position among ALL extracted targets (pre-screen, so
     * indices are stable); `href` is the entity-DECODED attribute value
     * (what a browser resolves); both endpoints are canonical. */
-  private[queries] def outlinkEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The WARC HTML pages with their base URL attached — the page's own
+    * URL is the q139/q144 messy fixture (deterministic from doc_id):
+    * resolution runs against the RAW spelling — variant case, IDN
+    * hosts, ports, dot-segment-bearing directories — and
+    * canonicalization collapses the results, exactly the real-crawl
+    * order of operations. */
+  private def pagesWithBase(s: SparkSession, dir: String): DataFrame = {
     val zone = CorpusOps.htmlZoneFor(s, dir)
-    val pages = graft.sources.Warc.readExactClean(s, zone)
+    graft.sources.Warc.readExactClean(s, zone)
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("payload"))
-    // the page's own URL is the q139/q144 messy fixture (deterministic
-    // from doc_id): resolution runs against the RAW spelling — variant
-    // case, IDN hosts, ports, dot-segment-bearing directories — and
-    // canonicalization collapses the results, exactly the real-crawl
-    // order of operations
-    pages
-      .select(col("doc_id"),
-        CorpusOps.messyUrlCol.as("__base"),
-        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("src_canon"),
+      .select(col("doc_id"), col("payload"),
+        CorpusOps.messyUrlCol.as("__base"))
+  }
+
+  /** Keep only crawlable references: not a non-hierarchical scheme. */
+  private def hierarchicalOnly(href: Column): Column =
+    !(href.rlike(SchemeLike) && !href.rlike(Hierarchical))
+
+  private[queries] def outlinkEdges(s: SparkSession, dir: String): DataFrame =
+    pagesWithBase(s, dir)
+      .select(col("doc_id"), col("__base"),
+        UrlCanonical.canonicalize(col("__base")).as("src_canon"),
         posexplode_outer(HtmlExtract.hrefs(col("payload")))
           .as(Seq("link_idx", "__raw")))
       .filter(col("__raw").isNotNull)
       .withColumn("href", HtmlExtract.decodeEntities(col("__raw")))
-      .filter(!(col("href").rlike(SchemeLike) && !col("href").rlike(Hierarchical)))
+      .filter(hierarchicalOnly(col("href")))
       .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
         col("href"), col("src_canon"),
         UrlCanonical.canonicalize(
           UrlCanonical.resolve(col("__base"), col("href"))).as("dst_canon"))
-  }
 
   /** q150: the outlink edges themselves, gate-hashed — a reference
     * class resolved wrong (merge, dot segments, query/fragment
@@ -94,7 +103,10 @@ object WebGraphOps {
     * gate, not silently merge) and the names join back over the
     * host-cardinality broadcast relation. Output: (host, pr), integer
     * fixed-point — bit-exact against the oracle's chained-CTE replay. */
-  def q151HostRank(s: SparkSession, dir: String): DataFrame = {
+  def q151HostRank(s: SparkSession, dir: String): DataFrame = hostRanks(s, dir)
+
+  /** (host, pr) — the shared builder q151 gates and q156 composes. */
+  private def hostRanks(s: SparkSession, dir: String): DataFrame = {
     val hostEdges = outlinkEdges(s, dir)
       .select(UrlCanonical.hostOfCanon(col("src_canon")).as("src_host"),
         UrlCanonical.hostOfCanon(col("dst_canon")).as("dst_host"))
@@ -118,7 +130,9 @@ object WebGraphOps {
   /** q110Sql's chained-CTE integer PageRank, over host strings (the
     * oracle never needs the engine's h60 keys — rank depends only on
     * graph structure, so a key collision cannot hide). */
-  val q151Sql: String = {
+  /** The q150 chain + host-edge collapse + rank sweeps as CTEs,
+    * exposing `r$Iterations (node = host, pr)` — shared by q151/q156. */
+  private def hostRankCtes: String = {
     val edgeSelect =
       s"""SELECT DISTINCT ${UrlCanonical.duckHostOf("s4.canon")} AS src,
          |  ${UrlCanonical.duckHostOf("d4.canon")} AS dst
@@ -126,7 +140,7 @@ object WebGraphOps {
          |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx
          |WHERE ${UrlCanonical.duckHostOf("s4.canon")} <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
     val out = new StringBuilder
-    out ++= s"""WITH $outlinkCtePrefix,
+    out ++= s"""$outlinkCtePrefix,
        |e AS (
        |$edgeSelect),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
@@ -141,9 +155,110 @@ object WebGraphOps {
         |r$i AS (SELECT n.node, CAST($Base + coalesce(c.in_c, 0) AS BIGINT) AS pr
         |       FROM n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
     }
-    out ++= s"\nSELECT node AS host, pr FROM r$Iterations"
     out.toString
   }
+
+  val q151Sql: String =
+    s"WITH $hostRankCtes\nSELECT node AS host, pr FROM r$Iterations"
+
+  // -------------------------------------------- q155 anchor-text pairs
+
+  /** q155: (href, anchor_text) pairs per page — the link-TEXT signal
+    * (anchor-text retrieval pair mining, link-context quality
+    * features). The unit is a COMPLETE href-bearing anchor element
+    * (HtmlExtract.anchors), so q150 stays the maximal-recall edge set
+    * (an unclosed <a href> is an outlink with no text) and q155 the
+    * text-bearing subset; targets resolve + canonicalize through the
+    * identical chain. Map-only after the zone read. */
+  def q155AnchorText(s: SparkSession, dir: String): DataFrame =
+    pagesWithBase(s, dir)
+      .select(col("doc_id"), col("__base"),
+        posexplode_outer(HtmlExtract.anchors(col("payload")))
+          .as(Seq("link_idx", "__a")))
+      .filter(col("__a").isNotNull)
+      .withColumn("href",
+        HtmlExtract.decodeEntities(HtmlExtract.anchorHref(col("__a"))))
+      .filter(hierarchicalOnly(col("href")))
+      .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+        col("href"),
+        HtmlExtract.anchorText(col("__a")).as("anchor_text"),
+        UrlCanonical.canonicalize(
+          UrlCanonical.resolve(col("__base"), col("href"))).as("dst_canon"))
+
+  val q155Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |al AS (
+       |  SELECT doc_id, ${HtmlExtract.duckAnchors("html")} AS l FROM hin),
+       |ax AS (
+       |  SELECT doc_id, unnest(range(len(l))) AS link_idx, unnest(l) AS a
+       |  FROM al),
+       |af AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, link_idx,
+       |      ${HtmlExtract.duckEntities(HtmlExtract.duckAnchorHref("a"))} AS href,
+       |      ${HtmlExtract.duckAnchorText("a")} AS anchor_text
+       |    FROM ax)
+       |  WHERE NOT (regexp_matches(href, '$SchemeLike')
+       |             AND NOT regexp_matches(href, '$Hierarchical'))),
+       |rin AS (
+       |  SELECT af.doc_id, af.link_idx, mk.url AS base, af.href AS ref
+       |  FROM af JOIN mk ON af.doc_id = mk.doc_id),
+       |${UrlCanonical.duckResolveCtes("rin", "doc_id, link_idx", "rv")},
+       |tin AS (SELECT doc_id, link_idx, target AS url FROM rv4),
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")}
+       |SELECT af.doc_id, af.link_idx, af.href, af.anchor_text,
+       |  d4.canon AS dst_canon
+       |FROM af JOIN d4 ON af.doc_id = d4.doc_id AND af.link_idx = d4.link_idx""".stripMargin
+  }
+
+  // --------------------------------------- q156 rank-weighted host quota
+
+  /** Per-host base quota multiplier — the highest-ranked host keeps
+    * [[QuotaMax]] documents, others proportionally fewer (floor 1). */
+  private val QuotaMax = 50L
+
+  /** q156: AUTHORITY-WEIGHTED domain quotas — the C4/CCNet domain cap
+    * with the cap scaled by q151's host rank instead of one global
+    * constant (high-authority domains contribute more documents, spam
+    * farms get the floor). quota(host) = max(1, (QuotaMax·pr) div
+    * max_pr) — non-negative integer division, floor ≡ truncate on both
+    * engines; per-host keep = the quota lowest doc_ids (deterministic).
+    * Exchanges: the rank machinery's own + ONE host-partitioned window
+    * over the doc→host relation (the quota shape every domain cap
+    * pays). */
+  def q156RankQuota(s: SparkSession, dir: String): DataFrame = {
+    val ranks = hostRanks(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      UrlCanonical.hostOfCanon(
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("host"))
+    val mx = ranks.agg(max(col("pr")).as("mp"))
+    val quotas = ranks.crossJoin(broadcast(mx))
+      .select(col("host"), col("pr"),
+        greatest(lit(1L), expr(s"($QuotaMax * pr) div mp")).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("doc_id"))
+    docs.join(broadcast(quotas), Seq("host"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("host"), col("pr"), col("quota"),
+        col("rn"), (col("rn") <= col("quota")).as("kept"))
+  }
+
+  val q156Sql: String =
+    s"""WITH $hostRankCtes,
+       |hr AS (SELECT node AS host, pr FROM r$Iterations),
+       |mx AS (SELECT max(pr) AS mp FROM hr),
+       |qa AS (SELECT host, pr, greatest(1, ($QuotaMax * pr) // mp) AS quota
+       |       FROM hr, mx),
+       |dh AS (SELECT doc_id, ${UrlCanonical.duckHostOf("canon")} AS host
+       |       FROM s4),
+       |rt AS (SELECT doc_id, host,
+       |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+       |       FROM dh)
+       |SELECT rt.doc_id, rt.host, qa.pr, qa.quota, rt.rn,
+       |  (rt.rn <= qa.quota) AS kept
+       |FROM rt JOIN qa USING (host)""".stripMargin
 
   /** The q150 CTE chain WITHOUT the leading WITH/final SELECT — the
     * reusable prefix q151 builds on. */
@@ -175,10 +290,14 @@ object WebGraphOps {
   val queries: Map[String, Q] = Map(
     "q150_outlinks" -> q150Outlinks,
     "q151_host_rank" -> q151HostRank,
+    "q155_anchor_text" -> q155AnchorText,
+    "q156_rank_quota" -> q156RankQuota,
   )
 
   val oracles: Map[String, String] = Map(
     "q150_outlinks" -> q150Sql,
     "q151_host_rank" -> q151Sql,
+    "q155_anchor_text" -> q155Sql,
+    "q156_rank_quota" -> q156Sql,
   )
 }

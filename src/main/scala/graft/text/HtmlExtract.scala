@@ -78,15 +78,47 @@ object HtmlExtract {
     regexp_extract_all(deScripted, lit(HrefPat), lit(1))
   }
 
+  /** DuckDB spelling of the three sequential non-content drops. */
+  def duckDescript(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<!--.*?-->', ' ', 'g')""".stripMargin
+
   /** DuckDB twin of [[hrefs]] (over the SQL fragment `e`). */
-  def duckHrefs(e: String): String = {
-    val descripted =
-      s"""regexp_replace(regexp_replace(regexp_replace($e,
-         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |      '(?is)<!--.*?-->', ' ', 'g')""".stripMargin
-    s"""regexp_extract_all($descripted, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)"""
+  def duckHrefs(e: String): String =
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)"""
+
+  /** COMPLETE href-bearing anchor elements (`<a … href="…" …>text</a>`,
+    * group 0), in document order, post de-script — the unit of
+    * anchor-TEXT extraction (q155): link text is the classic relevance
+    * signal (anchor-text retrieval-pair mining, link-context quality
+    * features). Narrower than [[hrefs]] by construction: an anchor
+    * whose closing tag never appears has a target but no text, so it
+    * counts as an outlink (q150) but not an anchor-text pair —
+    * documented, not incidental. */
+  def anchors(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    regexp_extract_all(deScripted,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
   }
+
+  /** The href of one [[anchors]] element (raw attribute text). */
+  def anchorHref(a: Column): Column =
+    regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1)
+
+  /** The visible inner text of one [[anchors]] element. */
+  def anchorText(a: Column): Column =
+    visible(regexp_extract(a, "(?is)^<a\\b[^>]*>(.*)</a>$", 1))
+
+  /** DuckDB twins of the anchor machinery. */
+  def duckAnchors(e: String): String =
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*"[^"]*"[^>]*>.*?</a>', 0)"""
+  def duckAnchorHref(a: String): String =
+    s"""regexp_extract($a, '(?is)href\\s*=\\s*"([^"]*)"', 1)"""
+  def duckAnchorText(a: String): String =
+    duckVisible(s"""regexp_extract($a, '(?is)^<a\\b[^>]*>(.*)</a>$$', 1)""")
 
   /** Character-reference decode, FULL coverage (clears VERDICT r15 weak
     * #1): named references over the complete HTML 4.01 + `apos` table

@@ -95,6 +95,25 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(out == Seq(("Home About", 10L, 10000L * 9 / 10, true)))
   }
 
+  test("anchors pair hrefs with visible text; unclosed anchors are outlinks but not pairs") {
+    val html = "<p><a href=\"/a\">First &amp; best</a> " +
+      "<script><a href=\"/ghost\">never</a></script>" +
+      "<a name=\"x\">no href</a> " +
+      "<a href=\"/unclosed\">dangling " + // no </a> — q150 sees it, q155 doesn't
+      "</p>"
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val hrefs = df.select(explode(HtmlExtract.hrefs(col("html")))).as[String]
+      .collect().toSeq
+    assert(hrefs == Seq("/a", "/unclosed"),
+      s"hrefs must keep unclosed anchors and drop scripts/no-href: $hrefs")
+    val pairs = df.select(explode(HtmlExtract.anchors(col("html"))).as("a"))
+      .select(HtmlExtract.anchorHref(col("a")),
+        HtmlExtract.anchorText(col("a")))
+      .as[(String, String)].collect().toSeq
+    assert(pairs == Seq(("/a", "First & best")),
+      s"anchor pairs must require the closing tag and decode entities: $pairs")
+  }
+
   test("the block plan is map-only: one generator, zero exchanges") {
     val df = HtmlExtract.blocks(
       Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))
