@@ -389,6 +389,7 @@ object CorpusOps {
           lit(".xn--bcher-kva.example/far\">far</a> "))).otherwise(lit("")),
       lit("<a href=\"http://ext.example:8080/e/?z=2&amp;a=%7e#f\">ext</a> " +
         "<a href=\"?lang=en\">q</a> <a href=\"mailto:x@example.org\">mail</a> " +
+        "<a href='/squote/page'>sq</a> " + // single-quoted attr (r16)
         "<a href=\"#top\">self</a> <a href=\"\">empty</a></p>"),
       lit("<p>Second &amp; final &lt;block&gt;&nbsp;here, "
         + "&#70;ine &#x70;rint &#9999; &amp;#65; "), id, lit("</p>"),
@@ -412,7 +413,7 @@ object CorpusOps {
       |(CASE WHEN (doc_id % 13) % 2 = 1
       |      THEN '<a href="//site' || ((doc_id % 13 + 5) % 13) || '.xn--bcher-kva.example/far">far</a> '
       |      ELSE '' END) ||
-      |'<a href="http://ext.example:8080/e/?z=2&amp;a=%7e#f">ext</a> <a href="?lang=en">q</a> <a href="mailto:x@example.org">mail</a> <a href="#top">self</a> <a href="">empty</a></p>' ||
+      |'<a href="http://ext.example:8080/e/?z=2&amp;a=%7e#f">ext</a> <a href="?lang=en">q</a> <a href="mailto:x@example.org">mail</a> <a href=''/squote/page''>sq</a> <a href="#top">self</a> <a href="">empty</a></p>' ||
       |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
       |'<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; &#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 ' || doc_id || '</p>' ||
       |'</body></html>'""".stripMargin.replace("\n", " ")

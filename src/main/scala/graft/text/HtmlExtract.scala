@@ -61,11 +61,13 @@ object HtmlExtract {
   private val BlockPat = s"(?i)</?($BlockTags)\\b[^>]*>"
   private val TagPat = "<[^>]*>"
   private val LinkPat = "(?is)<a\\b[^>]*>(.*?)</a>"
-  /** Double-quoted href attributes of anchor tags (the fixture/crawl
-    * contract this extractor states: attribute values are
-    * double-quoted; single-quoted and bare attributes need the real
-    * parser this module's scope note defers to). */
-  private val HrefPat = "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""
+  /** Quoted href attributes of anchor tags — double- OR single-quoted
+    * (r16: real pages use both freely). The character class forbids
+    * both quote kinds inside the value, so a value containing the
+    * OTHER quote character truncates at it (rare, and fails toward a
+    * shorter href, never a merged one); bare unquoted attributes still
+    * need the real parser this module's scope note defers to. */
+  private val HrefPat = "(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
 
   /** Raw `<a href="…">` targets of an html document, in document order,
     * AFTER the non-content drops (a link inside a script or comment is
@@ -87,7 +89,7 @@ object HtmlExtract {
 
   /** DuckDB twin of [[hrefs]] (over the SQL fragment `e`). */
   def duckHrefs(e: String): String =
-    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)"""
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1)"""
 
   /** COMPLETE href-bearing anchor elements (`<a … href="…" …>text</a>`,
     * group 0), in document order, post de-script — the unit of
@@ -101,12 +103,12 @@ object HtmlExtract {
     val deScripted = DropPats.foldLeft(html)(
       (acc, pat) => regexp_replace(acc, pat, " "))
     regexp_extract_all(deScripted,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"), lit(0))
   }
 
   /** The href of one [[anchors]] element (raw attribute text). */
   def anchorHref(a: Column): Column =
-    regexp_extract(a, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1)
+    regexp_extract(a, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
 
   /** The visible inner text of one [[anchors]] element. */
   def anchorText(a: Column): Column =
@@ -114,9 +116,9 @@ object HtmlExtract {
 
   /** DuckDB twins of the anchor machinery. */
   def duckAnchors(e: String): String =
-    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*"[^"]*"[^>]*>.*?</a>', 0)"""
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>.*?</a>', 0)"""
   def duckAnchorHref(a: String): String =
-    s"""regexp_extract($a, '(?is)href\\s*=\\s*"([^"]*)"', 1)"""
+    s"""regexp_extract($a, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1)"""
   def duckAnchorText(a: String): String =
     duckVisible(s"""regexp_extract($a, '(?is)^<a\\b[^>]*>(.*)</a>$$', 1)""")
 

@@ -114,6 +114,18 @@ class HtmlExtractSpec extends SparkTestBase {
       s"anchor pairs must require the closing tag and decode entities: $pairs")
   }
 
+  test("single-quoted href attributes extract like double-quoted ones") {
+    val html = "<p><a href='/single'>one</a> <a href=\"/double\">two</a></p>"
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val hrefs = df.select(explode(HtmlExtract.hrefs(col("html")))).as[String]
+      .collect().toSeq
+    assert(hrefs == Seq("/single", "/double"), s"got $hrefs")
+    val pairs = df.select(explode(HtmlExtract.anchors(col("html"))).as("a"))
+      .select(HtmlExtract.anchorHref(col("a")), HtmlExtract.anchorText(col("a")))
+      .as[(String, String)].collect().toSeq
+    assert(pairs == Seq(("/single", "one"), ("/double", "two")), s"got $pairs")
+  }
+
   test("the block plan is map-only: one generator, zero exchanges") {
     val df = HtmlExtract.blocks(
       Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))
