@@ -992,7 +992,56 @@ object TextOps {
        |     >= t.s_tot::HUGEINT * p.n::HUGEINT) AS keep
        |FROM pred p JOIN thr t USING (lang_pred)""".stripMargin
 
+  // --------------------------- q157 per-language perplexity buckets
+
+  /** q157: CCNet's head/middle/tail TERCILES — each document bucketed
+    * within its predicted language's own length-normalized LM-score
+    * distribution (CCNet trains on "head", mixes in "middle", drops
+    * "tail"; the cut is per language, so low-resource languages aren't
+    * graded on the high-resource distribution). The normalizer is
+    * ceil-division toward zero spelled identically on both engines:
+    * `-((-score_fp) div greatest(n,1))` keeps the DIVIDEND
+    * non-negative, where truncation ≡ floor, so Spark's `div` and
+    * DuckDB's `//` agree (they differ on negative operands — the q153
+    * lesson, applied to a ranking key this time). One window exchange
+    * (per-language rank + count) beyond the LID machinery. */
+  def q157PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.LangIdNB.scoreAll(
+      correlatedText(Tables.documents(s, dir)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred"))
+      .orderBy(col("norm_fp").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred"))
+    scored
+      .withColumn("norm_fp", expr("-((-score_fp) div greatest(n, 1L))"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("lang_pred"), col("norm_fp"),
+        when(expr("(3 * (rn - 1)) div cnt") === 0, lit("head"))
+          .when(expr("(3 * (rn - 1)) div cnt") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  val q157Sql: String =
+    s"""WITH ${langIdScoreCtes(rotatedTextSql, "TRUE")},
+       |nm AS (
+       |  SELECT doc_id, lang_pred,
+       |    -((-score_fp) // greatest(n, 1)) AS norm_fp
+       |  FROM pred),
+       |rk AS (
+       |  SELECT doc_id, lang_pred, norm_fp,
+       |    row_number() OVER (PARTITION BY lang_pred
+       |                       ORDER BY norm_fp DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang_pred) AS cnt
+       |  FROM nm)
+       |SELECT doc_id, lang_pred, norm_fp,
+       |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head'
+       |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q157_perplexity_buckets" -> q157PerplexityBuckets,
     "q153_lang_routing" -> q153LangRouting,
     "q135_langid_corr" -> q135LangIdCorr,
     "q133_stratified_sample" -> q133StratifiedSample,
@@ -1020,6 +1069,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_perplexity_buckets" -> q157Sql,
     "q153_lang_routing" -> q153Sql,
     "q135_langid_corr" -> q135Sql,
     "q133_stratified_sample" -> q133Sql,
