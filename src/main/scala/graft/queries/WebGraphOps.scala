@@ -287,11 +287,94 @@ object WebGraphOps {
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}""".stripMargin
   }
 
+  // ---------------------------------------------- q158 robots gate
+
+  private val RobotsAgent = "graftbot"
+
+  /** Per-host robots.txt fixture, two policy shapes by host parity:
+    * even hosts carry an EXACT graftbot group (so the `*` group with
+    * its blanket Disallow must be ignored — §2.2.1 group selection),
+    * odd hosts have only `*` (the fallback level). Longest-match,
+    * allow-on-tie, comment, unknown-directive (Crawl-delay) and
+    * blank-line cases are all present. */
+  private[graft] val EvenRobots: String = Seq(
+    "# crawl policy (even host)",
+    "User-agent: evilbot",
+    "Disallow: /",
+    "",
+    "User-agent: graftbot",
+    "Disallow: /Page/1",
+    "Allow: /Page/12",
+    "Allow: /Page/3",
+    "Disallow: /Page/3",
+    "",
+    "User-agent: *",
+    "Crawl-delay: 2",
+    "Disallow: /").mkString("\n")
+
+  private[graft] val OddRobots: String = Seq(
+    "# crawl policy (odd host)",
+    "User-agent: evilbot",
+    "Disallow: /",
+    "",
+    "User-agent: *",
+    "Disallow: /Page/1",
+    "Disallow: /Page/5").mkString("\n")
+
+  /** q158: RFC 9309 robots.txt evaluation over the canonical corpus —
+    * per-doc (allowed, winning rule, rule path) for the pipeline's own
+    * crawler token. Even hosts deny /Page/1* except the longer
+    * /Page/12 allow and the /Page/3 allow-on-tie; odd hosts fall back
+    * to their `*` group; the evilbot blanket-deny groups must never
+    * leak into graftbot's verdicts. The oracle replays parse, group
+    * selection and longest-match end to end
+    * (text.Robots.duckRobotsCtes). */
+  def q158RobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("__c"),
+        pmod(pmod(col("doc_id"), lit(13)), lit(2)).as("__par"))
+      .select(col("doc_id"),
+        UrlCanonical.hostOfCanon(col("__c")).as("host"),
+        UrlCanonical.pathOfCanon(col("__c")).as("path"), col("__par"))
+    val robots = docs.select(col("host"), col("__par")).distinct()
+      .select(col("host"),
+        when(col("__par") === 0, lit(EvenRobots))
+          .otherwise(lit(OddRobots)).as("txt"))
+    val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
+    graft.text.Robots.allowed(docs.drop("__par"), rs, RobotsAgent)
+      .select(col("doc_id"), col("host"), col("path"),
+        col("allowed"), col("rule"), col("rule_path"))
+  }
+
+  private def sqlTextLit(text: String): String =
+    text.split("\n", -1)
+      .map(l => "'" + l.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
+
+  val q158Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |dh AS (
+       |  SELECT doc_id, ${UrlCanonical.duckHostOf("canon")} AS host,
+       |    ${UrlCanonical.duckPathOf("canon")} AS path,
+       |    (doc_id % 13) % 2 AS par
+       |  FROM s4),
+       |rt AS (
+       |  SELECT host, CASE WHEN par = 0 THEN ${sqlTextLit(EvenRobots)}
+       |               ELSE ${sqlTextLit(OddRobots)} END AS txt
+       |  FROM (SELECT DISTINCT host, par FROM dh)),
+       |${graft.text.Robots.duckRobotsCtes("rt", "dh", RobotsAgent)}
+       |SELECT doc_id, host, path, allowed, rule, rule_path FROM rb_out""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q150_outlinks" -> q150Outlinks,
     "q151_host_rank" -> q151HostRank,
     "q155_anchor_text" -> q155AnchorText,
     "q156_rank_quota" -> q156RankQuota,
+    "q158_robots_gate" -> q158RobotsGate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +382,6 @@ object WebGraphOps {
     "q151_host_rank" -> q151Sql,
     "q155_anchor_text" -> q155Sql,
     "q156_rank_quota" -> q156Sql,
+    "q158_robots_gate" -> q158Sql,
   )
 }

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309) parsing + allow/deny evaluation — the crawl
+  * COMPLIANCE gate: a curation pipeline that republishes or re-derives
+  * from crawled pages needs to know which URLs the origin permitted,
+  * and CCNet/C4-style rebuilds filter on exactly this relation.
+  *
+  * Semantics implemented (RFC 9309):
+  *   - records are line-based; `#` starts a comment anywhere; unknown
+  *     directives (Crawl-delay, Sitemap, …) are ignored;
+  *   - consecutive `User-agent:` lines form ONE group sharing the
+  *     rules that follow; rules before any User-agent line belong to
+  *     no group and are ignored;
+  *   - group selection: the agent's EXACT product token if any group
+  *     names it, else the `*` group; when several groups name the same
+  *     agent their rules MERGE (§2.2.1);
+  *   - rule matching: longest-path-match wins (§2.2.2); on equal
+  *     length Allow wins; an empty rule value imposes nothing; no
+  *     matching rule means allowed.
+  *
+  * Scope note: rule paths match as LITERAL PREFIXES — the `*`/`$`
+  * wildcard extension (§2.2.3) is out of scope (rare in practice and
+  * representable later as a regex-compiled rule class); paths compare
+  * byte-literally (no percent-decoding on either side — canonical
+  * paths already carry [[UrlCanonical]]'s normalized spelling).
+  *
+  * Shapes: parsing is per-host line algebra (one tiny window chain on
+  * the host-cardinality robots relation); evaluation is docs ⋈
+  * broadcast(rules) with a per-doc winner window — the rule relation
+  * is host-cardinality × rules-per-host, kilobytes per million hosts.
+  */
+object Robots {
+
+  /** Parse a (host, robots_txt) relation into the per-agent rule set:
+    * (host, agent, rule ∈ allow|disallow, path, idx). Rules duplicate
+    * per agent when a group names several agents — the merged-group
+    * semantics fall out of the join. */
+  def ruleSet(robots: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+    val lines = robots.select(hostCol.as("host"),
+      posexplode(split(txtCol, "\n")).as(Seq("idx", "raw")))
+    val line = trim(substring_index(col("raw"), "#", 1))
+    val directive = lower(trim(substring_index(line, ":", 1)))
+    val value = trim(UrlCanonical.substrFrom(line,
+      length(substring_index(line, ":", 1)) + lit(2)))
+    val parsed = lines.select(col("host"), col("idx"),
+      directive.as("d"), value.as("v"),
+      (directive === "user-agent" && line.contains(":")).as("ua"),
+      (directive.isin("allow", "disallow") && line.contains(":")).as("rl"))
+    val w = Window.partitionBy(col("host")).orderBy(col("idx"))
+    val frame = Window.partitionBy(col("host")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = parsed
+      // a User-agent line whose predecessor is NOT one starts a group
+      .withColumn("runStart",
+        col("ua") && !coalesce(lag(col("ua"), 1).over(w), lit(false)))
+      .withColumn("uaRun", sum(col("runStart").cast("long")).over(frame))
+      // rules attach to the nearest preceding User-agent run
+      .withColumn("grp", max(when(col("ua"), col("uaRun"))).over(frame))
+    val agents = withRun.filter(col("ua"))
+      .select(col("host"), col("grp"), lower(col("v")).as("agent"))
+    val rules = withRun.filter(col("rl") && col("v") =!= "")
+      .select(col("host"), col("grp"), col("d").as("rule"),
+        col("v").as("path"), col("idx"))
+    agents.join(rules, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("rule"), col("path"), col("idx"))
+  }
+
+  /** Evaluate `docs (keyCol, host, path, …)` against a [[ruleSet]] for
+    * one crawler product token: appends (allowed, rule, rule_path).
+    * Group selection per §2.2.1 (exact token if present, else `*`),
+    * winner per §2.2.2 (longest path, Allow on ties, first-written on
+    * full ties). The rule relation broadcasts. */
+  def allowed(docs: DataFrame, ruleSet: DataFrame, agent: String,
+              keyCol: String = "doc_id", hostCol: String = "host",
+              pathCol: String = "path"): DataFrame = {
+    val target = agent.toLowerCase
+    val exact = ruleSet.filter(col("agent") === target)
+    val star = ruleSet.filter(col("agent") === "*")
+    val hostsWithExact = exact.select(col("host")).distinct()
+    val applicable = exact.unionByName(
+      star.join(hostsWithExact, Seq("host"), "left_anti"))
+    val r = broadcast(applicable.select(col("host").as("__rh"),
+      col("rule").as("__rule"), col("path").as("__rpath"),
+      col("idx").as("__ridx")))
+    val j = docs.join(r,
+      col(hostCol) === col("__rh") &&
+        startswith(col(pathCol), col("__rpath")), "left")
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(length(col("__rpath")).desc_nulls_last,
+        col("__rule").asc_nulls_last, col("__ridx").asc_nulls_last)
+    j.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__rh")
+      .withColumn("allowed",
+        col("__rule").isNull || col("__rule") === "allow")
+      .withColumn("rule", coalesce(col("__rule"), lit("default")))
+      .withColumn("rule_path", coalesce(col("__rpath"), lit("")))
+      .drop("__rule", "__rpath", "__ridx")
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB twins (the oracle spelling, kept adjacent)
+  // ------------------------------------------------------------------
+
+  /** The identical parse + evaluation as CTEs over
+    * `robotsCte (host, txt)` and `docsCte (keyCol, host, path)` →
+    * exposes `rb_out (keyCol, host, path, allowed, rule, rule_path)`. */
+  def duckRobotsCtes(robotsCte: String, docsCte: String, agent: String,
+                     keyCol: String = "doc_id"): String = {
+    val target = agent.toLowerCase
+    s"""rb_ln AS (
+       |  SELECT host, unnest(range(len(l))) AS idx, unnest(l) AS raw
+       |  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM $robotsCte)),
+       |rb_p0 AS (
+       |  SELECT host, idx,
+       |    lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) AS d,
+       |    trim(substr(trim(string_split(raw, '#')[1]),
+       |      length(string_split(trim(string_split(raw, '#')[1]), ':')[1]) + 2)) AS v,
+       |    (lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) = 'user-agent'
+       |     AND contains(trim(string_split(raw, '#')[1]), ':')) AS ua,
+       |    (lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) IN ('allow', 'disallow')
+       |     AND contains(trim(string_split(raw, '#')[1]), ':')) AS rl
+       |  FROM rb_ln),
+       |rb_p1 AS (
+       |  SELECT *, (ua AND NOT coalesce(lag(ua) OVER (PARTITION BY host ORDER BY idx), false)) AS run_start
+       |  FROM rb_p0),
+       |rb_p2 AS (
+       |  SELECT *,
+       |    sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS ua_run
+       |  FROM rb_p1),
+       |rb_p3 AS (
+       |  SELECT *,
+       |    max(CASE WHEN ua THEN ua_run END)
+       |      OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM rb_p2),
+       |rb_ag AS (SELECT host, grp, lower(v) AS agent FROM rb_p3 WHERE ua),
+       |rb_ru AS (SELECT host, grp, d AS rule, v AS path, idx
+       |          FROM rb_p3 WHERE rl AND v <> ''),
+       |rb_rs AS (
+       |  SELECT r.host, a.agent, r.rule, r.path, r.idx
+       |  FROM rb_ru r JOIN rb_ag a ON r.host = a.host AND r.grp = a.grp),
+       |rb_ex AS (SELECT DISTINCT host FROM rb_rs WHERE agent = '$target'),
+       |rb_ap AS (
+       |  SELECT * FROM rb_rs
+       |  WHERE (agent = '$target' AND host IN (SELECT host FROM rb_ex))
+       |     OR (agent = '*' AND host NOT IN (SELECT host FROM rb_ex))),
+       |rb_out AS (
+       |  SELECT $keyCol, host, path,
+       |    (rule IS NULL OR rule = 'allow') AS allowed,
+       |    coalesce(rule, 'default') AS rule,
+       |    coalesce(rule_path, '') AS rule_path
+       |  FROM (
+       |    SELECT dd.$keyCol, dd.host, dd.path, a.rule, a.path AS rule_path, a.idx
+       |    FROM $docsCte dd
+       |    LEFT JOIN rb_ap a
+       |      ON dd.host = a.host AND starts_with(dd.path, a.path)
+       |    QUALIFY row_number() OVER (
+       |      PARTITION BY dd.$keyCol
+       |      ORDER BY length(a.path) DESC NULLS LAST, a.rule NULLS LAST,
+       |               a.idx NULLS LAST) = 1))""".stripMargin
+  }
+}

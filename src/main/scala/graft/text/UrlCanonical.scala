@@ -125,6 +125,24 @@ object UrlCanonical {
     s"string_split(string_split(string_split(substr($canonExpr, " +
       s"length(string_split($canonExpr, '://')[1]) + 4), '/')[1], '?')[1], ':')[1]"
 
+  /** The PATH of an already-canonical url (query stripped) — what
+    * robots.txt rules match against. Canonical paths always start with
+    * '/' (§6.2.3 normalization), so the result is never empty. */
+  def pathOfCanon(canon: Column): Column =
+    let(canon) { c =>
+      let(substrFrom(c, length(substring_index(c, "://", 1)) + lit(4))) { rest =>
+        val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+        substring_index(substrFrom(rest, length(hostport) + lit(1)), "?", 1)
+      }
+    }
+
+  /** DuckDB twin of [[pathOfCanon]]. */
+  def duckPathOf(canonExpr: String): String = {
+    val rest = s"substr($canonExpr, length(string_split($canonExpr, '://')[1]) + 4)"
+    val hp = s"string_split(string_split($rest, '/')[1], '?')[1]"
+    s"string_split(substr($rest, length($hp) + 1), '?')[1]"
+  }
+
   // ------------------------------------------------------------------
   // RFC 3986 §5: relative-reference resolution (the crawl-graph step —
   // VERDICT r15 missing #1: real pages link relatively, and without

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.olhovivo.SparkTestBase
+
+/** RFC 9309 robots.txt semantics, case by case. */
+class RobotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def verdicts(txt: String, agent: String,
+                       paths: (Long, String)*): Map[Long, (Boolean, String)] = {
+    val robots = Seq(("h.example", txt)).toDF("host", "txt")
+    val docs = paths.map { case (id, p) => (id, "h.example", p) }
+      .toDF("doc_id", "host", "path")
+    val rs = Robots.ruleSet(robots, col("host"), col("txt"))
+    Robots.allowed(docs, rs, agent)
+      .select(col("doc_id"), col("allowed"), col("rule_path"))
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("longest match wins; allow beats disallow on equal length; no match allows") {
+    val txt = Seq(
+      "User-agent: bot",
+      "Disallow: /a",
+      "Allow: /a/b",
+      "Allow: /c",
+      "Disallow: /c").mkString("\n")
+    val got = verdicts(txt, "bot",
+      1L -> "/a/x", 2L -> "/a/b/x", 3L -> "/c/x", 4L -> "/free")
+    assert(got(1L) == (false, "/a"), s"got ${got(1L)}")
+    assert(got(2L) == (true, "/a/b"))
+    assert(got(3L) == (true, "/c"), "allow wins the tie")
+    assert(got(4L) == (true, ""), "no rule → allowed")
+  }
+
+  test("consecutive User-agent lines share one group; exact token beats *") {
+    val txt = Seq(
+      "User-agent: alpha",
+      "User-agent: bot",
+      "Disallow: /shared",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    val got = verdicts(txt, "bot", 1L -> "/shared/x", 2L -> "/other")
+    assert(got(1L) == (false, "/shared"), "second UA line of the run applies")
+    assert(got(2L) == (true, ""), "the * blanket deny must not leak")
+    val other = verdicts(txt, "stranger", 1L -> "/anything")
+    assert(other(1L) == (false, "/"), "unknown agents take the * group")
+  }
+
+  test("split groups for the same agent MERGE; rules before any group are ignored") {
+    val txt = Seq(
+      "Disallow: /orphan",        // before any User-agent → ignored
+      "User-agent: bot",
+      "Disallow: /one",
+      "",
+      "User-agent: other",
+      "Disallow: /theirs",
+      "",
+      "User-agent: bot",
+      "Disallow: /two").mkString("\n")
+    val got = verdicts(txt, "bot",
+      1L -> "/one/x", 2L -> "/two/y", 3L -> "/orphan", 4L -> "/theirs")
+    assert(!got(1L)._1 && !got(2L)._1, "both split groups apply (merged)")
+    assert(got(3L)._1, "pre-group rules impose nothing")
+    assert(got(4L)._1, "another agent's group must not apply")
+  }
+
+  test("comments, unknown directives, empty values and case-insensitive names") {
+    val txt = Seq(
+      "USER-AGENT: Bot   # product token, case-insensitive",
+      "Crawl-delay: 7",
+      "Sitemap: http://h.example/map.xml",
+      "Disallow:",                 // empty value → imposes nothing
+      "DISALLOW: /x  # trailing comment",
+      "Allow: ").mkString("\n")
+    val got = verdicts(txt, "BOT", 1L -> "/x/deep", 2L -> "/y")
+    assert(got(1L) == (false, "/x"))
+    assert(got(2L) == (true, ""))
+  }
+}
