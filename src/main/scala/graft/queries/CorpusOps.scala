@@ -377,7 +377,8 @@ object CorpusOps {
     concat(
       lit("<html><head><title>Doc "), id, lit("</title>"),
       lit("<style>body { margin: 0 }</style>"),
-      lit("<script>var doc = "), id, lit(";</script></head>"),
+      lit("<script>var doc = "), id, lit(";</script>"),
+      lit("<![CDATA[var hidden = \"<p>not content</p>\";]]></head>"),
       lit("<body><h1>Heading "), id, lit("</h1>"),
       lit("<p>"), col("text"), lit("</p>"),
       lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
@@ -404,7 +405,8 @@ object CorpusOps {
   private val htmlSqlExpr: String =
     """'<html><head><title>Doc ' || doc_id || '</title>' ||
       |'<style>body { margin: 0 }</style>' ||
-      |'<script>var doc = ' || doc_id || ';</script></head>' ||
+      |'<script>var doc = ' || doc_id || ';</script>' ||
+      |'<![CDATA[var hidden = "<p>not content</p>";]]></head>' ||
       |'<body><h1>Heading ' || doc_id || '</h1>' ||
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||

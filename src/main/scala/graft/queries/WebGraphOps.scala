@@ -307,6 +307,9 @@ object WebGraphOps {
     "Allow: /Page/12",
     "Allow: /Page/3",
     "Disallow: /Page/3",
+    "Disallow: /Page/2/*usr",   // §2.2.3 wildcard — matches /Page/2/~usr
+    "Disallow: /Page/4$",       // $-anchored — matches NOTHING (paths go on)
+    "Allow: /Page/16*",         // longer than the /Page/1 deny → 16 survives
     "",
     "User-agent: *",
     "Crawl-delay: 2",

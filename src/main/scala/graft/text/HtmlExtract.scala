@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * an exact DuckDB twin, so the whole extraction is oracle-replayable):
   *
   *   1. drop non-content elements WITH their contents: script, style,
-  *      HTML comments;
+  *      HTML comments, CDATA sections;
   *   2. split the document at block-level tag boundaries (p, div,
   *      h1–h6, li/ul/ol, br, table cells/rows, the HTML5 sectioning
   *      tags) — each fragment is one candidate text block, indexed by
@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * segmentation) plus FULL character-reference decode (the complete
   * HTML 4.01 + apos named table and full-Unicode numeric references —
   * r16, clearing VERDICT r15 weak #1), and states its remaining limits
-  * plainly: no CDATA, no conditional comments, no malformed-tag
+  * plainly: no conditional-comment downlevel-revealed forms, no malformed-tag
   * recovery beyond the regexes, no legacy semicolon-less references.
   * Those need a real parser — a per-partition tokenizer behind the
   * same block schema — which the oracle could not replay anyway.
@@ -47,9 +47,9 @@ object HtmlExtract {
   val BlockTags = "p|div|h[1-6]|li|ul|ol|br|td|tr|table|section|article|header|footer|nav|blockquote|pre|title"
 
   private val Sentinel = "\u0001"
-  /** The non-content drops, applied as THREE SEQUENTIAL passes (script,
-    * then style, then comments) — the identical order the DuckDB twin
-    * replays. A single alternation with a backreference would disagree
+  /** The non-content drops, applied as FOUR SEQUENTIAL passes (script,
+    * then style, then comments, then CDATA) — the identical order the
+    * DuckDB twin replays. A single alternation with a backreference would disagree
     * with the oracle's sequential passes on pathological interleaved
     * tags ('<style>A<script>B</style>C</script>': alternation keeps
     * 'C', sequential keeps 'A' — found by review); one order, both
@@ -57,7 +57,10 @@ object HtmlExtract {
   private val DropPats = Seq(
     "(?is)<script\\b[^>]*>.*?</script>",
     "(?is)<style\\b[^>]*>.*?</style>",
-    "(?is)<!--.*?-->")
+    "(?is)<!--.*?-->",
+    // CDATA sections drop whole (r16): HTML5 tokenizes <![CDATA[ as a
+    // bogus comment outside foreign content — extractors drop the block
+    "(?s)<!\\[CDATA\\[.*?\\]\\]>")
   private val BlockPat = s"(?i)</?($BlockTags)\\b[^>]*>"
   private val TagPat = "<[^>]*>"
   private val LinkPat = "(?is)<a\\b[^>]*>(.*?)</a>"
@@ -80,12 +83,13 @@ object HtmlExtract {
     regexp_extract_all(deScripted, lit(HrefPat), lit(1))
   }
 
-  /** DuckDB spelling of the three sequential non-content drops. */
+  /** DuckDB spelling of the four sequential non-content drops. */
   def duckDescript(e: String): String =
-    s"""regexp_replace(regexp_replace(regexp_replace($e,
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($e,
        |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
        |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-       |      '(?is)<!--.*?-->', ' ', 'g')""".stripMargin
+       |      '(?is)<!--.*?-->', ' ', 'g'),
+       |      '(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g')""".stripMargin
 
   /** DuckDB twin of [[hrefs]] (over the SQL fragment `e`). */
   def duckHrefs(e: String): String =
@@ -263,16 +267,12 @@ object HtmlExtract {
     * global, string_split ↔ split, zipped unnest(…, range(len)) ↔
     * posexplode, regexp_extract_all(e, p, 1) ↔ same,
     * list_sum∘list_transform ↔ aggregate∘transform, chr/MAP ↔
-    * uchr/html_entity. Script/style/comment removal is THREE sequential
-    * passes in the same order on both engines (DropPats) — identical by
-    * construction, not merely same-fixpoint. */
+    * uchr/html_entity. Script/style/comment/CDATA removal is FOUR
+    * sequential passes in the same order on both engines (DropPats) —
+    * identical by construction, not merely same-fixpoint. */
   def duckBlockCtes(inputCte: String, idCol: String): String =
     s"""hd AS (
-       |  SELECT $idCol,
-       |    regexp_replace(regexp_replace(regexp_replace(html,
-       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-       |      '(?is)<!--.*?-->', ' ', 'g') AS h
+       |  SELECT $idCol, ${duckDescript("html")} AS h
        |  FROM $inputCte),
        |hf AS (
        |  SELECT $idCol,

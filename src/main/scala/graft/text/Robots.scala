@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *     length Allow wins; an empty rule value imposes nothing; no
   *     matching rule means allowed.
   *
-  * Scope note: rule paths match as LITERAL PREFIXES — the `*`/`$`
-  * wildcard extension (§2.2.3) is out of scope (rare in practice and
-  * representable later as a regex-compiled rule class); paths compare
+  * Rule paths support the FULL §2.2.3 pattern syntax: `*` matches any
+  * character sequence and a TRAILING `$` anchors the end of the path
+  * (a mid-pattern `$` is literal, the common-crawler reading).
+  * Matching compiles each rule to a SQL LIKE pattern — `%`/`_`/the
+  * escape char escaped, `*` → `%`, no trailing `%` when `$`-anchored —
+  * identical algebra on both engines, so the oracle replays it
+  * verbatim; "most specific" stays the rule string's length (its octet
+  * count, `*` and `$` included — §2.2.2's measure). Paths compare
   * byte-literally (no percent-decoding on either side — canonical
   * paths already carry [[UrlCanonical]]'s normalized spelling).
   *
@@ -69,6 +74,28 @@ object Robots {
       .select(col("host"), col("agent"), col("rule"), col("path"), col("idx"))
   }
 
+  /** A rule path as a LIKE pattern (escape char `!`): `*` → `%`, a
+    * trailing `$` anchors (no trailing `%`), literal `%`/`_`/`!`
+    * escaped. Prefix anchoring is LIKE's own left anchor. */
+  private[text] def likePattern(rulePath: Column): Column = {
+    val ends = endswith(rulePath, lit("$"))
+    val core = when(ends,
+      rulePath.substr(lit(1), length(rulePath) - 1)).otherwise(rulePath)
+    val esc = regexp_replace(regexp_replace(regexp_replace(core,
+      "!", "!!"), "%", "!%"), "_", "!_")
+    val glob = regexp_replace(esc, "\\*", "%")
+    when(ends, glob).otherwise(concat(glob, lit("%")))
+  }
+
+  /** DuckDB twin of [[likePattern]] over the rule-path fragment `p`. */
+  private[text] def duckLikePattern(p: String): String =
+    s"""CASE WHEN $p LIKE '%$$'
+       |     THEN replace(replace(replace(replace(substr($p, 1, length($p) - 1),
+       |            '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+       |     ELSE replace(replace(replace(replace($p,
+       |            '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') || '%'
+       |END""".stripMargin
+
   /** Evaluate `docs (keyCol, host, path, …)` against a [[ruleSet]] for
     * one crawler product token: appends (allowed, rule, rule_path).
     * Group selection per §2.2.1 (exact token if present, else `*`),
@@ -83,12 +110,15 @@ object Robots {
     val hostsWithExact = exact.select(col("host")).distinct()
     val applicable = exact.unionByName(
       star.join(hostsWithExact, Seq("host"), "left_anti"))
+    // the LIKE pattern is precomputed INSIDE the broadcast relation
+    // (host-bounded rows), so the per-doc probe is one LIKE evaluation
     val r = broadcast(applicable.select(col("host").as("__rh"),
       col("rule").as("__rule"), col("path").as("__rpath"),
+      likePattern(col("path")).as("__rpat"),
       col("idx").as("__ridx")))
     val j = docs.join(r,
       col(hostCol) === col("__rh") &&
-        startswith(col(pathCol), col("__rpath")), "left")
+        expr(s"$pathCol LIKE __rpat ESCAPE '!'"), "left")
     val win = Window.partitionBy(col(keyCol))
       .orderBy(length(col("__rpath")).desc_nulls_last,
         col("__rule").asc_nulls_last, col("__ridx").asc_nulls_last)
@@ -99,7 +129,7 @@ object Robots {
         col("__rule").isNull || col("__rule") === "allow")
       .withColumn("rule", coalesce(col("__rule"), lit("default")))
       .withColumn("rule_path", coalesce(col("__rpath"), lit("")))
-      .drop("__rule", "__rpath", "__ridx")
+      .drop("__rule", "__rpath", "__rpat", "__ridx")
   }
 
   // ------------------------------------------------------------------
@@ -158,7 +188,8 @@ object Robots {
        |    SELECT dd.$keyCol, dd.host, dd.path, a.rule, a.path AS rule_path, a.idx
        |    FROM $docsCte dd
        |    LEFT JOIN rb_ap a
-       |      ON dd.host = a.host AND starts_with(dd.path, a.path)
+       |      ON dd.host = a.host
+       |     AND dd.path LIKE (${duckLikePattern("a.path")}) ESCAPE '!'
        |    QUALIFY row_number() OVER (
        |      PARTITION BY dd.$keyCol
        |      ORDER BY length(a.path) DESC NULLS LAST, a.rule NULLS LAST,

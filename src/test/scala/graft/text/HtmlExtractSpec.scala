@@ -114,6 +114,16 @@ class HtmlExtractSpec extends SparkTestBase {
       s"anchor pairs must require the closing tag and decode entities: $pairs")
   }
 
+  test("CDATA sections vanish with their contents") {
+    val out = extract(
+      "<p>Real content paragraph stays.</p>" +
+        "<![CDATA[var x = \"<p>hidden pseudo-block</p>\";]]>" +
+        "<p>And the closing paragraph too.</p>")
+    assert(out.map(_._1) == Seq(
+      "Real content paragraph stays.", "And the closing paragraph too."),
+      s"got ${out.map(_._1)}")
+  }
+
   test("single-quoted href attributes extract like double-quoted ones") {
     val html = "<p><a href='/single'>one</a> <a href=\"/double\">two</a></p>"
     val df = Seq((1L, html)).toDF("doc_id", "html")

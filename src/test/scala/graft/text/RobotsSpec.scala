@@ -67,6 +67,26 @@ class RobotsSpec extends SparkTestBase {
     assert(got(4L)._1, "another agent's group must not apply")
   }
 
+  test("§2.2.3 wildcards: * spans segments, trailing $ anchors, literals stay literal") {
+    val txt = Seq(
+      "User-agent: bot",
+      "Disallow: /a/*/z",          // * spans anything
+      "Disallow: /b$",             // matches ONLY exactly /b
+      "Allow: /a/keep/*z",         // longer → wins over /a/*/z where both match
+      "Disallow: /c_d",            // _ is literal, not a wildcard
+      "Disallow: /pct%25").mkString("\n")
+    val got = verdicts(txt, "bot",
+      1L -> "/a/x/y/z", 2L -> "/b", 3L -> "/b/deeper", 4L -> "/a/keep/zz",
+      5L -> "/cXd", 6L -> "/c_d", 7L -> "/pct%25x")
+    assert(got(1L) == (false, "/a/*/z"), s"got ${got(1L)}")
+    assert(got(2L) == (false, "/b$"), "exact path matches the $ rule")
+    assert(got(3L) == (true, ""), "$ must anchor — /b/deeper is NOT matched")
+    assert(got(4L) == (true, "/a/keep/*z"), "longest pattern wins")
+    assert(got(5L) == (true, ""), "_ is literal in rule paths")
+    assert(got(6L) == (false, "/c_d"))
+    assert(got(7L) == (false, "/pct%25"), "% is literal in rule paths")
+  }
+
   test("comments, unknown directives, empty values and case-insensitive names") {
     val txt = Seq(
       "USER-AGENT: Bot   # product token, case-insensitive",
