@@ -372,7 +372,74 @@ object WebGraphOps {
        |SELECT doc_id, host, path, allowed, rule, rule_path FROM rb_out""".stripMargin
   }
 
+  // -------------------------------------------- q159 sitemap frontier
+
+  /** q159: sitemap `<loc>` extraction + corpus-membership diff — the
+    * crawl-frontier view (sitemap entries the corpus already has vs
+    * still needs). The per-host sitemap fixture lists the EVEN-doc_id
+    * pages' canonical URLs with `&` XML-escaped as `&amp;` (the
+    * sitemaps.org escaping the decoder must undo) plus one
+    * `/extra/missing` entry per host that is NOT in the corpus — so
+    * `in_corpus` carries both verdicts. Extraction/decode/canonicalize
+    * are map-only; the only exchanges are the fixture's own per-host
+    * build and the membership join against the distinct corpus keys. */
+  def q159SitemapFrontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("canon"))
+      .withColumn("host", UrlCanonical.hostOfCanon(col("canon")))
+    val entries = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .groupBy(col("host"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("doc_id"),
+          concat(lit("<url><loc> "),
+            regexp_replace(col("canon"), "&", "&amp;"),
+            lit(" </loc></url>")).as("e")))),
+          x => x.getField("e")), "").as("body"))
+    val xml = entries.select(col("host"),
+      concat(lit("<?xml version=\"1.0\"?><urlset>"), col("body"),
+        lit("<url><loc>http://"), col("host"),
+        lit("/extra/missing</loc></url></urlset>")).as("xml"))
+    val locs = graft.text.Sitemaps.locs(xml, col("xml")).drop("xml")
+    val corpus = docs.select(col("canon").as("loc_canon")).distinct()
+      .withColumn("__in", lit(true))
+    locs.join(corpus, Seq("loc_canon"), "left")
+      .select(col("host"), col("loc_idx"), col("loc_canon"),
+        coalesce(col("__in"), lit(false)).as("in_corpus"))
+  }
+
+  val q159Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |dh AS (
+       |  SELECT doc_id, canon, ${UrlCanonical.duckHostOf("canon")} AS host
+       |  FROM s4),
+       |ent AS (
+       |  SELECT host,
+       |    string_agg('<url><loc> ' || replace(canon, '&', '&amp;')
+       |      || ' </loc></url>', '' ORDER BY doc_id) AS body
+       |  FROM dh WHERE doc_id % 2 = 0 GROUP BY host),
+       |xm AS (
+       |  SELECT host, '<?xml version="1.0"?><urlset>' || body ||
+       |    '<url><loc>http://' || host || '/extra/missing</loc></url></urlset>' AS xml
+       |  FROM ent),
+       |lx AS (
+       |  SELECT host, unnest(range(len(l))) AS loc_idx, unnest(l) AS rawloc
+       |  FROM (SELECT host, ${graft.text.Sitemaps.duckLocs("xml")} AS l FROM xm)),
+       |ld AS (
+       |  SELECT host, loc_idx,
+       |    ${graft.text.HtmlExtract.duckEntities("rawloc")} AS url
+       |  FROM lx),
+       |${UrlCanonical.duckCanonCtes("ld", "host, loc_idx", idn, "d")},
+       |cc AS (SELECT DISTINCT canon FROM dh)
+       |SELECT d4.host, d4.loc_idx, d4.canon AS loc_canon,
+       |  (cc.canon IS NOT NULL) AS in_corpus
+       |FROM d4 LEFT JOIN cc ON d4.canon = cc.canon""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_sitemap_frontier" -> q159SitemapFrontier,
     "q150_outlinks" -> q150Outlinks,
     "q151_host_rank" -> q151HostRank,
     "q155_anchor_text" -> q155AnchorText,
@@ -381,6 +448,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_sitemap_frontier" -> q159Sql,
     "q150_outlinks" -> q150Sql,
     "q151_host_rank" -> q151Sql,
     "q155_anchor_text" -> q155Sql,

@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sitemap.xml `<loc>` extraction — the crawl-FRONTIER side of the
+  * robots pair ([[Robots]] gates what may be crawled; sitemaps declare
+  * what the origin wants crawled). A curation pipeline uses the
+  * sitemap∖corpus difference as its recrawl frontier and the
+  * corpus∖sitemap side as orphan-page signal.
+  *
+  * Extraction is the sitemaps.org protocol's data layer as string
+  * algebra: `<loc>` elements in document order (whitespace-trimmed),
+  * XML character references decoded ([[HtmlExtract.decodeEntities]] —
+  * sitemap URLs escape `&` as `&amp;` per the protocol), then
+  * [[UrlCanonical.canonicalize]] so frontier keys land in the same
+  * space as every other URL in the engine. Map-only; index files
+  * (`<sitemap><loc>`) surface through the same pattern since the
+  * element name is identical. */
+object Sitemaps {
+
+  private val LocPat = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+
+  /** One row per `<loc>` with its document-order index:
+    * (…, loc_idx, loc_canon). */
+  def locs(df: DataFrame, xmlCol: Column): DataFrame =
+    df.select(col("*"),
+        posexplode_outer(regexp_extract_all(xmlCol, lit(LocPat), lit(1)))
+          .as(Seq("loc_idx", "__raw")))
+      .filter(col("__raw").isNotNull)
+      .withColumn("loc_canon",
+        UrlCanonical.canonicalize(HtmlExtract.decodeEntities(col("__raw"))))
+      .withColumn("loc_idx", col("loc_idx").cast("long"))
+      .drop("__raw")
+
+  /** DuckDB twin: the raw `<loc>` list over the SQL fragment `e`
+    * (callers unnest + decode + canonicalize with the shared twins). */
+  def duckLocs(e: String): String =
+    s"""regexp_extract_all($e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"""
+}
