@@ -69,8 +69,11 @@ object HtmlExtract {
     * both quote kinds inside the value, so a value containing the
     * OTHER quote character truncates at it (rare, and fails toward a
     * shorter href, never a merged one); bare unquoted attributes still
-    * need the real parser this module's scope note defers to. */
-  private val HrefPat = "(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+    * need the real parser this module's scope note defers to. The
+    * `\\s` before the attribute name requires a whitespace delimiter,
+    * so attributes merely ENDING in `href` (`data-href="…"`) no longer
+    * capture the wrong target (ADVICE r16). */
+  private val HrefPat = "(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"']*)[\"']"
 
   /** Raw `<a href="…">` targets of an html document, in document order,
     * AFTER the non-content drops (a link inside a script or comment is
@@ -93,7 +96,7 @@ object HtmlExtract {
 
   /** DuckDB twin of [[hrefs]] (over the SQL fragment `e`). */
   def duckHrefs(e: String): String =
-    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']', 1)"""
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)"""
 
   /** COMPLETE href-bearing anchor elements (`<a … href="…" …>text</a>`,
     * group 0), in document order, post de-script — the unit of
@@ -107,12 +110,12 @@ object HtmlExtract {
     val deScripted = DropPats.foldLeft(html)(
       (acc, pat) => regexp_replace(acc, pat, " "))
     regexp_extract_all(deScripted,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"), lit(0))
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"), lit(0))
   }
 
   /** The href of one [[anchors]] element (raw attribute text). */
   def anchorHref(a: Column): Column =
-    regexp_extract(a, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    regexp_extract(a, "(?is)\\shref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
 
   /** The visible inner text of one [[anchors]] element. */
   def anchorText(a: Column): Column =
@@ -120,9 +123,9 @@ object HtmlExtract {
 
   /** DuckDB twins of the anchor machinery. */
   def duckAnchors(e: String): String =
-    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>.*?</a>', 0)"""
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?\\shref\\s*=\\s*["'']([^"'']*)["''][^>]*>.*?</a>', 0)"""
   def duckAnchorHref(a: String): String =
-    s"""regexp_extract($a, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1)"""
+    s"""regexp_extract($a, '(?is)\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)"""
   def duckAnchorText(a: String): String =
     duckVisible(s"""regexp_extract($a, '(?is)^<a\\b[^>]*>(.*)</a>$$', 1)""")
 

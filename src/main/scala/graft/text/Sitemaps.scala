@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * element name is identical. */
 object Sitemaps {
 
-  private val LocPat = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+  /** `<loc>` values, with an OPTIONAL `<![CDATA[…]]>` wrapper unwrapped
+    * (ADVICE r16: real sitemaps CDATA-wrap loc values; the raw wrapper
+    * text would otherwise flow into canonicalize and produce garbage
+    * frontier keys). The wrapper pieces are independently optional, so
+    * an unwrapped value containing a stray `]]>` keeps it (the lazy
+    * group only yields it when `</loc>` follows immediately). */
+  private val LocPat =
+    "(?is)<loc>\\s*(?:<!\\[CDATA\\[)?\\s*(.*?)\\s*(?:\\]\\]>)?\\s*</loc>"
 
   /** One row per `<loc>` with its document-order index:
     * (…, loc_idx, loc_canon). */
@@ -36,5 +43,5 @@ object Sitemaps {
   /** DuckDB twin: the raw `<loc>` list over the SQL fragment `e`
     * (callers unnest + decode + canonicalize with the shared twins). */
   def duckLocs(e: String): String =
-    s"""regexp_extract_all($e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"""
+    s"""regexp_extract_all($e, '(?is)<loc>\\s*(?:<!\\[CDATA\\[)?\\s*(.*?)\\s*(?:\\]\\]>)?\\s*</loc>', 1)"""
 }

@@ -136,6 +136,21 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(pairs == Seq(("/single", "one"), ("/double", "two")), s"got $pairs")
   }
 
+  test("attributes merely ending in href (data-href) never capture the target") {
+    // ADVICE r16: the lazy [^>]*?href stopped at the FIRST 'href'
+    // substring — <a data-href="/wrong" href="/right"> yielded /wrong
+    val html = "<p><a data-href=\"/wrong\" href=\"/right\">txt</a>" +
+      " <a\nhref=\"/newline-delim\">nl</a></p>"
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val hrefs = df.select(explode(HtmlExtract.hrefs(col("html")))).as[String]
+      .collect().toSeq
+    assert(hrefs == Seq("/right", "/newline-delim"), s"got $hrefs")
+    val pairs = df.select(explode(HtmlExtract.anchors(col("html"))).as("a"))
+      .select(HtmlExtract.anchorHref(col("a")), HtmlExtract.anchorText(col("a")))
+      .as[(String, String)].collect().toSeq
+    assert(pairs == Seq(("/right", "txt"), ("/newline-delim", "nl")), s"got $pairs")
+  }
+
   test("the block plan is map-only: one generator, zero exchanges") {
     val df = HtmlExtract.blocks(
       Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))

@@ -87,6 +87,52 @@ class RobotsSpec extends SparkTestBase {
     assert(got(7L) == (false, "/pct%25"), "% is literal in rule paths")
   }
 
+  test("CRLF line endings parse identically to LF (ADVICE r16 high)") {
+    // the RFC 9309 grammar's OWN line ending — a "\n" split left \r on
+    // every token, no rule ever matched, evaluation failed OPEN
+    val txt = Seq(
+      "User-agent: bot",
+      "Disallow: /a",
+      "Allow: /a/b").mkString("\r\n")
+    val got = verdicts(txt, "bot", 1L -> "/a/x", 2L -> "/a/b/x", 3L -> "/free")
+    assert(got(1L) == (false, "/a"), s"CRLF rules must match: ${got(1L)}")
+    assert(got(2L) == (true, "/a/b"))
+    assert(got(3L) == (true, ""))
+  }
+
+  test("blank and comment lines BETWEEN User-agent lines do not split the run") {
+    // RFC 9309 ABNF: *(startgroupline / emptyline) — ADVICE r16
+    val txt = Seq(
+      "User-agent: alpha",
+      "",
+      "# both agents share the group below",
+      "User-agent: bot",
+      "Disallow: /shared",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    val got = verdicts(txt, "alpha", 1L -> "/shared/x", 2L -> "/other")
+    assert(got(1L) == (false, "/shared"),
+      s"alpha must keep the group across the blank line: ${got(1L)}")
+    assert(got(2L) == (true, ""), "the * blanket deny must not leak onto alpha")
+  }
+
+  test("rules match path PLUS query (ADVICE r16): /*? and /search?q= work") {
+    val txt = Seq(
+      "User-agent: bot",
+      "Disallow: /search?q=",
+      "Disallow: /private/*?",
+      "Allow: /private/ok?").mkString("\n")
+    val got = verdicts(txt, "bot",
+      1L -> "/search?q=x", 2L -> "/search", 3L -> "/private/a?t=1",
+      4L -> "/private/ok?t=1", 5L -> "/private/plain")
+    assert(got(1L) == (false, "/search?q="), s"got ${got(1L)}")
+    assert(got(2L) == (true, ""), "no query → the ?-rule must not match")
+    assert(got(3L) == (false, "/private/*?"))
+    assert(got(4L) == (true, "/private/ok?"), "longer allow wins on the query")
+    assert(got(5L) == (true, ""))
+  }
+
   test("comments, unknown directives, empty values and case-insensitive names") {
     val txt = Seq(
       "USER-AGENT: Bot   # product token, case-insensitive",
