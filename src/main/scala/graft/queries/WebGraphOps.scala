@@ -450,7 +450,91 @@ object WebGraphOps {
        |FROM d4 LEFT JOIN cc ON d4.canon = cc.canon""".stripMargin
   }
 
+  // ------------------------------- q160 ZONE-sourced robots gate (r17)
+
+  private val robotsZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A MIXED WARC zone — ordinary page responses (the q136 shape,
+    * UriPrefix Target-URIs, same corruption residues) interleaved with
+    * one robots.txt capture per host (Target-URI
+    * `http://site{n}.xn--bcher-kva.example/robots.txt`, payload the
+    * Even/Odd policy by host parity) — the Common Crawl layout, where
+    * robots responses are ordinary records in the same files
+    * (VERDICT r16 next #2). Host 5's capture is written with
+    * doc_id = 97, i.e. the Content-Length-overstated corruption class:
+    * the record is INVALID, readExactClean drops it, and the engine
+    * must fail OPEN for that host (no robots.txt → everything allowed)
+    * — so the gate proves the rules really come from the zone. */
+  private[queries] def robotsZoneFor(s: SparkSession, dir: String): String =
+    robotsZones.computeIfAbsent(dir, { d =>
+      val base = graft.TempArtifacts.dir("graft_warc_robots")
+      val pages = Tables.documents(s, d).select(
+        col("doc_id"), col("text"),
+        concat(lit(graft.sources.Warc.UriPrefix),
+          col("doc_id").cast("string")).as("url"))
+      val robots = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(13)).as("n")).distinct()
+        .select(
+          when(col("n") === 5, lit(97L)).otherwise(col("n") + 1)
+            .cast("long").as("doc_id"),
+          when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
+            .otherwise(lit(OddRobots)).as("text"),
+          concat(lit("http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/robots.txt")).as("url"))
+      graft.sources.Warc.synthesize(s, pages.unionByName(robots), base)
+      base
+    })
+
+  /** q160: the q158 evaluation with the rules READ OUT OF THE WARC
+    * ZONE instead of a fixture literal — filter captures whose
+    * Target-URI path is /robots.txt, decode through the exact reader,
+    * [[graft.text.Robots.ruleSet]] them, evaluate the page relation
+    * (the composition a real crawl-compliance pass runs). The oracle
+    * rebuilds the SURVIVING rules in SQL (host 5's corrupt capture
+    * excluded) and replays parse + §2.2.1/2.2.2 end to end — a reader
+    * regression that dropped or mangled a robots payload, a filter
+    * that missed a capture, or a fail-open default that leaked a rule
+    * all hash-mismatch. Composed on the clean operator API
+    * (ruleSet/allowed), no fixture-parity arithmetic in the query. */
+  def q160ZoneRobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val zone = robotsZoneFor(s, dir)
+    val robots = graft.sources.Warc.readExactClean(s, zone)
+      .filter(endswith(col("url"), lit("/robots.txt")))
+      .select(UrlCanonical.hostOfCanon(col("url")).as("host"),
+        col("payload").as("txt"))
+    val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("__c"))
+      .select(col("doc_id"),
+        UrlCanonical.hostOfCanon(col("__c")).as("host"),
+        UrlCanonical.pathQueryOfCanon(col("__c")).as("path"))
+    graft.text.Robots.allowed(docs, rs, RobotsAgent)
+      .select(col("doc_id"), col("host"), col("path"),
+        col("allowed"), col("rule"), col("rule_path"))
+  }
+
+  val q160Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |dh AS (
+       |  SELECT doc_id, ${UrlCanonical.duckHostOf("canon")} AS host,
+       |    ${UrlCanonical.duckPathQueryOf("canon")} AS path
+       |  FROM s4),
+       |hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents),
+       |rt AS (
+       |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
+       |         ELSE ${sqlTextLit(OddRobots)} END AS txt
+       |  FROM hn WHERE n <> 5),
+       |${graft.text.Robots.duckRobotsCtes("rt", "dh", RobotsAgent)}
+       |SELECT doc_id, host, path, allowed, rule, rule_path FROM rb_out""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q160_zone_robots" -> q160ZoneRobotsGate,
     "q159_sitemap_frontier" -> q159SitemapFrontier,
     "q150_outlinks" -> q150Outlinks,
     "q151_host_rank" -> q151HostRank,
@@ -460,6 +544,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_zone_robots" -> q160Sql,
     "q159_sitemap_frontier" -> q159Sql,
     "q150_outlinks" -> q150Sql,
     "q151_host_rank" -> q151Sql,

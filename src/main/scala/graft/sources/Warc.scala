@@ -95,8 +95,17 @@ object Warc {
   /** One WARC response record per document, with the two corruption
     * modes and the magic-quoting VALID mode injected by doc_id residue
     * (a zone synthesized from the gate corpus therefore carries its own
-    * negative cases, like the raw-zone corrupt-file e2e). */
-  def recordColumn(docId: Column, text: Column): Column = {
+    * negative cases, like the raw-zone corrupt-file e2e).
+    *
+    * `url` / `warcType` / `extraHeaders` default to the classic shape
+    * (UriPrefix + doc_id, `response`, none) — existing zones stay
+    * byte-identical; the r17 mixed zones override them to write
+    * robots.txt captures (host-rooted Target-URIs) and `revisit`
+    * records carrying `WARC-Refers-To-Target-URI` (ISO 28500 §6.7.2)
+    * into the same files as ordinary responses. */
+  def recordColumn(docId: Column, text: Column,
+                   url: Column = null, warcType: Column = null,
+                   extraHeaders: Column = null): Column = {
     val trunc = pmod(docId, lit(TruncMod)) === 0
     val noLen = pmod(docId, lit(NoLenMod)) === 0
     val quotes = pmod(docId, lit(MagicQuoteMod)) === 0
@@ -105,11 +114,15 @@ object Warc {
       .otherwise(concat(lit("Content-Length: "),
         (octet_length(written) + when(trunc, lit(1)).otherwise(lit(0))).cast("string"),
         lit("\r\n")))
+    val uri = Option(url).getOrElse(concat(lit(UriPrefix), docId.cast("string")))
+    val typ = Option(warcType).getOrElse(lit("response"))
+    val extra = Option(extraHeaders).getOrElse(lit(""))
     concat(
       lit("WARC/1.0\r\n"),
-      lit("WARC-Type: response\r\n"),
-      lit(s"WARC-Target-URI: $UriPrefix"), docId.cast("string"), lit("\r\n"),
+      lit("WARC-Type: "), typ, lit("\r\n"),
+      lit("WARC-Target-URI: "), uri, lit("\r\n"),
       lit(s"WARC-Date: $DateLit\r\n"),
+      extra,
       lit("Content-Type: text/plain\r\n"),
       clenHeader,
       lit("\r\n"),
@@ -148,9 +161,16 @@ object Warc {
     val route = when(special, lit(0))
       .otherwise(pmod(col("doc_id"), lit(math.max(nFiles - 1, 1))) +
         lit(math.min(nFiles - 1, 1)))
+    // optional per-record overrides: a docs relation carrying `url` /
+    // `warc_type` / `extra_headers` columns writes those instead of the
+    // classic UriPrefix+doc_id response shape (r17 mixed zones)
+    def opt(name: String): Column =
+      if (docs.columns.contains(name)) col(name) else null
     docs
       .select(route.as("__f"), col("doc_id"),
-        recordColumn(col("doc_id"), col("text")).as("__r"))
+        recordColumn(col("doc_id"), col("text"),
+          url = opt("url"), warcType = opt("warc_type"),
+          extraHeaders = opt("extra_headers")).as("__r"))
       .repartition(nFiles, col("__f"))
       .sortWithinPartitions(col("doc_id"))
       .select(col("__r"))
