@@ -533,7 +533,268 @@ object WebGraphOps {
        |SELECT doc_id, host, path, allowed, rule, rule_path FROM rb_out""".stripMargin
   }
 
+  // -------------- q161 sitemap INDEX recursion over gz sitemaps (r17)
+  // -------------- q162 lastmod-ordered recrawl priority (r17)
+
+  /** Children per host in the gz sitemap fixture (child k holds the
+    * docs with doc_id % SmChildren == k). */
+  private val SmChildren = 3
+
+  /** Deterministic `<lastmod>` fixture value: a W3C datetime whose
+    * DATE component is 2025-01-01 + (doc_id·7 mod 365). Three forms,
+    * all sitemaps.org-legal or deliberately broken: plain date (the
+    * common case), full ISO 8601 datetime (doc_id%5==0 — the parse
+    * must take the date component), and junk (`unknown`, doc_id%11==0
+    * — must parse NULL and rank FIRST in staleness order: unknown age
+    * is assumed stale). */
+  private def lastmodCol: Column = {
+    val day = date_format(
+      date_add(to_date(lit("2025-01-01")),
+        pmod(col("doc_id") * 7, lit(365)).cast("int")), "yyyy-MM-dd")
+    when(pmod(col("doc_id"), lit(11)) === 0, lit("unknown"))
+      .when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(day, lit("T08:30:00+00:00")))
+      .otherwise(day)
+  }
+
+  private val lastmodSql: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+      |     WHEN doc_id % 5 = 0
+      |     THEN strftime(DATE '2025-01-01' + CAST((doc_id * 7) % 365 AS INTEGER), '%Y-%m-%d') || 'T08:30:00+00:00'
+      |     ELSE strftime(DATE '2025-01-01' + CAST((doc_id * 7) % 365 AS INTEGER), '%Y-%m-%d')
+      |END""".stripMargin.replace("\n", " ")
+
+  private val sitemapZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The GZIPPED sitemap zone (VERDICT r16 next #3): one `.xml.gz`
+    * FILE per host whose gzip MEMBERS are the host's child sitemaps in
+    * k order — the member-concatenated layout WarcGz's walker splits
+    * inside (real sitemap providers gzip per the protocol's 50k-URL /
+    * 50 MB cap and publish an INDEX file naming the children). Child k
+    * carries host n's docs with doc_id%3==k as `<url><loc>…</loc>
+    * <lastmod>…</lastmod></url>` entries in doc_id order, canonical
+    * URLs XML-escaped (the q159 escaping). Written distributedly
+    * (repartition by host, one task writes whole files — the
+    * Warc.synthesize seam). */
+  private[queries] def sitemapZoneFor(s: SparkSession, dir: String): String =
+    sitemapZones.computeIfAbsent(dir, { d =>
+      val base = graft.TempArtifacts.dir("graft_sitemap_gz")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("canon"))
+      val entries = docs.select(
+        pmod(col("doc_id"), lit(13)).as("n"),
+        pmod(col("doc_id"), lit(SmChildren)).as("k"),
+        col("doc_id"),
+        concat(lit("<url><loc> "),
+          regexp_replace(col("canon"), "&", "&amp;"),
+          lit(" </loc><lastmod>"), lastmodCol,
+          lit("</lastmod></url>")).as("e"))
+      val bodies = entries.groupBy(col("n"), col("k"))
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), "").as("body"))
+        .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"), col("body"),
+            lit("</urlset>")).as("xml"))
+      val hconf = s.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration))
+      bodies.repartition(13, col("n")).sortWithinPartitions(col("n"), col("k"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          var curN = -1L
+          var raw: org.apache.hadoop.fs.FSDataOutputStream = null
+          def closeFile(): Unit = if (raw != null) { raw.close(); raw = null }
+          try {
+            it.foreach { r =>
+              val n = r.getLong(0)
+              if (n != curN) {
+                closeFile()
+                val p = new org.apache.hadoop.fs.Path(s"$base/site$n.xml.gz")
+                raw = p.getFileSystem(hconf.value.value).create(p, true)
+                curN = n
+              }
+              // per-member gzip behind a close-shield (the
+              // Warc.synthesize discipline: member stream closes to
+              // free its Deflater, file stream stays open)
+              val fileStream = raw
+              val shield = new java.io.FilterOutputStream(fileStream) {
+                override def write(b: Int): Unit = fileStream.write(b)
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  fileStream.write(b, off, len)
+                override def close(): Unit = flush()
+              }
+              val gz = new java.util.zip.GZIPOutputStream(shield)
+              gz.write(r.getString(2).getBytes("UTF-8"))
+              gz.close()
+            }
+          } finally closeFile()
+        }
+      base
+    })
+
+  /** The recursion: per-host INDEX xml (children listed k-DESCENDING,
+    * so index document order ≠ numeric member order — the join must
+    * really resolve child URLs to members, not zip sequences), child
+    * refs extracted with the SAME `<loc>` machinery (sitemapindex and
+    * urlset share the element name), gz members decoded through
+    * WarcGz.memberIndex + readMemberTexts, child resolved by
+    * (host n, member ordinal k parsed from the child URL). Output:
+    * (host, n, sm_idx = index document order, k, cxml). */
+  private def childSitemaps(s: SparkSession, dir: String): DataFrame = {
+    val zone = sitemapZoneFor(s, dir)
+    val hostsKs = Tables.documents(s, dir).select(
+      pmod(col("doc_id"), lit(13)).as("n"),
+      pmod(col("doc_id"), lit(SmChildren)).as("k")).distinct()
+    val index = hostsKs.groupBy(col("n"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct((-col("k")).as("ord"),
+          concat(lit("<sitemap><loc>http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-"), col("k").cast("string"),
+            lit(".xml.gz</loc></sitemap>")).as("e")))),
+          x => x.getField("e")), "").as("body"))
+      .select(col("n").cast("long").as("n"),
+        concat(lit("site"), col("n").cast("string"),
+          lit(".xn--bcher-kva.example")).as("host"),
+        concat(lit("<?xml version=\"1.0\"?><sitemapindex>"), col("body"),
+          lit("</sitemapindex>")).as("xml"))
+    val refs = graft.text.Sitemaps.locs(index, col("xml"))
+      .select(col("n"), col("host"), col("loc_idx").as("sm_idx"),
+        regexp_extract(col("loc_canon"), "sm-(\\d+)\\.xml\\.gz$", 1)
+          .cast("long").as("k"))
+    val members = graft.sources.WarcGz.readMemberTexts(s,
+      graft.sources.WarcGz.memberIndex(s, zone))
+      .filter(col("ok"))
+      .select(regexp_extract(col("file"), "site(\\d+)\\.xml\\.gz$", 1)
+          .cast("long").as("n"),
+        col("member_idx").as("k"), col("text").as("cxml"))
+    refs.join(members, Seq("n", "k"))
+  }
+
+  /** q161: one-level sitemap-INDEX recursion over `.xml.gz` children —
+    * index → child sitemaps → `<loc>` frontier with corpus membership,
+    * document order preserved at BOTH levels (sm_idx within the index,
+    * loc_idx within each child). The oracle rebuilds index and child
+    * bodies from `documents` and replays the identical extraction —
+    * the gz layer (member walk, ordinal resolution, text decode) is
+    * engine-side only, so a member decoded wrong, resolved to the
+    * wrong child, or dropped hash-mismatches. */
+  def q161SitemapRecursion(s: SparkSession, dir: String): DataFrame = {
+    val children = childSitemaps(s, dir)
+    val locs = graft.text.Sitemaps.locs(children, col("cxml")).drop("cxml")
+    val corpus = Tables.documents(s, dir)
+      .select(UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("loc_canon"))
+      .distinct().withColumn("__in", lit(true))
+    locs.join(corpus, Seq("loc_canon"), "left")
+      .select(col("host"), col("sm_idx"), col("k"), col("loc_idx"),
+        col("loc_canon"), coalesce(col("__in"), lit(false)).as("in_corpus"))
+  }
+
+  /** The shared oracle CTE chain: canon docs → child bodies → index →
+    * child refs (k DESC document order) → per-child entry relation
+    * `sce (n, host, sm_idx, k, u)` where `u` is one raw `<url>`
+    * fragment with its `loc_idx`. */
+  private def sitemapCtes: String = {
+    s"""smd AS (
+       |  SELECT doc_id, canon, doc_id % 13 AS n, doc_id % $SmChildren AS k,
+       |    $lastmodSql AS lm
+       |  FROM s4),
+       |smb AS (
+       |  SELECT n, k,
+       |    '<?xml version="1.0"?><urlset>' ||
+       |    string_agg('<url><loc> ' || replace(canon, '&', '&amp;') ||
+       |      ' </loc><lastmod>' || lm || '</lastmod></url>', ''
+       |      ORDER BY doc_id) || '</urlset>' AS cxml
+       |  FROM smd GROUP BY n, k),
+       |six AS (
+       |  SELECT n,
+       |    '<?xml version="1.0"?><sitemapindex>' ||
+       |    string_agg('<sitemap><loc>http://site' || n ||
+       |      '.xn--bcher-kva.example/sm-' || k || '.xml.gz</loc></sitemap>',
+       |      '' ORDER BY k DESC) || '</sitemapindex>' AS xml
+       |  FROM (SELECT DISTINCT n, k FROM smd) GROUP BY n),
+       |sxl AS (
+       |  SELECT n, unnest(range(len(l))) AS sm_idx, unnest(l) AS rawloc
+       |  FROM (SELECT n, ${graft.text.Sitemaps.duckLocs("xml")} AS l FROM six)),
+       |sxr AS (
+       |  SELECT n, 'site' || n || '.xn--bcher-kva.example' AS host, sm_idx,
+       |    CAST(regexp_extract(rawloc, 'sm-(\\d+)\\.xml\\.gz$$', 1) AS BIGINT) AS k
+       |  FROM sxl),
+       |sce AS (
+       |  SELECT n, host, sm_idx, k,
+       |    unnest(range(len(ul))) AS loc_idx, unnest(ul) AS u
+       |  FROM (
+       |    SELECT x.n, x.host, x.sm_idx, x.k,
+       |      ${graft.text.Sitemaps.duckUrlEntries("b.cxml")} AS ul
+       |    FROM sxr x JOIN smb b USING (n, k)))""".stripMargin
+  }
+
+  val q161Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |$sitemapCtes,
+       |sld AS (
+       |  SELECT n, host, sm_idx, k, loc_idx,
+       |    ${graft.text.HtmlExtract.duckEntities(
+              graft.text.Sitemaps.duckEntryLoc("u"))} AS url
+       |  FROM sce),
+       |${UrlCanonical.duckCanonCtes("sld", "host, sm_idx, k, loc_idx", idn, "sc")},
+       |cc AS (SELECT DISTINCT canon FROM s4)
+       |SELECT sc4.host, sc4.sm_idx, sc4.k, sc4.loc_idx,
+       |  sc4.canon AS loc_canon, (cc.canon IS NOT NULL) AS in_corpus
+       |FROM sc4 LEFT JOIN cc ON sc4.canon = cc.canon""".stripMargin
+  }
+
+  /** q162: the RECRAWL-PRIORITY frontier (VERDICT r16 next #4) — every
+    * child-sitemap entry with its `<lastmod>`, ranked per host by
+    * staleness: NULL-parsed lastmods FIRST (unknown age = assume
+    * stale), then oldest date first. The date component parses from
+    * all three fixture forms (plain W3C date, full ISO datetime,
+    * junk→NULL); ties break on (loc_canon, k, loc_idx) — (k, loc_idx)
+    * is unique per host, so the rank is deterministic on both engines
+    * (the oracle window-tie discipline). */
+  def q162RecrawlPriority(s: SparkSession, dir: String): DataFrame = {
+    val entries = graft.text.Sitemaps.urlEntries(
+      childSitemaps(s, dir), col("cxml")).drop("cxml")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+      .orderBy(col("lastmod_day").asc_nulls_first, col("loc_canon"),
+        col("k"), col("url_idx"))
+    entries
+      .withColumn("stale_rank", row_number().over(w).cast("long"))
+      .select(col("host"), col("k"), col("url_idx").as("entry_idx"),
+        col("loc_canon"), col("lastmod_raw"),
+        date_format(col("lastmod_day"), "yyyy-MM-dd").as("lastmod_day"),
+        col("stale_rank"))
+  }
+
+  val q162Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |$sitemapCtes,
+       |sle AS (
+       |  SELECT n, host, sm_idx, k, loc_idx,
+       |    ${graft.text.HtmlExtract.duckEntities(
+              graft.text.Sitemaps.duckEntryLoc("u"))} AS url,
+       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw
+       |  FROM sce),
+       |${UrlCanonical.duckCanonCtes("sle", "host, sm_idx, k, loc_idx, lastmod_raw", idn, "sc")},
+       |sp AS (
+       |  SELECT host, k, loc_idx, canon AS loc_canon, lastmod_raw,
+       |    ${graft.text.Sitemaps.duckLastmodDay("lastmod_raw")} AS d
+       |  FROM sc4)
+       |SELECT host, k, loc_idx AS entry_idx, loc_canon, lastmod_raw,
+       |  strftime(d, '%Y-%m-%d') AS lastmod_day,
+       |  CAST(row_number() OVER (PARTITION BY host
+       |    ORDER BY d ASC NULLS FIRST, loc_canon, k, loc_idx) AS BIGINT)
+       |    AS stale_rank
+       |FROM sp""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q162_recrawl_priority" -> q162RecrawlPriority,
+    "q161_sitemap_recursion" -> q161SitemapRecursion,
     "q160_zone_robots" -> q160ZoneRobotsGate,
     "q159_sitemap_frontier" -> q159SitemapFrontier,
     "q150_outlinks" -> q150Outlinks,
@@ -544,6 +805,8 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_recrawl_priority" -> q162Sql,
+    "q161_sitemap_recursion" -> q161Sql,
     "q160_zone_robots" -> q160Sql,
     "q159_sitemap_frontier" -> q159Sql,
     "q150_outlinks" -> q150Sql,

@@ -287,6 +287,74 @@ object WarcGz {
   def readSplit(spark: SparkSession, path: String, parallelism: Int = 0): DataFrame =
     readMembers(spark, memberIndex(spark, path), parallelism)
 
+  /** Decode each indexed member's bytes as UTF-8 TEXT — the generic
+    * (non-WARC) member consumer: gzipped SITEMAP files (r17's
+    * `.xml.gz` frontier, VERDICT r16 next #3), jsonl shards, any
+    * member-concatenated gz layout. Output
+    * (file, offset, member_idx, text, ok): member_idx is the member's
+    * ordinal IN ITS FILE (offset order — the walker emits members in
+    * file order, so the ordinal is stable and joinable); a member
+    * indexed ok=false or failing decode surfaces as one ok=false row
+    * with null text, never a dropped neighbor. Same task shape as
+    * [[readMembers]]: consecutive same-file members share one open
+    * stream, memory is bounded by ONE inflated member. */
+  def readMemberTexts(spark: SparkSession, index: DataFrame,
+                      parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    val hconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("offset"))
+    index.select(col("file"), col("offset"), col("length"), col("ok"))
+      .withColumn("member_idx",
+        (org.apache.spark.sql.functions.row_number().over(w) - 1).cast("long"))
+      .as[(String, Long, Long, Boolean, Long)]
+      .repartition(par)
+      .mapPartitions { it =>
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (in != null) { in.close(); in = null }
+          })
+        def open(file: String) = {
+          if (in != null) in.close()
+          val p = new org.apache.hadoop.fs.Path(file)
+          in = p.getFileSystem(hconf.value.value).open(p)
+          curFile = file
+        }
+        val out = it.map { case (file, offset, length, ok, idx) =>
+          if (!ok) (file, offset, idx, null: String, false)
+          else {
+            try {
+              if (file != curFile) open(file)
+              val bytes = new Array[Byte](length.toInt)
+              in.readFully(offset, bytes)
+              val gz = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val text = try new String(gz.readAllBytes(), "UTF-8")
+                finally gz.close()
+              (file, offset, idx, text, true)
+            } catch {
+              case _: java.io.IOException => (file, offset, idx, null: String, false)
+            }
+          }
+        }
+        new scala.collection.AbstractIterator[(String, Long, Long, String, Boolean)] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          override def next(): (String, Long, Long, String, Boolean) = out.next()
+        }
+      }
+      .toDF("file", "offset", "member_idx", "text", "ok")
+  }
+
   // ------------------------------------------------------------------
   // Persisted sidecar (VERDICT r15 missing #3 / next #4)
   // ------------------------------------------------------------------

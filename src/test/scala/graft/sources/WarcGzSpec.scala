@@ -170,4 +170,36 @@ class WarcGzSpec extends SparkTestBase {
       case (id, _) if id % Warc.MagicQuoteMod == 0 && id % Warc.TruncMod != 0 &&
         id % Warc.NoLenMod != 0 => s"${Warc.UriPrefix}$id" })
   }
+
+  test("readMemberTexts: ordinals follow file order; corrupt member isolates with null text") {
+    // three members: A, B, C — then corrupt B's bytes in place
+    val dir = scratchDir("gztext").toString
+    val path = new org.apache.hadoop.fs.Path(s"$dir/m.gz")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bos = new java.io.ByteArrayOutputStream()
+    for (t <- Seq("alpha", "bravo", "charlie")) {
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(t.getBytes("UTF-8")); gz.close()
+    }
+    val bytes = bos.toByteArray
+    // find the second member's start (the index tells us) and flip bytes
+    val out = fs.create(path, true); out.write(bytes); out.close()
+    val idx0 = WarcGz.memberIndex(spark, dir).as[WarcGz.Member]
+      .collect().sortBy(_.offset)
+    assert(idx0.length == 3 && idx0.forall(_.ok))
+    val b = bytes.clone()
+    val mid = idx0(1)
+    // corrupt the deflate stream body (skip the 10-byte header so the
+    // walker still sees a member boundary)
+    for (i <- (mid.offset + 10).toInt until (mid.offset + mid.length - 8).toInt)
+      b(i) = 0x55.toByte
+    val out2 = fs.create(path, true); out2.write(b); out2.close()
+    val got = WarcGz.readMemberTexts(spark, WarcGz.memberIndex(spark, dir))
+      .select(col("member_idx"), col("text"), col("ok"))
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L), s"ordinals: ${got.toSeq}")
+    assert(got(0) == (0L, "alpha", true))
+    assert(!got(1)._3 && got(1)._2 == null, s"corrupt member must isolate: ${got(1)}")
+    assert(got(2)._2 == "charlie" && got(2)._3, s"neighbor survives: ${got(2)}")
+  }
 }
