@@ -225,6 +225,80 @@ object CorpusOps {
        |WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0""".stripMargin
   }
 
+  // ------------------------- q163 WARC revisit-record resolution (r17)
+
+  private val revisitZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** How often the revisit zone emits a `revisit` record: every 7th
+    * doc gets a second capture that DEDUPLICATED against the capture
+    * 7 ids earlier (ISO 28500 §6.7 / the Common Crawl dedup layout:
+    * `WARC-Type: revisit` + `WARC-Refers-To-Target-URI`). */
+  private val RevisitMod = 7
+
+  /** A WARC zone where every doc has its response record AND every
+    * RevisitMod-th doc additionally a `revisit` record referring to
+    * doc_id − RevisitMod — both subject to the zone's usual corruption
+    * residues, so corrupt revisits drop like corrupt responses. */
+  private[queries] def revisitZoneFor(s: SparkSession, dir: String): String =
+    revisitZones.computeIfAbsent(dir, { d =>
+      import graft.sources.Warc.UriPrefix
+      val base = graft.TempArtifacts.dir("graft_warc_revisit")
+      val responses = Tables.documents(s, d).select(
+        col("doc_id"), col("text"),
+        concat(lit(UriPrefix), col("doc_id").cast("string")).as("url"),
+        lit("response").as("warc_type"), lit("").as("extra_headers"))
+      val revisits = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(RevisitMod)) === 0)
+        .select(col("doc_id"), lit("").as("text"),
+          concat(lit(UriPrefix), col("doc_id").cast("string")).as("url"),
+          lit("revisit").as("warc_type"),
+          concat(lit(s"WARC-Refers-To-Target-URI: $UriPrefix"),
+            (col("doc_id") - RevisitMod).cast("string"),
+            lit("\r\n")).as("extra_headers"))
+      graft.sources.Warc.synthesize(s,
+        responses.unionByName(revisits), base)
+      base
+    })
+
+  /** q163: WARC record-TYPE routing with revisit resolution
+    * (VERDICT r16 next #5) — `revisit` records route out of the
+    * content path and resolve against the capture they reference: one
+    * row per surviving revisit with its referenced URI and whether a
+    * VALID response record carries it (doc 0's earlier capture is the
+    * %97-corrupt record — unresolved; negative references don't
+    * exist — unresolved). One hash join response-urls ⋈ revisits, both
+    * sides doc-cardinality: the URL-dedup posture at scale. The oracle
+    * states survivors and reference targets directly from
+    * `documents`. */
+  def q163RevisitResolve(s: SparkSession, dir: String): DataFrame = {
+    val zone = revisitZoneFor(s, dir)
+    val recs = graft.sources.Warc.readRouting(s, zone)
+      .filter(col("is_valid"))
+    val targets = recs.filter(col("warc_type") === "response")
+      .select(col("url").as("__t")).distinct()
+    recs.filter(col("warc_type") === "revisit")
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("refers_to"))
+      .join(targets, col("refers_to") === col("__t"), "left")
+      .select(col("doc_id"), col("refers_to"),
+        col("__t").isNotNull.as("resolved"))
+  }
+
+  val q163Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod, UriPrefix}
+    s"""WITH rs AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0
+       |    AND doc_id % $MagicQuoteMod <> 0),
+       |rv AS (SELECT doc_id FROM rs WHERE doc_id % $RevisitMod = 0)
+       |SELECT r.doc_id,
+       |  '$UriPrefix' || (r.doc_id - $RevisitMod) AS refers_to,
+       |  (t.doc_id IS NOT NULL) AS resolved
+       |FROM rv r LEFT JOIN rs t ON t.doc_id = r.doc_id - $RevisitMod""".stripMargin
+  }
+
   // ------------------------------------- q149 NFKC text normalization
 
   /** The fixture's unicode vocabulary: compatibility characters a web
@@ -725,6 +799,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q163_revisit_resolve" -> q163RevisitResolve,
     "q152_warcgz_index" -> q152WarcGzStoredIndex,
     "q149_nfkc_normalize" -> q149NfkcNormalize,
     "q148_warcgz_read" -> q148WarcGzRead,
@@ -745,6 +820,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_revisit_resolve" -> q163Sql,
     "q152_warcgz_index" -> q136Sql,
     "q149_nfkc_normalize" -> q149Sql,
     "q148_warcgz_read" -> q136Sql,

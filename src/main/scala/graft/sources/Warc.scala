@@ -223,7 +223,16 @@ object Warc {
     * landing zones are discovered incrementally, and the parse is
     * stateless per record, so micro-batch boundaries cannot change the
     * output set). */
-  def parseChunks(chunks: DataFrame): DataFrame = {
+  def parseChunks(chunks: DataFrame): DataFrame = parseChunksWith(chunks, Nil)
+
+  /** [[parseChunks]] with EXTRA header columns appended — record-type
+    * routing needs headers the fixed schema drops (ISO 28500 §6.7.2:
+    * a `revisit` record's `WARC-Refers-To-Target-URI` names the
+    * earlier capture it deduplicated against). `extra` maps header
+    * name → output column, appended AFTER the base schema so existing
+    * consumers are position-stable. */
+  def parseChunksWith(chunks: DataFrame,
+                      extra: Seq[(String, String)]): DataFrame = {
     val chunk = col("value")
     // header block = everything before the first blank line; rest =
     // payload + the record-final "\r\n\r\n" (so the payload needs no
@@ -233,11 +242,12 @@ object Warc {
       raw"substr(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)")
     val hmap = str_to_map(headers, lit("\r\n"), lit(": "))
     val payload = expr(raw"substr(__rest, 1, length(__rest) - 4)")
+    val extraCols = extra.map { case (h, a) => col("__h").getItem(h).as(a) }
     chunks
       // the zone split at the magic leaves one empty head chunk per file
       .filter(length(chunk) > 0)
       .select(hmap.as("__h"), rest.as("__rest"), chunk.as("__chunk"))
-      .select(
+      .select(Seq(
         col("__h").getItem("WARC-Target-URI").as("url"),
         col("__h").getItem("WARC-Type").as("warc_type"),
         col("__h").getItem("WARC-Date").as("warc_date"),
@@ -261,8 +271,18 @@ object Warc {
           // the record terminator (found by the assemble-parity review)
           octet_length(col("__rest")) - 4 ===
             col("__h").getItem("Content-Length").cast("long")
-          ).as("is_valid"))
+          ).as("is_valid")) ++ extraCols: _*)
   }
+
+  /** Record-type-routing read: [[read]]'s schema plus `refers_to`
+    * (`WARC-Refers-To-Target-URI` — null on non-revisit records). The
+    * URL-dedup chain resolves `revisit` records against the capture
+    * they reference instead of treating them as content-bearing pages
+    * (VERDICT r16 next #5). */
+  def readRouting(spark: SparkSession, path: String): DataFrame =
+    parseChunksWith(
+      spark.read.option("lineSep", Magic).text(path),
+      Seq("WARC-Refers-To-Target-URI" -> "refers_to"))
 
   /** The curation-facing form: valid records only. */
   def readClean(spark: SparkSession, path: String): DataFrame =

@@ -268,4 +268,37 @@ class WarcSpec extends SparkTestBase {
         streamed.except(batch).count() == 0, s"gz=$gz")
     }
   }
+
+  test("revisit routing: warc_type + refers_to surface; corrupt revisits drop; resolution is by VALID targets") {
+    val dir = scratchDir("warc_revisit").toString
+    val responses = Seq(1L, 2L, 8L, 97L).map(i => (i, s"body $i",
+      s"${Warc.UriPrefix}$i", "response", ""))
+    // revisit 8 → 1 (resolves), revisit 9 → 97 (target is CORRUPT →
+    // unresolved), revisit 89 → 2 (the revisit ITSELF is corrupt → drops)
+    val revisits = Seq(
+      (8L, "", s"${Warc.UriPrefix}8", "revisit",
+        s"WARC-Refers-To-Target-URI: ${Warc.UriPrefix}1\r\n"),
+      (9L, "", s"${Warc.UriPrefix}9", "revisit",
+        s"WARC-Refers-To-Target-URI: ${Warc.UriPrefix}97\r\n"),
+      (89L, "", s"${Warc.UriPrefix}89", "revisit",
+        s"WARC-Refers-To-Target-URI: ${Warc.UriPrefix}2\r\n"))
+    Warc.synthesize(spark,
+      (responses ++ revisits).toDF("doc_id", "text", "url", "warc_type", "extra_headers"),
+      dir, nFiles = 1)
+    val recs = Warc.readRouting(spark, dir).filter(col("is_valid"))
+    val types = recs.select(col("warc_type")).as[String].collect().toSeq
+    assert(types.count(_ == "revisit") == 2, s"corrupt revisit must drop: $types")
+    val targets = recs.filter(col("warc_type") === "response")
+      .select(col("url").as("__t")).distinct()
+    val resolved = recs.filter(col("warc_type") === "revisit")
+      .join(targets, col("refers_to") === col("__t"), "left")
+      .select(col("url"), col("refers_to"), col("__t").isNotNull)
+      .as[(String, String, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(resolved == Seq(
+      (s"${Warc.UriPrefix}8", s"${Warc.UriPrefix}1", true),
+      (s"${Warc.UriPrefix}9", s"${Warc.UriPrefix}97", false)), s"got $resolved")
+    // non-revisit records carry a null refers_to
+    assert(recs.filter(col("warc_type") === "response")
+      .filter(col("refers_to").isNotNull).count() == 0)
+  }
 }
