@@ -473,6 +473,11 @@ object CorpusOps {
       // literal), unknown name (stays literal), nbsp-as-whitespace
       lit("<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; "
         + "&#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 "), id, lit("</p>"),
+      // HTML5-only names (r17): ASCII alias, supplementary-plane math
+      // alphabets, Cyrillic, Latin Extended-A, var-Greek, dingbat —
+      // plus a multi-codepoint-only name that must stay literal
+      lit("<p>&excl; &Ascr;rt &Bopf;old &pfr;age &acy;&zhcy;&SHCHcy; "
+        + "&Amacr;cron &varphi; &checkmark; &numero;5 &NotLessLess; "), id, lit("</p>"),
       lit("</body></html>"))
   }
 
@@ -492,6 +497,7 @@ object CorpusOps {
       |'<a href="http://ext.example:8080/e/?z=2&amp;a=%7e#f">ext</a> <a href="?lang=en">q</a> <a href="mailto:x@example.org">mail</a> <a href=''/squote/page''>sq</a> <a href="#top">self</a> <a href="">empty</a></p>' ||
       |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
       |'<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; &#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 ' || doc_id || '</p>' ||
+      |'<p>&excl; &Ascr;rt &Bopf;old &pfr;age &acy;&zhcy;&SHCHcy; &Amacr;cron &varphi; &checkmark; &numero;5 &NotLessLess; ' || doc_id || '</p>' ||
       |'</body></html>'""".stripMargin.replace("\n", " ")
 
   /** A WARC zone whose payloads are the HTML pages (the real crawl

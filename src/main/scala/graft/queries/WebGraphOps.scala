@@ -191,7 +191,8 @@ object WebGraphOps {
 
   val q155Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${CorpusOps.htmlInCtes},
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
        |al AS (
        |  SELECT doc_id, ${HtmlExtract.duckAnchors("html")} AS l FROM hin),
@@ -203,7 +204,7 @@ object WebGraphOps {
        |    SELECT doc_id, link_idx,
        |      ${HtmlExtract.duckEntities(HtmlExtract.duckAnchorHref("a"))} AS href,
        |      ${HtmlExtract.duckAnchorText("a")} AS anchor_text
-       |    FROM ax)
+       |    FROM ax, entmap)
        |  WHERE NOT (regexp_matches(href, '$SchemeLike')
        |             AND NOT regexp_matches(href, '$Hierarchical'))),
        |rin AS (
@@ -271,7 +272,8 @@ object WebGraphOps {
     * reusable prefix q151 builds on. */
   private def outlinkCtePrefix: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""${CorpusOps.htmlInCtes},
+    s"""${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
        |hl AS (
        |  SELECT doc_id, ${HtmlExtract.duckHrefs("html")} AS l FROM hin),
@@ -282,7 +284,7 @@ object WebGraphOps {
        |  SELECT * FROM (
        |    SELECT doc_id, link_idx,
        |      ${HtmlExtract.duckEntities("rawref")} AS href
-       |    FROM lx)
+       |    FROM lx, entmap)
        |  WHERE NOT (regexp_matches(href, '$SchemeLike')
        |             AND NOT regexp_matches(href, '$Hierarchical'))),
        |rin AS (
@@ -422,7 +424,8 @@ object WebGraphOps {
 
   val q159Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${CorpusOps.messyUrlMkCte},
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
        |dh AS (
        |  SELECT doc_id, canon, ${UrlCanonical.duckHostOf("canon")} AS host
@@ -442,7 +445,7 @@ object WebGraphOps {
        |ld AS (
        |  SELECT host, loc_idx,
        |    ${graft.text.HtmlExtract.duckEntities("rawloc")} AS url
-       |  FROM lx),
+       |  FROM lx, entmap),
        |${UrlCanonical.duckCanonCtes("ld", "host, loc_idx", idn, "d")},
        |cc AS (SELECT DISTINCT canon FROM dh)
        |SELECT d4.host, d4.loc_idx, d4.canon AS loc_canon,
@@ -731,14 +734,15 @@ object WebGraphOps {
 
   val q161Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${CorpusOps.messyUrlMkCte},
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
        |$sitemapCtes,
        |sld AS (
        |  SELECT n, host, sm_idx, k, loc_idx,
        |    ${graft.text.HtmlExtract.duckEntities(
               graft.text.Sitemaps.duckEntryLoc("u"))} AS url
-       |  FROM sce),
+       |  FROM sce, entmap),
        |${UrlCanonical.duckCanonCtes("sld", "host, sm_idx, k, loc_idx", idn, "sc")},
        |cc AS (SELECT DISTINCT canon FROM s4)
        |SELECT sc4.host, sc4.sm_idx, sc4.k, sc4.loc_idx,
@@ -770,7 +774,8 @@ object WebGraphOps {
 
   val q162Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${CorpusOps.messyUrlMkCte},
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
        |$sitemapCtes,
        |sle AS (
@@ -778,7 +783,7 @@ object WebGraphOps {
        |    ${graft.text.HtmlExtract.duckEntities(
               graft.text.Sitemaps.duckEntryLoc("u"))} AS url,
        |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw
-       |  FROM sce),
+       |  FROM sce, entmap),
        |${UrlCanonical.duckCanonCtes("sle", "host, sm_idx, k, loc_idx, lastmod_raw", idn, "sc")},
        |sp AS (
        |  SELECT host, k, loc_idx, canon AS loc_canon, lastmod_raw,

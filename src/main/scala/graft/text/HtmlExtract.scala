@@ -230,12 +230,24 @@ object HtmlExtract {
   // drift (the UrlCanonical.duckCanonCtes discipline)
   // ------------------------------------------------------------------
 
+  /** The named-reference map as a one-row CTE (`entmap(__entmap)`),
+    * GENERATED from the same [[HtmlEntities.Codepoints]] table. Every
+    * query whose twins decode entities includes this CTE once and
+    * cross-joins it where the decode runs: DuckDB rebuilds an INLINE
+    * map literal per lambda evaluation (r17 measurement: the ~890-name
+    * table inline was ~400× slower than the cross-joined column — 16.5
+    * vs 0.04 s on a 4k-row probe), so the map must be built once per
+    * query, not once per piece. */
+  def duckEntmapCte: String =
+    s"entmap AS (SELECT ${HtmlEntities.duckMapSql} AS __entmap)"
+
   /** DuckDB spelling of [[decodeEntities]] over `e`: the same
     * '&'-sentinel split; numeric scalars through DuckDB's native
-    * full-Unicode `chr` (the `uchr` twin), named references through a
-    * MAP literal GENERATED from the same [[HtmlEntities.Codepoints]]
-    * table (TRY_CAST everywhere a '' extraction could reach a cast —
-    * DuckDB's vectorized conjunctions don't promise short-circuit). */
+    * full-Unicode `chr` (the `uchr` twin), named references through
+    * the `__entmap` column ([[duckEntmapCte]] — the enclosing SELECT
+    * must cross-join `entmap`; TRY_CAST everywhere a '' extraction
+    * could reach a cast — DuckDB's vectorized conjunctions don't
+    * promise short-circuit). */
   def duckEntities(e: String): String = {
     val dec = "regexp_extract(p, '^&#([0-9]{1,7});', 1)"
     val hex = "regexp_extract(p, '^&#[xX]([0-9a-fA-F]{1,6});', 1)"
@@ -252,8 +264,8 @@ object HtmlExtract {
        |        WHEN $hex <> '' AND ${valid(hexCode)}
        |          THEN chr($hexCode::INT) || substr(p, length($hex) + 5)
        |        WHEN $nm <> ''
-       |             AND coalesce((${HtmlEntities.duckMapSql})[$nm][1], '') <> ''
-       |          THEN (${HtmlEntities.duckMapSql})[$nm][1] || substr(p, length($nm) + 3)
+       |             AND coalesce((__entmap)[$nm][1], '') <> ''
+       |          THEN (__entmap)[$nm][1] || substr(p, length($nm) + 3)
        |        ELSE p END), '')""".stripMargin
   }
 
@@ -274,7 +286,8 @@ object HtmlExtract {
     * sequential passes in the same order on both engines (DropPats) —
     * identical by construction, not merely same-fixpoint. */
   def duckBlockCtes(inputCte: String, idCol: String): String =
-    s"""hd AS (
+    s"""$duckEntmapCte,
+       |hd AS (
        |  SELECT $idCol, ${duckDescript("html")} AS h
        |  FROM $inputCte),
        |hf AS (
@@ -291,7 +304,7 @@ object HtmlExtract {
        |    coalesce(list_sum(list_transform(
        |      regexp_extract_all(frag, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
        |      a -> length(${duckVisible("a")}))), 0)::BIGINT AS lc
-       |  FROM hx),
+       |  FROM hx, entmap),
        |hb AS (
        |  SELECT $idCol, block_idx, block_text,
        |    length(block_text)::BIGINT AS n_chars,

@@ -136,6 +136,15 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(pairs == Seq(("/single", "one"), ("/double", "two")), s"got $pairs")
   }
 
+  test("HTML5 names decode: ASCII alias, supplementary-plane alphabets, Cyrillic; multi-codepoint names stay literal") {
+    val df = Seq((1L,
+      "&excl; &Ascr; &Bopf; &acy;&zhcy; &Amacr; &varphi; &checkmark; &NotLessLess;"))
+      .toDF("doc_id", "html")
+    val got = df.select(HtmlExtract.decodeEntities(col("html"))).as[String].head()
+    assert(got == "! 𝒜 𝔹 аж Ā ϕ ✓ &NotLessLess;",
+      s"got ${got.toSeq.map(_.toInt.toHexString)}")
+  }
+
   test("attributes merely ending in href (data-href) never capture the target") {
     // ADVICE r16: the lazy [^>]*?href stopped at the FIRST 'href'
     // substring — <a data-href="/wrong" href="/right"> yielded /wrong
