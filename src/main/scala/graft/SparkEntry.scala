@@ -65,5 +65,7 @@ object SparkEntry {
     "q140_html_blocks", "q143_curation_e2e", "q145_html_stream",
     "q146_quality_stream", "q147_bpe_pack", "q148_warcgz_read",
     "q150_outlinks", "q151_host_rank", "q152_warcgz_index",
-    "q154_warcgz_stream", "q155_anchor_text", "q156_rank_quota")
+    "q154_warcgz_stream", "q155_anchor_text", "q156_rank_quota",
+    "q160_zone_robots", "q161_sitemap_recursion", "q162_recrawl_priority",
+    "q163_revisit_resolve")
 }

@@ -133,12 +133,19 @@ object Robots {
     val applicable = exact.unionByName(
       star.join(hostsWithExact, Seq("host"), "left_anti"))
     // the LIKE pattern is precomputed INSIDE the joined relation
-    // (host-bounded rows), so the per-doc probe is one LIKE evaluation
-    val r = graft.operators.AdaptiveJoin.broadcastIfSmall(
+    // (host-bounded rows), so the per-doc probe is one LIKE evaluation.
+    // The relation is eagerly CHECKPOINTED before the strategy choice:
+    // its rows are host-cardinality but its LINEAGE can be a whole-zone
+    // scan (q160 reads robots captures out of the WARC zone), and the
+    // adaptive count must never re-run that scan — one materialization
+    // feeds both the count and the join (r17, found by the bench A/B:
+    // the un-checkpointed count doubled q158's lineage).
+    val ck = graft.Checkpoints.eager(
       applicable.select(col("host").as("__rh"),
-      col("rule").as("__rule"), col("path").as("__rpath"),
-      likePattern(col("path")).as("__rpat"),
-      col("idx").as("__ridx")))
+        col("rule").as("__rule"), col("path").as("__rpath"),
+        likePattern(col("path")).as("__rpat"),
+        col("idx").as("__ridx")))
+    val r = graft.operators.AdaptiveJoin.broadcastIfSmall(ck)
     val j = docs.join(r,
       col(hostCol) === col("__rh") &&
         expr(s"$pathCol LIKE __rpat ESCAPE '!'"), "left")
