@@ -475,7 +475,7 @@ object CorpusOps {
         + "&#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 "), id, lit("</p>"),
       // HTML5-only names (r17): ASCII alias, supplementary-plane math
       // alphabets, Cyrillic, Latin Extended-A, var-Greek, dingbat —
-      // plus a multi-codepoint-only name that must stay literal
+      // plus a MULTI-codepoint name (&NotLessLess; → U+226A U+0338)
       lit("<p>&excl; &Ascr;rt &Bopf;old &pfr;age &acy;&zhcy;&SHCHcy; "
         + "&Amacr;cron &varphi; &checkmark; &numero;5 &NotLessLess; "), id, lit("</p>"),
       lit("</body></html>"))

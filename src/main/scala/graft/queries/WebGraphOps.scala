@@ -481,8 +481,18 @@ object WebGraphOps {
         .select(
           when(col("n") === 5, lit(97L)).otherwise(col("n") + 1)
             .cast("long").as("doc_id"),
-          when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
-            .otherwise(lit(OddRobots)).as("text"),
+          // each capture also declares its sitemaps (r17, q164): one
+          // canonical-spelling URL and one shouting-case default-port
+          // variant the canonicalizer must collapse; the rule parser
+          // must keep IGNORING these lines (q160's verdicts are
+          // unchanged — its oracle rebuilds rules WITHOUT them)
+          concat(
+            when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
+              .otherwise(lit(OddRobots)),
+            lit("\nSitemap: http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-index.xml"),
+            lit("\nSitemap: HTTP://SITE"), col("n").cast("string"),
+            lit(".XN--BCHER-KVA.EXAMPLE:80/Dup.xml")).as("text"),
           concat(lit("http://site"), col("n").cast("string"),
             lit(".xn--bcher-kva.example/robots.txt")).as("url"))
       graft.sources.Warc.synthesize(s, pages.unionByName(robots), base)
@@ -500,12 +510,16 @@ object WebGraphOps {
     * that missed a capture, or a fail-open default that leaked a rule
     * all hash-mismatch. Composed on the clean operator API
     * (ruleSet/allowed), no fixture-parity arithmetic in the query. */
-  def q160ZoneRobotsGate(s: SparkSession, dir: String): DataFrame = {
-    val zone = robotsZoneFor(s, dir)
-    val robots = graft.sources.Warc.readExactClean(s, zone)
+  /** The zone's surviving robots captures as (host, txt) — shared by
+    * q160/q164/q165. */
+  private def zoneRobotsTexts(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readExactClean(s, robotsZoneFor(s, dir))
       .filter(endswith(col("url"), lit("/robots.txt")))
       .select(UrlCanonical.hostOfCanon(col("url")).as("host"),
         col("payload").as("txt"))
+
+  def q160ZoneRobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val robots = zoneRobotsTexts(s, dir)
     val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -797,7 +811,123 @@ object WebGraphOps {
        |FROM sp""".stripMargin
   }
 
+  // -------------- q164 robots 'Sitemap:' discovery (r17, beyond plan)
+
+  /** q164: sitemap DISCOVERY from the zone's robots captures — the
+    * `Sitemap:` directive is how origins declare their sitemaps
+    * (sitemaps.org discovery; group-independent per RFC 9309), and a
+    * real frontier build starts exactly here: robots.txt → sitemap
+    * URLs → index recursion (q161) → locs. One row per directive in
+    * document order, the URL canonicalized into the engine's key space
+    * (the fixture's second, SHOUTING-case default-port variant must
+    * collapse onto the same host, path case kept). Host 5's corrupt
+    * capture contributes nothing. */
+  def q164RobotsSitemaps(s: SparkSession, dir: String): DataFrame = {
+    val robots = zoneRobotsTexts(s, dir)
+    graft.text.Robots.sitemaps(robots, col("host"), col("txt"))
+      .withColumn("sitemap_canon",
+        UrlCanonical.canonicalize(col("sitemap_url")))
+  }
+
+  val q164Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents),
+       |rt AS (
+       |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    (CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
+       |          ELSE ${sqlTextLit(OddRobots)} END) ||
+       |    chr(10) || 'Sitemap: http://site' || n ||
+       |    '.xn--bcher-kva.example/sm-index.xml' ||
+       |    chr(10) || 'Sitemap: HTTP://SITE' || n ||
+       |    '.XN--BCHER-KVA.EXAMPLE:80/Dup.xml' AS txt
+       |  FROM hn WHERE n <> 5),
+       |${graft.text.Robots.duckSitemapsCtes("rt")},
+       |smu AS (SELECT host, sm_idx, sitemap_url,
+       |          sitemap_url AS url FROM rb_sm),
+       |${UrlCanonical.duckCanonCtes("smu", "host, sm_idx, sitemap_url", idn, "sm")}
+       |SELECT host, sm_idx, sitemap_url, canon AS sitemap_canon FROM sm4""".stripMargin
+  }
+
+  // ------------- q165 robots-gated crawl schedule (r17, beyond plan)
+
+  /** Per-host politeness rate: entries per crawl slot. */
+  private val CrawlRate = 4L
+
+  /** q165: the COMPOSED crawl schedule — the q162 staleness frontier
+    * gated by the ZONE-sourced robots rules (q160's captures; host 5
+    * fails open) and bucketed into per-host politeness SLOTS
+    * (slot = (crawl_rank − 1) div CrawlRate — a crawler that fetches
+    * CrawlRate URLs per host per scheduling window). This is the chain
+    * a real recrawl scheduler runs: sitemap entries → lastmod
+    * staleness → robots compliance → rate-limited order. Disallowed
+    * entries drop BEFORE ranking, so ranks are dense within the
+    * crawlable set; slot division is non-negative (truncate ≡ floor on
+    * both engines). */
+  def q165CrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val entries = graft.text.Sitemaps.urlEntries(
+      childSitemaps(s, dir), col("cxml")).drop("cxml")
+      .withColumn("entry_key",
+        concat(col("host"), lit("|"), col("k").cast("string"),
+          lit("|"), col("url_idx").cast("string")))
+      .withColumn("path", UrlCanonical.pathQueryOfCanon(col("loc_canon")))
+    val rs = graft.text.Robots.ruleSet(
+      zoneRobotsTexts(s, dir), col("host"), col("txt"))
+    val gated = graft.text.Robots.allowed(entries, rs, RobotsAgent,
+        keyCol = "entry_key")
+      .filter(col("allowed"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+      .orderBy(col("lastmod_day").asc_nulls_first, col("loc_canon"),
+        col("k"), col("url_idx"))
+    gated
+      .withColumn("crawl_rank", row_number().over(w).cast("long"))
+      .select(col("host"), col("k"), col("url_idx").as("entry_idx"),
+        col("loc_canon"),
+        date_format(col("lastmod_day"), "yyyy-MM-dd").as("lastmod_day"),
+        col("rule"), col("crawl_rank"),
+        expr(s"(crawl_rank - 1) div $CrawlRate").as("slot"))
+  }
+
+  val q165Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |$sitemapCtes,
+       |sle AS (
+       |  SELECT n, host, sm_idx, k, loc_idx,
+       |    ${graft.text.HtmlExtract.duckEntities(
+              graft.text.Sitemaps.duckEntryLoc("u"))} AS url,
+       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw
+       |  FROM sce, entmap),
+       |${UrlCanonical.duckCanonCtes("sle", "host, sm_idx, k, loc_idx, lastmod_raw", idn, "sc")},
+       |fd AS (
+       |  SELECT host || '|' || k || '|' || loc_idx AS entry_key,
+       |    host, k, loc_idx, canon AS loc_canon, lastmod_raw,
+       |    ${graft.text.Sitemaps.duckLastmodDay("lastmod_raw")} AS d,
+       |    ${UrlCanonical.duckPathQueryOf("canon")} AS path
+       |  FROM sc4),
+       |rt AS (
+       |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
+       |         ELSE ${sqlTextLit(OddRobots)} END AS txt
+       |  FROM (SELECT DISTINCT doc_id % 13 AS n FROM documents)
+       |  WHERE n <> 5),
+       |${graft.text.Robots.duckRobotsCtes("rt", "fd", RobotsAgent, "entry_key")}
+       |SELECT f.host, f.k, f.loc_idx AS entry_idx, f.loc_canon,
+       |  strftime(f.d, '%Y-%m-%d') AS lastmod_day, o.rule,
+       |  CAST(row_number() OVER (PARTITION BY f.host
+       |    ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
+       |    AS BIGINT) AS crawl_rank,
+       |  (CAST(row_number() OVER (PARTITION BY f.host
+       |    ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
+       |    AS BIGINT) - 1) // $CrawlRate AS slot
+       |FROM fd f JOIN rb_out o USING (entry_key)
+       |WHERE o.allowed""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q165_crawl_schedule" -> q165CrawlSchedule,
+    "q164_robots_sitemaps" -> q164RobotsSitemaps,
     "q162_recrawl_priority" -> q162RecrawlPriority,
     "q161_sitemap_recursion" -> q161SitemapRecursion,
     "q160_zone_robots" -> q160ZoneRobotsGate,
@@ -810,6 +940,8 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_crawl_schedule" -> q165Sql,
+    "q164_robots_sitemaps" -> q164Sql,
     "q162_recrawl_priority" -> q162Sql,
     "q161_sitemap_recursion" -> q161Sql,
     "q160_zone_robots" -> q160Sql,

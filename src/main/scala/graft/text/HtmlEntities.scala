@@ -21,12 +21,14 @@ package graft.text
   * literal — the q149 discipline (ground truth generated at build time
   * from the single shared source, never typed twice).
   *
-  * Remaining scope: HTML5 names decoding to MULTI-codepoint sequences
-  * (`&NotLessLess;` → U+226A U+0338, ~90 names) and the rarely-seen
-  * negated-relation tail stay out; both pass through as literal text,
-  * and the table stays additive — extending it changes no machinery on
-  * either engine. (Names are case-SENSITIVE per spec: `&cdot;` is ċ,
-  * Latin c-dot-above, not the math operator — that one is `&sdot;`.)
+  * MULTI-codepoint names ride the same string-valued lookup
+  * ([[MultiCodepoint]] — `&NotLessLess;` → U+226A U+0338, the
+  * high-confidence subset). Remaining scope: the rarely-seen
+  * negated-relation long tail stays out and passes through as literal
+  * text; the table stays additive — extending it changes no machinery
+  * on either engine. (Names are case-SENSITIVE per spec: `&cdot;` is
+  * ċ, Latin c-dot-above, not the math operator — that one is
+  * `&sdot;`.)
   */
 object HtmlEntities {
 
@@ -339,18 +341,35 @@ object HtmlEntities {
     "spades" -> 9824, "clubs" -> 9827, "hearts" -> 9829, "diams" -> 9830) ++
     Html5Misc ++ LatinExtA ++ Cyrillic ++ MathAlphabets
 
+  /** HTML5 names decoding to MULTI-codepoint sequences — the
+    * high-confidence subset (r17; the negated-relation long tail stays
+    * out of scope). The named-lookup machinery is string-valued on
+    * both engines, so these ride the same path as single-codepoint
+    * names. */
+  val MultiCodepoint: Seq[(String, String)] = Seq(
+    "fjlig" -> "fj",                             // no FJ ligature codepoint exists
+    "ThickSpace" -> "\u205F\u200A",              // MMSP + hair space
+    "NotLessLess" -> "\u226A\u0338",             // much-less-than + combining solidus
+    "NotGreaterGreater" -> "\u226B\u0338",
+    "nLtv" -> "\u226A\u0338",
+    "nGtv" -> "\u226B\u0338")
+
   /** name → decoded string (derived, the engine-side map's source). */
   val Table: Seq[(String, String)] =
-    Codepoints.map { case (n, cp) => n -> new String(Character.toChars(cp)) }
+    Codepoints.map { case (n, cp) => n -> new String(Character.toChars(cp)) } ++
+      MultiCodepoint
 
   /** The same table as a DuckDB MAP literal (generated — never typed a
-    * second time). Values go through chr(codepoint), so the oracle's
+    * second time). Values go through chr(codepoint) — concatenated
+    * chr() calls for the multi-codepoint names — so the oracle's
     * decoded strings come from DuckDB's own codepoint emitter exactly
     * as the engine's come from Character.toChars. */
   lazy val duckMapSql: String = {
-    val entries = Codepoints
-      .map { case (n, cp) => s"'$n': chr($cp)" }
-      .mkString(", ")
-    s"MAP {$entries}"
+    val single = Codepoints.map { case (n, cp) => s"'$n': chr($cp)" }
+    val multi = MultiCodepoint.map { case (n, s) =>
+      val chrs = s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+      s"'$n': $chrs"
+    }
+    s"MAP {${(single ++ multi).mkString(", ")}}"
   }
 }

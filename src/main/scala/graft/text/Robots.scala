@@ -91,6 +91,47 @@ object Robots {
       .select(col("host"), col("agent"), col("rule"), col("path"), col("idx"))
   }
 
+  /** `Sitemap:` directive extraction (r17) — the OTHER thing robots.txt
+    * declares besides rules: where the host's sitemaps live
+    * (sitemaps.org discovery; RFC 9309 treats the line as an
+    * other-record, GROUP-INDEPENDENT — it applies regardless of any
+    * User-agent group, so extraction ignores group structure
+    * entirely). One row per directive in document order:
+    * (host, sm_idx, sitemap_url). The URL keeps its case (only the
+    * directive NAME is case-insensitive); blank values drop. */
+  def sitemaps(robots: DataFrame, hostCol: Column, txtCol: Column): DataFrame = {
+    val lines = robots.select(hostCol.as("host"),
+      posexplode(split(txtCol, "\r?\n")).as(Seq("idx", "raw")))
+    val line = trim(substring_index(col("raw"), "#", 1))
+    val directive = lower(trim(substring_index(line, ":", 1)))
+    val value = trim(UrlCanonical.substrFrom(line,
+      length(substring_index(line, ":", 1)) + lit(2)))
+    val w = Window.partitionBy(col("host")).orderBy(col("idx"))
+    lines.select(col("host"), col("idx"), directive.as("d"), value.as("v"))
+      .filter(col("d") === "sitemap" && col("v") =!= "")
+      .withColumn("sm_idx", (row_number().over(w) - 1).cast("long"))
+      .select(col("host"), col("sm_idx"), col("v").as("sitemap_url"))
+  }
+
+  /** DuckDB twin of [[sitemaps]] over `robotsCte (host, txt)` →
+    * exposes `rb_sm (host, sm_idx, sitemap_url)`. */
+  def duckSitemapsCtes(robotsCte: String): String =
+    s"""rb_sln AS (
+       |  SELECT host, unnest(range(len(l))) AS idx, unnest(l) AS raw
+       |  FROM (SELECT host, string_split(replace(txt, chr(13) || chr(10), chr(10)),
+       |                                  chr(10)) AS l FROM $robotsCte)),
+       |rb_sp AS (
+       |  SELECT host, idx,
+       |    lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) AS d,
+       |    trim(substr(trim(string_split(raw, '#')[1]),
+       |      length(string_split(trim(string_split(raw, '#')[1]), ':')[1]) + 2)) AS v
+       |  FROM rb_sln),
+       |rb_sm AS (
+       |  SELECT host,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY idx) - 1 AS BIGINT) AS sm_idx,
+       |    v AS sitemap_url
+       |  FROM rb_sp WHERE d = 'sitemap' AND v <> '')""".stripMargin
+
   /** A rule path as a LIKE pattern (escape char `!`): `*` → `%`, a
     * trailing `$` anchors (no trailing `%`), literal `%`/`_`/`!`
     * escaped. Prefix anchoring is LIKE's own left anchor. */

@@ -25,6 +25,20 @@ class HtmlEntitiesSpec extends AnyFunSuite {
       s"expected the extended table, got ${HtmlEntities.Codepoints.size}")
   }
 
+  test("multi-codepoint names: unique vs the codepoint table, valid names, expected values") {
+    val names = HtmlEntities.Table.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size > 1)
+    assert(names.isEmpty, s"conflicting names across tables: $names")
+    HtmlEntities.MultiCodepoint.foreach { case (n, v) =>
+      assert(n.matches("[a-zA-Z][a-zA-Z0-9]{1,31}"), n)
+      assert(v.codePointCount(0, v.length) == 2, s"$n should be 2 codepoints")
+    }
+    val t = HtmlEntities.Table.toMap
+    assert(t("fjlig") == "fj")
+    assert(t("NotLessLess") == "\u226A\u0338")
+    assert(t("ThickSpace") == "\u205F\u200A")
+  }
+
   test("math alphabets: regular block offsets with the letterlike exceptions") {
     assert(m("Ascr") == 0x1D49C && m("Zscr") == 0x1D4B5)
     assert(m("Bscr") == 0x212C && m("Escr") == 0x2130 && m("Hscr") == 0x210B

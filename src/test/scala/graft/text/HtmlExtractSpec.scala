@@ -136,12 +136,12 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(pairs == Seq(("/single", "one"), ("/double", "two")), s"got $pairs")
   }
 
-  test("HTML5 names decode: ASCII alias, supplementary-plane alphabets, Cyrillic; multi-codepoint names stay literal") {
+  test("HTML5 names decode: ASCII alias, supplementary-plane alphabets, Cyrillic, MULTI-codepoint; unknown stays literal") {
     val df = Seq((1L,
-      "&excl; &Ascr; &Bopf; &acy;&zhcy; &Amacr; &varphi; &checkmark; &NotLessLess;"))
+      "&excl; &Ascr; &Bopf; &acy;&zhcy; &Amacr; &varphi; &checkmark; &NotLessLess; &NotARealRef;"))
       .toDF("doc_id", "html")
     val got = df.select(HtmlExtract.decodeEntities(col("html"))).as[String].head()
-    assert(got == "! 𝒜 𝔹 аж Ā ϕ ✓ &NotLessLess;",
+    assert(got == "! 𝒜 𝔹 аж Ā ϕ ✓ ≪̸ &NotARealRef;",
       s"got ${got.toSeq.map(_.toInt.toHexString)}")
   }
 

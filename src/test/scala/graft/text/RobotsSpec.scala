@@ -133,6 +133,29 @@ class RobotsSpec extends SparkTestBase {
     assert(got(5L) == (true, ""))
   }
 
+  test("Sitemap: directives extract group-independently, case kept, document order") {
+    val txt = Seq(
+      "Sitemap: http://h.example/Pre-Group.xml",   // before any group
+      "User-agent: bot",
+      "Disallow: /x",
+      "sitemap: HTTP://h.example/Mixed.xml",       // name case-insensitive
+      "",
+      "User-agent: *",
+      "Sitemap: http://h.example/in-star.xml",
+      "Sitemap:").mkString("\r\n")                 // blank value drops
+    val robots = Seq(("h.example", txt)).toDF("host", "txt")
+    val got = Robots.sitemaps(robots, col("host"), col("txt"))
+      .select(col("sm_idx"), col("sitemap_url"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      0L -> "http://h.example/Pre-Group.xml",
+      1L -> "HTTP://h.example/Mixed.xml",
+      2L -> "http://h.example/in-star.xml"), s"got $got")
+    // and the rule parser keeps ignoring the directive
+    val verdict = verdicts(txt, "bot", 1L -> "/x/1", 2L -> "/free")
+    assert(verdict(1L) == (false, "/x") && verdict(2L) == (true, ""))
+  }
+
   test("comments, unknown directives, empty values and case-insensitive names") {
     val txt = Seq(
       "USER-AGENT: Bot   # product token, case-insensitive",
