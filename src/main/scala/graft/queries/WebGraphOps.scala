@@ -117,9 +117,13 @@ object WebGraphOps {
       Portable.h60(col("src_host")).as("src"),
       Portable.h60(col("dst_host")).as("dst"),
       col("src_host"), col("dst_host")))
-    val names = edges.select(col("src").as("node"), col("src_host").as("host"))
-      .unionByName(edges.select(col("dst").as("node"), col("dst_host").as("host")))
-      .distinct()
+    // scope-cached: the adaptive strategy COUNT and the name join both
+    // consume this relation — uncached, the distinct ran twice (the
+    // r17 q156 A/B's 1.2× attribution)
+    val names = scope.cache(
+      edges.select(col("src").as("node"), col("src_host").as("host"))
+        .unionByName(edges.select(col("dst").as("node"), col("dst_host").as("host")))
+        .distinct())
     val ranks = PageRank.run(edges.select(col("src"), col("dst")),
       "src", "dst", Iterations, scale = Scale, scope = Some(scope))
     // names is HOST-cardinality: broadcast only under the measured
