@@ -482,4 +482,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"no global sort:\n$p")
   }
 
+
+  test("q160 zone robots: rule probe is a hash join (equi on host, LIKE as condition) — never nested-loop/cartesian") {
+    val p = plan(WebGraphOps.q160ZoneRobotsGate(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the LIKE must ride the host equi-join as a condition, not a nested loop:\n$p")
+    assert(countOf(p, "Window [") >= 1, "per-doc winner window present")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
+
+  test("q161 sitemap recursion: member resolution is an equi-join; no cartesian, no global sort") {
+    val p = plan(WebGraphOps.q161SitemapRecursion(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"child-to-member resolution must be an equi-join:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
+
+  test("q162 recrawl priority: ONE per-host window, no global sort") {
+    val p = plan(WebGraphOps.q162RecrawlPriority(spark, dir))
+    assert(countOf(p, "Exchange rangepartitioning") == 0,
+      s"staleness rank must be per-host, never a global sort:\n$p")
+    assert(p.contains("Window ["), "per-host rank window present")
+  }
+
+  test("q165 crawl schedule: equi-joins + per-host windows only") {
+    val p = plan(WebGraphOps.q165CrawlSchedule(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"robots gating must stay on the host equi-join:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
 }
