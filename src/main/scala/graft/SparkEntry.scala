@@ -67,5 +67,6 @@ object SparkEntry {
     "q150_outlinks", "q151_host_rank", "q152_warcgz_index",
     "q154_warcgz_stream", "q155_anchor_text", "q156_rank_quota",
     "q160_zone_robots", "q161_sitemap_recursion", "q162_recrawl_priority",
-    "q163_revisit_resolve", "q164_robots_sitemaps", "q165_crawl_schedule")
+    "q163_revisit_resolve", "q164_robots_sitemaps", "q165_crawl_schedule",
+    "q166_wet_roundtrip")
 }

@@ -299,6 +299,71 @@ object CorpusOps {
        |FROM rv r LEFT JOIN rs t ON t.doc_id = r.doc_id - $RevisitMod""".stripMargin
   }
 
+  // ---------------------- q166 WET conversion-record round trip (r17)
+
+  private val wetZones =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DERIVED zone: q143's clean documents written back as
+    * `conversion` records (the WET posture — ISO 28500 §6.8: a
+    * conversion record holds an alternate rendition of an earlier
+    * capture, which is exactly what extracted text is). The write goes
+    * through the same synthesize seam as every landing zone, so the
+    * corruption residues apply AGAIN on the derived layer — the %97/%89
+    * ids were already dropped upstream (no clean text to write), and
+    * the %101 magic-quoting ids survive the exact read with the quote
+    * prefix on their DERIVED payload too. */
+  private[queries] def wetZoneFor(s: SparkSession, dir: String): String =
+    wetZones.computeIfAbsent(dir, { d =>
+      import graft.sources.Warc.UriPrefix
+      val base = graft.TempArtifacts.dir("graft_wet")
+      val clean = q143CurationE2e(s, d).select(
+        col("doc_id"), col("clean_text").as("text"),
+        concat(lit(UriPrefix), col("doc_id").cast("string")).as("url"),
+        lit("conversion").as("warc_type"))
+      graft.sources.Warc.synthesize(s, clean, base)
+      base
+    })
+
+  /** q166: the derived-zone ROUND TRIP — WARC html zone → block
+    * extraction → boilerplate drop → clean text (q143) → WET-style
+    * `conversion` zone write → Content-Length-exact re-read. The gate
+    * hashes what comes BACK OFF DISK, so a write-path bug (record
+    * framing, length accounting, type routing) or a read-back
+    * divergence hash-mismatches against the oracle's replay of the
+    * clean-text chain plus the derived zone's own survivor/quoting
+    * algebra. The sink side of the curation story — a real pipeline
+    * SHIPS this zone. */
+  def q166WetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val zone = wetZoneFor(s, dir)
+    graft.sources.Warc.readExactClean(s, zone)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload").as("clean_text"),
+        col("content_length").as("n_bytes"))
+  }
+
+  lazy val q166Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
+    val prefix = s"'see: WARC/1.0' || chr(13) || chr(10)"
+    s"""WITH $htmlInCtes,
+       |${graft.text.HtmlExtract.duckBlockCtes("hin", "doc_id")},
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text
+       |  FROM hb WHERE NOT is_boilerplate GROUP BY doc_id),
+       |wet AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $MagicQuoteMod = 0
+       |         THEN $prefix || clean_text ELSE clean_text END AS clean_text
+       |  FROM agg
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0)
+       |SELECT doc_id, clean_text,
+       |  strlen(clean_text)::BIGINT AS n_bytes
+       |FROM wet""".stripMargin
+  }
+
   // ------------------------------------- q149 NFKC text normalization
 
   /** The fixture's unicode vocabulary: compatibility characters a web
@@ -805,6 +870,7 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q166_wet_roundtrip" -> q166WetRoundtrip,
     "q163_revisit_resolve" -> q163RevisitResolve,
     "q152_warcgz_index" -> q152WarcGzStoredIndex,
     "q149_nfkc_normalize" -> q149NfkcNormalize,
@@ -826,6 +892,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_wet_roundtrip" -> q166Sql,
     "q163_revisit_resolve" -> q163Sql,
     "q152_warcgz_index" -> q136Sql,
     "q149_nfkc_normalize" -> q149Sql,
