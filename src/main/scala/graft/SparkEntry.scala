@@ -68,5 +68,5 @@ object SparkEntry {
     "q154_warcgz_stream", "q155_anchor_text", "q156_rank_quota",
     "q160_zone_robots", "q161_sitemap_recursion", "q162_recrawl_priority",
     "q163_revisit_resolve", "q164_robots_sitemaps", "q165_crawl_schedule",
-    "q166_wet_roundtrip")
+    "q166_wet_roundtrip", "q167_zone_frontier")
 }

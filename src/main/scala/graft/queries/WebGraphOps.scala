@@ -499,7 +499,16 @@ object WebGraphOps {
             lit(".XN--BCHER-KVA.EXAMPLE:80/Dup.xml")).as("text"),
           concat(lit("http://site"), col("n").cast("string"),
             lit(".xn--bcher-kva.example/robots.txt")).as("url"))
-      graft.sources.Warc.synthesize(s, pages.unionByName(robots), base)
+      // the DISCOVERED sitemap-index files are captures in the same
+      // zone (r17, q167): doc_ids n+20 dodge every corruption residue,
+      // so all 13 index captures are valid — host 5's stays
+      // UNDISCOVERABLE anyway because its robots capture is corrupt
+      val indexes = sitemapIndexXml(s, d).select(
+        (col("n") + 20).cast("long").as("doc_id"),
+        col("xml").as("text"),
+        concat(lit("http://"), col("host"), lit("/sm-index.xml")).as("url"))
+      graft.sources.Warc.synthesize(s,
+        pages.unionByName(robots).unionByName(indexes), base)
       base
     })
 
@@ -662,12 +671,14 @@ object WebGraphOps {
     * WarcGz.memberIndex + readMemberTexts, child resolved by
     * (host n, member ordinal k parsed from the child URL). Output:
     * (host, n, sm_idx = index document order, k, cxml). */
-  private def childSitemaps(s: SparkSession, dir: String): DataFrame = {
-    val zone = sitemapZoneFor(s, dir)
-    val hostsKs = Tables.documents(s, dir).select(
-      pmod(col("doc_id"), lit(13)).as("n"),
-      pmod(col("doc_id"), lit(SmChildren)).as("k")).distinct()
-    val index = hostsKs.groupBy(col("n"))
+  /** The per-host sitemap INDEX xml (children k-DESCENDING), built
+    * from `documents` — shared by the synthesized-relation path
+    * (childSitemaps) and the robots ZONE's index captures (q167). */
+  private def sitemapIndexXml(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        pmod(col("doc_id"), lit(13)).as("n"),
+        pmod(col("doc_id"), lit(SmChildren)).as("k")).distinct()
+      .groupBy(col("n"))
       .agg(array_join(
         transform(sort_array(collect_list(struct((-col("k")).as("ord"),
           concat(lit("<sitemap><loc>http://site"), col("n").cast("string"),
@@ -679,8 +690,16 @@ object WebGraphOps {
           lit(".xn--bcher-kva.example")).as("host"),
         concat(lit("<?xml version=\"1.0\"?><sitemapindex>"), col("body"),
           lit("</sitemapindex>")).as("xml"))
-    val refs = graft.text.Sitemaps.locs(index, col("xml"))
-      .select(col("n"), col("host"), col("loc_idx").as("sm_idx"),
+
+  /** Resolve index child refs (from `indexDf (host, xml, …)`) to the
+    * gz zone's members: (n, k, host, sm_idx, cxml). */
+  private def resolveChildren(s: SparkSession, dir: String,
+                              indexDf: DataFrame): DataFrame = {
+    val zone = sitemapZoneFor(s, dir)
+    val refs = graft.text.Sitemaps.locs(indexDf, col("xml"))
+      .select(
+        regexp_extract(col("host"), "^site(\\d+)", 1).cast("long").as("n"),
+        col("host"), col("loc_idx").as("sm_idx"),
         regexp_extract(col("loc_canon"), "sm-(\\d+)\\.xml\\.gz$", 1)
           .cast("long").as("k"))
     val members = graft.sources.WarcGz.readMemberTexts(s,
@@ -691,6 +710,9 @@ object WebGraphOps {
         col("member_idx").as("k"), col("text").as("cxml"))
     refs.join(members, Seq("n", "k"))
   }
+
+  private def childSitemaps(s: SparkSession, dir: String): DataFrame =
+    resolveChildren(s, dir, sitemapIndexXml(s, dir).select(col("host"), col("xml")))
 
   /** q161: one-level sitemap-INDEX recursion over `.xml.gz` children —
     * index → child sitemaps → `<loc>` frontier with corpus membership,
@@ -929,7 +951,75 @@ object WebGraphOps {
        |WHERE o.allowed""".stripMargin
   }
 
+  // --------- q167 end-to-end ZONE-sourced frontier (r17, beyond plan)
+
+  /** q167: the frontier chain with EVERY link zone-sourced — robots
+    * captures → `Sitemap:` discovery (q164) → the discovered index
+    * files fetched OUT OF THE ZONE by canonical URL → child refs →
+    * gz members (q161's machinery) → `<loc>` frontier with corpus
+    * membership. Nothing is a synthesized relation: a real pipeline
+    * runs exactly this composition over Common Crawl captures. Host 5
+    * drops at the FIRST link (its robots capture is corrupt, so its
+    * index capture — valid and present in the zone — is never
+    * discovered), which the oracle mirrors by restricting the q161
+    * chain to the discovered hosts. */
+  def q167ZoneFrontier(s: SparkSession, dir: String): DataFrame = {
+    val discovered = graft.text.Robots.sitemaps(
+        zoneRobotsTexts(s, dir), col("host"), col("txt"))
+      .withColumn("sm_canon", UrlCanonical.canonicalize(col("sitemap_url")))
+      .filter(endswith(col("sm_canon"), lit("/sm-index.xml")))
+      .select(col("host"), col("sm_canon"))
+    val captures = graft.sources.Warc.readExactClean(s, robotsZoneFor(s, dir))
+      .filter(endswith(col("url"), lit("/sm-index.xml")))
+      .select(UrlCanonical.canonicalize(col("url")).as("sm_canon"),
+        col("payload").as("xml"))
+    val index = discovered.join(captures, Seq("sm_canon"))
+    val children = resolveChildren(s, dir, index.select(col("host"), col("xml")))
+    val locs = graft.text.Sitemaps.locs(children, col("cxml")).drop("cxml")
+    val corpus = Tables.documents(s, dir)
+      .select(UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("loc_canon"))
+      .distinct().withColumn("__in", lit(true))
+    locs.join(corpus, Seq("loc_canon"), "left")
+      .select(col("host"), col("sm_idx"), col("k"), col("loc_idx"),
+        col("loc_canon"), coalesce(col("__in"), lit(false)).as("in_corpus"))
+  }
+
+  val q167Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |${CorpusOps.messyUrlMkCte},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |$sitemapCtes,
+       |sld AS (
+       |  SELECT n, host, sm_idx, k, loc_idx,
+       |    ${graft.text.HtmlExtract.duckEntities(
+              graft.text.Sitemaps.duckEntryLoc("u"))} AS url
+       |  FROM sce, entmap),
+       |${UrlCanonical.duckCanonCtes("sld", "host, sm_idx, k, loc_idx", idn, "sc")},
+       |hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents),
+       |rt AS (
+       |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    (CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
+       |          ELSE ${sqlTextLit(OddRobots)} END) ||
+       |    chr(10) || 'Sitemap: http://site' || n ||
+       |    '.xn--bcher-kva.example/sm-index.xml' ||
+       |    chr(10) || 'Sitemap: HTTP://SITE' || n ||
+       |    '.XN--BCHER-KVA.EXAMPLE:80/Dup.xml' AS txt
+       |  FROM hn WHERE n <> 5),
+       |${graft.text.Robots.duckSitemapsCtes("rt")},
+       |disc AS (
+       |  SELECT DISTINCT CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) AS n
+       |  FROM rb_sm WHERE sitemap_url LIKE '%/sm-index.xml'),
+       |cc AS (SELECT DISTINCT canon FROM s4)
+       |SELECT sc4.host, sc4.sm_idx, sc4.k, sc4.loc_idx,
+       |  sc4.canon AS loc_canon, (cc.canon IS NOT NULL) AS in_corpus
+       |FROM sc4
+       |JOIN disc ON CAST(regexp_extract(sc4.host, 'site(\\d+)', 1) AS BIGINT) = disc.n
+       |LEFT JOIN cc ON sc4.canon = cc.canon""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q167_zone_frontier" -> q167ZoneFrontier,
     "q165_crawl_schedule" -> q165CrawlSchedule,
     "q164_robots_sitemaps" -> q164RobotsSitemaps,
     "q162_recrawl_priority" -> q162RecrawlPriority,
@@ -944,6 +1034,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_zone_frontier" -> q167Sql,
     "q165_crawl_schedule" -> q165Sql,
     "q164_robots_sitemaps" -> q164Sql,
     "q162_recrawl_priority" -> q162Sql,

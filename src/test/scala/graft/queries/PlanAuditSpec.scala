@@ -512,4 +512,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"robots gating must stay on the host equi-join:\n$p")
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
   }
+
+  test("q167 zone frontier: discovery/fetch/member resolution are equi-joins; no cartesian, no global sort") {
+    val p = plan(WebGraphOps.q167ZoneFrontier(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every link of the zone chain must stay on equi-joins:\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
 }
