@@ -101,6 +101,10 @@ object HostScaleBench {
       val out = text.Robots.allowed(robotsDocs(h), rs, "graftbot")
       val agg = out.agg(count(lit(1)), sum(when(col("allowed"), 1L).otherwise(0L)))
         .collect()(0)
+      // allowed() checkpoints its rule relation — release after the
+      // consuming action, or 2×-per-branch cells at 200k hosts
+      // accumulate checkpoints across the run (ADVICE r17)
+      Checkpoints.releaseAll(spark)
       (agg.getLong(0), agg.getLong(1))
     }
 
@@ -114,10 +118,12 @@ object HostScaleBench {
           greatest(lit(1L), expr("(50 * pr) div mp")).as("quota"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("host")).orderBy(col("doc_id"))
-      docs.join(operators.AdaptiveJoin.broadcastIfSmall(quotas), Seq("host"))
+      val n = docs.join(operators.AdaptiveJoin.broadcastIfSmall(quotas), Seq("host"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= col("quota"))
         .count()
+      Checkpoints.releaseAll(spark)
+      n
     }
 
     def time[A](body: => A): (Double, A) = {

@@ -34,8 +34,14 @@ object AdaptiveJoin {
   val CeilingConf = "graft.adaptive.broadcastRowCeiling"
 
   private def ceilingFor(df: DataFrame): Long =
-    df.sparkSession.conf.getOption(CeilingConf).map(_.toLong)
-      .getOrElse(DefaultRowCeiling)
+    df.sparkSession.conf.getOption(CeilingConf) match {
+      // fail NAMING the conf key: a bare toLong threw a contextless
+      // NumberFormatException at plan-construction time (ADVICE r17)
+      case Some(v) => v.trim.toLongOption.getOrElse(throw new
+        IllegalArgumentException(
+          s"$CeilingConf must be a whole row count, got '$v'"))
+      case None => DefaultRowCeiling
+    }
 
   /** `broadcast(df)` when the side is measured (or known) to fit under
     * the ceiling; otherwise the SHUFFLE_HASH hint — the probe side

@@ -259,14 +259,21 @@ object WarcGz {
         }
         val invalid = WarcRec(null, null, null, null, None, null, is_valid = false)
         val recs = it.flatMap { case (file, offset, length, ok) =>
-          if (!ok) Iterator.single(invalid)
+          // a span past Int.MaxValue cannot be buffered as one array —
+          // surface the documented one-bad-row, not a
+          // NegativeArraySizeException task failure (ADVICE r17)
+          if (!ok || length < 0 || length > Int.MaxValue)
+            Iterator.single(invalid)
           else {
             try {
               if (file != curFile) open(file)
               val bytes = new Array[Byte](length.toInt)
               in.readFully(offset, bytes)
               Warc.recordsFromFileBytes(file, bytes)
-            } catch { case _: java.io.IOException => Iterator.single(invalid) }
+            } catch {
+              case _: java.io.IOException => Iterator.single(invalid)
+              case _: NegativeArraySizeException => Iterator.single(invalid)
+            }
           }
         }
         // close the last stream after the iterator drains
@@ -327,7 +334,10 @@ object WarcGz {
           curFile = file
         }
         val out = it.map { case (file, offset, length, ok, idx) =>
-          if (!ok) (file, offset, idx, null: String, false)
+          // same Int.MaxValue span guard as readMembers (ADVICE r17):
+          // one ok=false row, never a NegativeArraySizeException
+          if (!ok || length < 0 || length > Int.MaxValue)
+            (file, offset, idx, null: String, false)
           else {
             try {
               if (file != curFile) open(file)
@@ -340,6 +350,7 @@ object WarcGz {
               (file, offset, idx, text, true)
             } catch {
               case _: java.io.IOException => (file, offset, idx, null: String, false)
+              case _: NegativeArraySizeException => (file, offset, idx, null: String, false)
             }
           }
         }

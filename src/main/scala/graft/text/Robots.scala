@@ -163,7 +163,15 @@ object Robots {
     * selection per §2.2.1 (exact token if present, else `*`), winner
     * per §2.2.2 (longest path, Allow on ties, first-written on full
     * ties). The rule relation broadcasts only under the measured
-    * host-cardinality ceiling ([[graft.operators.AdaptiveJoin]]). */
+    * host-cardinality ceiling ([[graft.operators.AdaptiveJoin]]).
+    *
+    * RELEASE OBLIGATION (ADVICE r17): each call eagerly checkpoints the
+    * rule relation (see the comment at the call site) and that
+    * checkpoint lives until [[graft.Checkpoints.releaseAll]] runs —
+    * Verify/Bench sweep it between queries, but a long-lived session
+    * (interactive, streaming, a bench loop) calling allowed()
+    * repeatedly must release after each consuming action or
+    * checkpoints accumulate for the life of the context. */
   def allowed(docs: DataFrame, ruleSet: DataFrame, agent: String,
               keyCol: String = "doc_id", hostCol: String = "host",
               pathCol: String = "path"): DataFrame = {

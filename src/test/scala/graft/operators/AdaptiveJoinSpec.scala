@@ -54,6 +54,18 @@ class AdaptiveJoinSpec extends SparkTestBase {
     } finally spark.conf.unset(ceiling)
   }
 
+  test("a malformed ceiling override fails naming the conf key, not with a bare NumberFormatException") {
+    val small = Seq((1L, "a")).toDF("k", "v")
+    spark.conf.set(ceiling, "100k")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        AdaptiveJoin.broadcastIfSmall(small)
+      }
+      assert(e.getMessage.contains(ceiling) && e.getMessage.contains("100k"),
+        s"the error must name the conf key and the bad value: ${e.getMessage}")
+    } finally spark.conf.unset(ceiling)
+  }
+
   test("knownRows skips the count and still picks the right branch") {
     val small = Seq((1L, "a")).toDF("k", "v")
     val big = Seq((1L, 10L)).toDF("k", "x")

@@ -202,4 +202,36 @@ class WarcGzSpec extends SparkTestBase {
     assert(!got(1)._3 && got(1)._2 == null, s"corrupt member must isolate: ${got(1)}")
     assert(got(2)._2 == "charlie" && got(2)._3, s"neighbor survives: ${got(2)}")
   }
+
+  test("a member span past Int.MaxValue surfaces as one ok=false row in both readers (ADVICE r17)") {
+    // a real >2 GiB member can't be written in a test; drive the guard
+    // through a FORGED index row over a real file (the readers trust
+    // the index's spans — the documented sidecar-staleness posture)
+    val dir = scratchDir("gzbig").toString
+    val path = new org.apache.hadoop.fs.Path(s"$dir/m.gz")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bos = new java.io.ByteArrayOutputStream()
+    for (t <- Seq("oversize", "alpha")) {
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(t.getBytes("UTF-8")); gz.close()
+    }
+    val out = fs.create(path, true); out.write(bos.toByteArray); out.close()
+    val real = WarcGz.memberIndex(spark, dir).as[WarcGz.Member]
+      .collect().sortBy(_.offset)
+    assert(real.length == 2 && real.forall(_.ok))
+    val forged = Seq(
+      (real(0).file, real(0).offset, Int.MaxValue.toLong + 10L, true),
+      (real(1).file, real(1).offset, real(1).length, true))
+      .toDF("file", "offset", "length", "ok")
+    val texts = WarcGz.readMemberTexts(spark, forged)
+      .select(col("member_idx"), col("text"), col("ok"))
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(texts.length == 2)
+    assert(!texts(0)._3 && texts(0)._2 == null,
+      s"oversize span must isolate, not throw: ${texts(0)}")
+    assert(texts(1) == (1L, "alpha", true), s"neighbor survives: ${texts(1)}")
+    val recs = WarcGz.readMembers(spark, forged)
+      .select(col("is_valid")).as[Boolean].collect()
+    assert(recs.count(_ == false) >= 1, s"readMembers must emit the bad row: ${recs.toSeq}")
+  }
 }

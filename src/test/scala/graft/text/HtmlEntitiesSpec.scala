@@ -12,6 +12,18 @@ class HtmlEntitiesSpec extends AnyFunSuite {
     val conflicts = HtmlEntities.Codepoints.groupBy(_._1)
       .filter(_._2.map(_._2).distinct.size > 1)
     assert(conflicts.isEmpty, s"conflicting names: $conflicts")
+    // EXACT duplicates too (same name, same codepoint — ADVICE r17):
+    // they pass the conflict check above but produce a duplicate MAP
+    // key in duckMapSql, which DuckDB rejects at runtime, breaking
+    // every entity-decoding oracle query
+    assert(HtmlEntities.Codepoints.map(_._1).distinct.size ==
+      HtmlEntities.Codepoints.size,
+      "exact duplicate names in Codepoints: " +
+        HtmlEntities.Codepoints.groupBy(_._1).filter(_._2.size > 1).keys)
+    assert(HtmlEntities.Table.map(_._1).distinct.size ==
+      HtmlEntities.Table.size,
+      "exact duplicate names in Table: " +
+        HtmlEntities.Table.groupBy(_._1).filter(_._2.size > 1).keys)
     HtmlEntities.Codepoints.foreach { case (n, cp) =>
       assert(cp >= 1 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF),
         s"$n -> $cp is not a valid scalar")
