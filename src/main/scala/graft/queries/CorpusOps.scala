@@ -513,11 +513,21 @@ object CorpusOps {
     val d13 = pmod(col("doc_id"), lit(13))
     val ring = pmod(d13 + lit(1), lit(13)).cast("string")
     val far = pmod(d13 + lit(5), lit(13)).cast("string")
+    val d7 = pmod(col("doc_id"), lit(7))
     concat(
       lit("<html><head><title>Doc "), id, lit("</title>"),
       lit("<style>body { margin: 0 }</style>"),
+      // r18 <base href> classes (RFC 3986 §5.1.1): d7==2 an ABSOLUTE
+      // base on a foreign host (every relative link must re-root
+      // there), d7==4 a RELATIVE single-quoted base (itself resolved
+      // against the retrieval URI), else none. The CDATA below carries
+      // a DECOY base the drops must remove first.
+      when(d7 === 2,
+        concat(lit("<base target=\"_top\" href=\"http://wb"), d13.cast("string"),
+          lit(".base.example/bdir/sub/\">"))).otherwise(lit("")),
+      when(d7 === 4, lit("<base href='../bb/sub/'>")).otherwise(lit("")),
       lit("<script>var doc = "), id, lit(";</script>"),
-      lit("<![CDATA[var hidden = \"<p>not content</p>\";]]></head>"),
+      lit("<![CDATA[var hidden = \"<base href='/decoy/'><p>not content</p>\";]]></head>"),
       lit("<body><h1>Heading "), id, lit("</h1>"),
       lit("<p>"), col("text"), lit("</p>"),
       lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
@@ -543,14 +553,21 @@ object CorpusOps {
       // plus a MULTI-codepoint name (&NotLessLess; → U+226A U+0338)
       lit("<p>&excl; &Ascr;rt &Bopf;old &pfr;age &acy;&zhcy;&SHCHcy; "
         + "&Amacr;cron &varphi; &checkmark; &numero;5 &NotLessLess; "), id, lit("</p>"),
+      // a SECOND base on the already-based pages — only the FIRST is
+      // honored (WHATWG), so this must change nothing
+      when(d7 === 2, lit("<base href=\"/second/ignored/\">")).otherwise(lit("")),
       lit("</body></html>"))
   }
 
   private val htmlSqlExpr: String =
     """'<html><head><title>Doc ' || doc_id || '</title>' ||
       |'<style>body { margin: 0 }</style>' ||
+      |(CASE WHEN doc_id % 7 = 2
+      |      THEN '<base target="_top" href="http://wb' || (doc_id % 13) || '.base.example/bdir/sub/">'
+      |      WHEN doc_id % 7 = 4 THEN '<base href=''../bb/sub/''>'
+      |      ELSE '' END) ||
       |'<script>var doc = ' || doc_id || ';</script>' ||
-      |'<![CDATA[var hidden = "<p>not content</p>";]]></head>' ||
+      |'<![CDATA[var hidden = "<base href=''/decoy/''><p>not content</p>";]]></head>' ||
       |'<body><h1>Heading ' || doc_id || '</h1>' ||
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
@@ -563,6 +580,7 @@ object CorpusOps {
       |'<p>Second &amp; final &lt;block&gt;&nbsp;here, &#70;ine &#x70;rint &#9999; &amp;#65; ' || doc_id || '</p>' ||
       |'<p>Caf&eacute; &Uuml;ber&nbsp;alles &mdash; &hellip; &#233; &#xE9; &#x1F600; &#55296; &bogus; &euro;2 ' || doc_id || '</p>' ||
       |'<p>&excl; &Ascr;rt &Bopf;old &pfr;age &acy;&zhcy;&SHCHcy; &Amacr;cron &varphi; &checkmark; &numero;5 &NotLessLess; ' || doc_id || '</p>' ||
+      |(CASE WHEN doc_id % 7 = 2 THEN '<base href="/second/ignored/">' ELSE '' END) ||
       |'</body></html>'""".stripMargin.replace("\n", " ")
 
   /** A WARC zone whose payloads are the HTML pages (the real crawl

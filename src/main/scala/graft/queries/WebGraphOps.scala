@@ -39,12 +39,19 @@ object WebGraphOps {
     * href's position among ALL extracted targets (pre-screen, so
     * indices are stable); `href` is the entity-DECODED attribute value
     * (what a browser resolves); both endpoints are canonical. */
-  /** The WARC HTML pages with their base URL attached — the page's own
-    * URL is the q139/q144 messy fixture (deterministic from doc_id):
+  /** The WARC HTML pages with their RESOLUTION BASE attached — RFC 3986
+    * §5.1's precedence (VERDICT r17 weak #1): an embedded `<base href>`
+    * comes FIRST, the retrieval URI is the fallback. The base href is
+    * itself a reference (§5.1: a RELATIVE base resolves against the
+    * retrieval URI), entity-decoded like any attribute; an empty or
+    * non-hierarchical (`mailto:`) base is ignored. The page's own URL
+    * is the q139/q144 messy fixture (deterministic from doc_id):
     * resolution runs against the RAW spelling — variant case, IDN
     * hosts, ports, dot-segment-bearing directories — and
     * canonicalization collapses the results, exactly the real-crawl
-    * order of operations. */
+    * order of operations. `__url` stays the retrieval URI (the SOURCE
+    * endpoint — a base changes where links point, not where the page
+    * lives); `__base` is the effective resolution base. */
   private def pagesWithBase(s: SparkSession, dir: String): DataFrame = {
     val zone = CorpusOps.htmlZoneFor(s, dir)
     graft.sources.Warc.readExactClean(s, zone)
@@ -52,8 +59,23 @@ object WebGraphOps {
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("payload"))
       .select(col("doc_id"), col("payload"),
-        CorpusOps.messyUrlCol.as("__base"))
+        CorpusOps.messyUrlCol.as("__url"))
+      .withColumn("__base",
+        effectiveBase(col("__url"),
+          HtmlExtract.baseHref(col("payload"))))
   }
+
+  /** `coalesce`-style §5.1.1 base selection, LET-BOUND so the decoded
+    * base-href subtree is built once, not once per predicate (Column
+    * vals substitute textually — the UrlCanonical.let discipline). */
+  private def effectiveBase(url: Column, rawBase: Column): Column =
+    UrlCanonical.let(HtmlExtract.decodeEntities(rawBase)) { bh =>
+      UrlCanonical.let(url) { u =>
+        when(bh.isNull || bh === "" ||
+            (bh.rlike(SchemeLike) && !bh.rlike(Hierarchical)), u)
+          .otherwise(UrlCanonical.resolve(u, bh))
+      }
+    }
 
   /** Keep only crawlable references: not a non-hierarchical scheme. */
   private def hierarchicalOnly(href: Column): Column =
@@ -62,7 +84,7 @@ object WebGraphOps {
   private[queries] def outlinkEdges(s: SparkSession, dir: String): DataFrame =
     pagesWithBase(s, dir)
       .select(col("doc_id"), col("__base"),
-        UrlCanonical.canonicalize(col("__base")).as("src_canon"),
+        UrlCanonical.canonicalize(col("__url")).as("src_canon"),
         posexplode_outer(HtmlExtract.hrefs(col("payload")))
           .as(Seq("link_idx", "__raw")))
       .filter(col("__raw").isNotNull)
@@ -198,6 +220,7 @@ object WebGraphOps {
     s"""WITH ${HtmlExtract.duckEntmapCte},
        |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
        |al AS (
        |  SELECT doc_id, ${HtmlExtract.duckAnchors("html")} AS l FROM hin),
        |ax AS (
@@ -212,8 +235,8 @@ object WebGraphOps {
        |  WHERE NOT (regexp_matches(href, '$SchemeLike')
        |             AND NOT regexp_matches(href, '$Hierarchical'))),
        |rin AS (
-       |  SELECT af.doc_id, af.link_idx, mk.url AS base, af.href AS ref
-       |  FROM af JOIN mk ON af.doc_id = mk.doc_id),
+       |  SELECT af.doc_id, af.link_idx, e.url AS base, af.href AS ref
+       |  FROM af JOIN ebase e ON af.doc_id = e.doc_id),
        |${UrlCanonical.duckResolveCtes("rin", "doc_id, link_idx", "rv")},
        |tin AS (SELECT doc_id, link_idx, target AS url FROM rv4),
        |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")}
@@ -272,6 +295,27 @@ object WebGraphOps {
        |  (rt.rn <= qa.quota) AS kept
        |FROM rt JOIN qa USING (host)""".stripMargin
 
+  /** The effective-base CTE chain (RFC 3986 §5.1.1, mirrored from
+    * [[pagesWithBase]]): first `<base href>` decoded; usable ones
+    * (non-empty, hierarchical) resolved against the retrieval URI;
+    * `ebase (doc_id, url)` = the resolution base per doc. Assumes
+    * `entmap`, `hin`, and `mk` are in scope. */
+  private def duckEbaseCtes: String =
+    s"""bh1 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckEntities(HtmlExtract.duckBaseHref("html"))} AS bh
+       |  FROM hin, entmap),
+       |bri AS (
+       |  SELECT b.doc_id, mk.url AS base, b.bh AS ref
+       |  FROM bh1 b JOIN mk ON b.doc_id = mk.doc_id
+       |  WHERE b.bh IS NOT NULL AND b.bh <> ''
+       |    AND NOT (regexp_matches(b.bh, '$SchemeLike')
+       |             AND NOT regexp_matches(b.bh, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("bri", "doc_id", "eb")},
+       |ebase AS (
+       |  SELECT mk.doc_id, coalesce(eb4.target, mk.url) AS url
+       |  FROM mk LEFT JOIN eb4 ON mk.doc_id = eb4.doc_id)""".stripMargin
+
   /** The q150 CTE chain WITHOUT the leading WITH/final SELECT — the
     * reusable prefix q151 builds on. */
   private def outlinkCtePrefix: String = {
@@ -279,6 +323,7 @@ object WebGraphOps {
     s"""${HtmlExtract.duckEntmapCte},
        |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
        |hl AS (
        |  SELECT doc_id, ${HtmlExtract.duckHrefs("html")} AS l FROM hin),
        |lx AS (
@@ -292,8 +337,8 @@ object WebGraphOps {
        |  WHERE NOT (regexp_matches(href, '$SchemeLike')
        |             AND NOT regexp_matches(href, '$Hierarchical'))),
        |rin AS (
-       |  SELECT lf.doc_id, lf.link_idx, mk.url AS base, lf.href AS ref
-       |  FROM lf JOIN mk ON lf.doc_id = mk.doc_id),
+       |  SELECT lf.doc_id, lf.link_idx, e.url AS base, lf.href AS ref
+       |  FROM lf JOIN ebase e ON lf.doc_id = e.doc_id),
        |${UrlCanonical.duckResolveCtes("rin", "doc_id, link_idx", "rv")},
        |tin AS (SELECT doc_id, link_idx, target AS url FROM rv4),
        |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")},

@@ -98,6 +98,29 @@ object HtmlExtract {
   def duckHrefs(e: String): String =
     s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)"""
 
+  /** The FIRST `<base href>` of the document (RFC 3986 §5.1.1 /
+    * WHATWG: only the first base element with an href attribute is
+    * honored — later ones are ignored), post non-content drops (a
+    * `<base>` inside a script/comment/CDATA is not markup). NULL when
+    * the page declares none. Raw attribute text — callers entity-decode
+    * and resolve it against the retrieval URI (§5.1: the base href is
+    * itself a reference; a RELATIVE base resolves against §5.1.3's
+    * retrieval URI), then resolve the page's links against the result.
+    * Quoting caveats shared with [[hrefs]]. Map-only. */
+  def baseHref(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    get(regexp_extract_all(deScripted, lit(BaseHrefPat), lit(1)), lit(0))
+  }
+
+  private val BaseHrefPat =
+    "(?is)<base\\b[^>]*?\\shref\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** DuckDB twin of [[baseHref]] (list index 1 ↔ get 0; both NULL when
+    * absent). */
+  def duckBaseHref(e: String): String =
+    s"""(regexp_extract_all(${duckDescript(e)}, '(?is)<base\\b[^>]*?\\shref\\s*=\\s*["'']([^"'']*)["'']', 1))[1]"""
+
   /** COMPLETE href-bearing anchor elements (`<a … href="…" …>text</a>`,
     * group 0), in document order, post de-script — the unit of
     * anchor-TEXT extraction (q155): link text is the classic relevance

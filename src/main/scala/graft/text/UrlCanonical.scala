@@ -97,7 +97,7 @@ object UrlCanonical {
     * per use; Catalyst never inlines lambda variables), at the cost of
     * a one-element array per binding per row — noise next to the regex
     * work these expressions do. */
-  private[text] def let(value: Column)(body: Column => Column): Column =
+  private[graft] def let(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
   /** The canonical HOST of a url — the per-domain grouping/cap key

@@ -160,6 +160,27 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(pairs == Seq(("/right", "txt"), ("/newline-delim", "nl")), s"got $pairs")
   }
 
+  test("baseHref: only the FIRST base with an href counts; script/comment/CDATA decoys are not markup; absent is NULL") {
+    val df = Seq(
+      (1L, "<html><head><title>t</title>" +
+        "<script>var s = '<base href=\"/script-decoy/\">';</script>" +
+        "<!-- <base href=\"/comment-decoy/\"> -->" +
+        "<![CDATA[<base href='/cdata-decoy/'>]]>" +
+        "<base target=\"_top\" href=\"http://b.example/dir/\">" +
+        "</head><body><base href='/second/'></body></html>"),
+      (2L, "<html><head><base href='../rel/'></head><body></body></html>"),
+      (3L, "<html><body><p>no base at all</p></body></html>"),
+      // database ≠ base: the \b boundary + \shref delimiter must hold
+      (4L, "<html><head><database href=\"/wrong/\"></database></head></html>"))
+      .toDF("doc_id", "html")
+    val got = df.select(col("doc_id"), HtmlExtract.baseHref(col("html")))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("http://b.example/dir/"), s"got ${got(1L)}")
+    assert(got(2L).contains("../rel/"), s"got ${got(2L)}")
+    assert(got(3L).isEmpty, s"got ${got(3L)}")
+    assert(got(4L).isEmpty, s"got ${got(4L)}")
+  }
+
   test("the block plan is map-only: one generator, zero exchanges") {
     val df = HtmlExtract.blocks(
       Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))
