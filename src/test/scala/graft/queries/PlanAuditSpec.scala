@@ -519,4 +519,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"every link of the zone chain must stay on equi-joins:\n$p")
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
   }
+
+  test("q156 adaptive chain: exactly ONE strategy-count job — the quota join reuses the name count") {
+    // VERDICT r17 wrong #2: hostRanks measured `names`, then q156
+    // re-counted `quotas`, whose cardinality equals the rank
+    // relation's. knownRows threading makes the second job vanish;
+    // strategy choices (and their probe counts) happen at CONSTRUCTION
+    val before = graft.operators.AdaptiveJoin.measuredProbes.get()
+    val df = WebGraphOps.q156RankQuota(spark, dir)
+    val probes = graft.operators.AdaptiveJoin.measuredProbes.get() - before
+    assert(probes == 1, s"expected ONE measured cardinality probe, got $probes")
+    // at gate scale both joins still land on the broadcast branch
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"gate scale must broadcast:\n$p")
+  }
 }
