@@ -294,6 +294,49 @@ object WebGraphOps {
         col("rn"), (col("rn") <= col("quota")).as("kept"))
   }
 
+  /** q168 (VERDICT r17 wrong #4): the FILTERING consumer of the q156
+    * quota — kept documents only. q156 stays the audit shape (every doc
+    * with its verdict — that window inherently sees all rows); this is
+    * the shape a curation pass actually materializes, routed through
+    * [[graft.operators.QuotaCap.capPerGroupDynamic]] so each map task
+    * pre-truncates to [[QuotaMax]] rows per host BEFORE the window
+    * exchange (quota ≤ QuotaMax always, since pr ≤ max pr): a
+    * pathologically hot host costs every mapper at most QuotaMax rows
+    * of shuffle instead of funneling whole through one partition.
+    * PlanAuditSpec asserts the WindowGroupLimit is in the plan. */
+  def q168QuotaKept(s: SparkSession, dir: String): DataFrame = {
+    val (ranks, nNames) = hostRanksCounted(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      UrlCanonical.hostOfCanon(
+        UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("host"))
+    val mx = ranks.agg(max(col("pr")).as("mp"))
+    val quotas = ranks.crossJoin(broadcast(mx))
+      .select(col("host"), col("pr"),
+        greatest(lit(1L), expr(s"($QuotaMax * pr) div mp")).as("quota"))
+    graft.operators.QuotaCap.capPerGroupDynamic(
+        docs.join(graft.operators.AdaptiveJoin.broadcastIfSmall(quotas,
+          knownRows = Some(nNames)), Seq("host")),
+        Seq("host"), Seq(col("doc_id")),
+        QuotaMax.toInt, col("quota"), "rn")
+      .select(col("doc_id"), col("host"), col("pr"), col("quota"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  val q168Sql: String =
+    s"""WITH $hostRankCtes,
+       |hr AS (SELECT node AS host, pr FROM r$Iterations),
+       |mx AS (SELECT max(pr) AS mp FROM hr),
+       |qa AS (SELECT host, pr, greatest(1, ($QuotaMax * pr) // mp) AS quota
+       |       FROM hr, mx),
+       |dh AS (SELECT doc_id, ${UrlCanonical.duckHostOf("canon")} AS host
+       |       FROM s4),
+       |rt AS (SELECT doc_id, host,
+       |         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+       |       FROM dh)
+       |SELECT rt.doc_id, rt.host, qa.pr, qa.quota, rt.rn
+       |FROM rt JOIN qa USING (host)
+       |WHERE rt.rn <= qa.quota""".stripMargin
+
   val q156Sql: String =
     s"""WITH $hostRankCtes,
        |hr AS (SELECT node AS host, pr FROM r$Iterations),
@@ -1090,9 +1133,11 @@ object WebGraphOps {
     "q155_anchor_text" -> q155AnchorText,
     "q156_rank_quota" -> q156RankQuota,
     "q158_robots_gate" -> q158RobotsGate,
+    "q168_quota_kept" -> q168QuotaKept,
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_quota_kept" -> q168Sql,
     "q167_zone_frontier" -> q167Sql,
     "q165_crawl_schedule" -> q165Sql,
     "q164_robots_sitemaps" -> q164Sql,

@@ -520,6 +520,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
   }
 
+  test("q168 kept-only quota: the per-host window pre-truncates map-side (WindowGroupLimit)") {
+    val p = plan(WebGraphOps.q168QuotaKept(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"the static-cap conjunct must rewrite to a map-side group limit:\n$p")
+  }
+
   test("q156 adaptive chain: exactly ONE strategy-count job — the quota join reuses the name count") {
     // VERDICT r17 wrong #2: hostRanks measured `names`, then q156
     // re-counted `quotas`, whose cardinality equals the rank
