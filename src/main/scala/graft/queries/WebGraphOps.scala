@@ -427,9 +427,12 @@ object WebGraphOps {
     "Allow: /Page/16*",         // longer than the /Page/1 deny → 16 survives
     "Disallow: /Page/7/*?*a=1", // QUERY-part rule (ADVICE r16): matches only
                                 // because the target is path+query
+    "Crawl-delay: 7",           // r18: the SELECTED group's delay — the
+                                // scheduler honors it; rules ignore it
     "",
     "User-agent: *",
-    "Crawl-delay: 2",
+    "Crawl-delay: 2",           // must NOT leak into graftbot's schedule
+                                // (the exact group wins selection)
     "Disallow: /").mkString("\n")
 
   private[graft] val OddRobots: String = Seq(
@@ -438,6 +441,8 @@ object WebGraphOps {
     "Disallow: /",
     "",
     "User-agent: *",
+    "Crawl-delay: fast",        // r18: non-integer value — ignored, the
+                                // host schedules at the default rate
     "Disallow: /Page/1",
     "Disallow: /Page/5").mkString("\n")
 
@@ -978,19 +983,29 @@ object WebGraphOps {
 
   // ------------- q165 robots-gated crawl schedule (r17, beyond plan)
 
-  /** Per-host politeness rate: entries per crawl slot. */
+  /** Default per-host politeness rate: entries per crawl slot when the
+    * host declares no usable Crawl-delay. */
   private val CrawlRate = 4L
+
+  /** The scheduling window a Crawl-delay divides into: a host declaring
+    * `Crawl-delay: d` gets max(1, 60 div d) fetches per slot. */
+  private val ScheduleWindowSec = 60L
 
   /** q165: the COMPOSED crawl schedule — the q162 staleness frontier
     * gated by the ZONE-sourced robots rules (q160's captures; host 5
     * fails open) and bucketed into per-host politeness SLOTS
-    * (slot = (crawl_rank − 1) div CrawlRate — a crawler that fetches
-    * CrawlRate URLs per host per scheduling window). This is the chain
-    * a real recrawl scheduler runs: sitemap entries → lastmod
+    * (slot = (crawl_rank − 1) div rate). The rate comes from the
+    * host's OWN `Crawl-delay` when its selected group declares a
+    * usable one (r18, VERDICT r17 next #3:
+    * rate = max(1, [[ScheduleWindowSec]] div delay) — the even
+    * fixture's graftbot group says 7 → 8/slot, and the `*` group's
+    * `Crawl-delay: 2` must NOT leak into it), else [[CrawlRate]] (odd
+    * hosts, whose only delay value is non-integer junk). This is the
+    * chain a real recrawl scheduler runs: sitemap entries → lastmod
     * staleness → robots compliance → rate-limited order. Disallowed
     * entries drop BEFORE ranking, so ranks are dense within the
-    * crawlable set; slot division is non-negative (truncate ≡ floor on
-    * both engines). */
+    * crawlable set; all divisions are non-negative (truncate ≡ floor
+    * on both engines). */
   def q165CrawlSchedule(s: SparkSession, dir: String): DataFrame = {
     val entries = graft.text.Sitemaps.urlEntries(
       childSitemaps(s, dir), col("cxml")).drop("cxml")
@@ -998,21 +1013,33 @@ object WebGraphOps {
         concat(col("host"), lit("|"), col("k").cast("string"),
           lit("|"), col("url_idx").cast("string")))
       .withColumn("path", UrlCanonical.pathQueryOfCanon(col("loc_canon")))
-    val rs = graft.text.Robots.ruleSet(
-      zoneRobotsTexts(s, dir), col("host"), col("txt"))
+    val robots = zoneRobotsTexts(s, dir)
+    val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
     val gated = graft.text.Robots.allowed(entries, rs, RobotsAgent,
         keyCol = "entry_key")
       .filter(col("allowed"))
+    // host-cardinality, zone-derived lineage — same checkpoint-then-
+    // adaptive discipline as allowed()'s rule relation
+    val delays = graft.Checkpoints.eager(
+      graft.text.Robots.crawlDelays(robots, col("host"), col("txt"),
+        RobotsAgent).withColumnRenamed("delay_secs", "crawl_delay"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
       .orderBy(col("lastmod_day").asc_nulls_first, col("loc_canon"),
         col("k"), col("url_idx"))
     gated
+      .join(graft.operators.AdaptiveJoin.broadcastIfSmall(delays),
+        Seq("host"), "left")
+      // greatest() SKIPS nulls on both engines, so the absent-delay
+      // default must be an explicit CASE, not greatest-with-null
+      .withColumn("rate", when(col("crawl_delay").isNull, lit(CrawlRate))
+        .otherwise(greatest(lit(1L),
+          expr(s"$ScheduleWindowSec div crawl_delay"))))
       .withColumn("crawl_rank", row_number().over(w).cast("long"))
       .select(col("host"), col("k"), col("url_idx").as("entry_idx"),
         col("loc_canon"),
         date_format(col("lastmod_day"), "yyyy-MM-dd").as("lastmod_day"),
-        col("rule"), col("crawl_rank"),
-        expr(s"(crawl_rank - 1) div $CrawlRate").as("slot"))
+        col("rule"), col("crawl_delay"), col("rate"), col("crawl_rank"),
+        expr("(crawl_rank - 1) div rate").as("slot"))
   }
 
   val q165Sql: String = {
@@ -1040,17 +1067,24 @@ object WebGraphOps {
        |         ELSE ${sqlTextLit(OddRobots)} END AS txt
        |  FROM (SELECT DISTINCT doc_id % 13 AS n FROM documents)
        |  WHERE n <> 5),
-       |${graft.text.Robots.duckRobotsCtes("rt", "fd", RobotsAgent, "entry_key")}
-       |SELECT f.host, f.k, f.loc_idx AS entry_idx, f.loc_canon,
-       |  strftime(f.d, '%Y-%m-%d') AS lastmod_day, o.rule,
-       |  CAST(row_number() OVER (PARTITION BY f.host
-       |    ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
-       |    AS BIGINT) AS crawl_rank,
-       |  (CAST(row_number() OVER (PARTITION BY f.host
-       |    ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
-       |    AS BIGINT) - 1) // $CrawlRate AS slot
-       |FROM fd f JOIN rb_out o USING (entry_key)
-       |WHERE o.allowed""".stripMargin
+       |${graft.text.Robots.duckRobotsCtes("rt", "fd", RobotsAgent, "entry_key")},
+       |${graft.text.Robots.duckCrawlDelayCtes("rt", RobotsAgent)},
+       |sched AS (
+       |  SELECT f.host, f.k, f.loc_idx, f.loc_canon, f.d, o.rule,
+       |    cd.delay_secs AS crawl_delay,
+       |    CAST(CASE WHEN cd.delay_secs IS NULL THEN $CrawlRate
+       |         ELSE greatest(1, $ScheduleWindowSec // cd.delay_secs)
+       |         END AS BIGINT) AS rate,
+       |    CAST(row_number() OVER (PARTITION BY f.host
+       |      ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
+       |      AS BIGINT) AS crawl_rank
+       |  FROM fd f JOIN rb_out o USING (entry_key)
+       |  LEFT JOIN rb_cd cd ON f.host = cd.host
+       |  WHERE o.allowed)
+       |SELECT host, k, loc_idx AS entry_idx, loc_canon,
+       |  strftime(d, '%Y-%m-%d') AS lastmod_day, rule, crawl_delay, rate,
+       |  crawl_rank, (crawl_rank - 1) // rate AS slot
+       |FROM sched""".stripMargin
   }
 
   // --------- q167 end-to-end ZONE-sourced frontier (r17, beyond plan)

@@ -91,6 +91,104 @@ object Robots {
       .select(col("host"), col("agent"), col("rule"), col("path"), col("idx"))
   }
 
+  /** `Crawl-delay:` extraction with §2.2.1-style group selection (r18,
+    * VERDICT r17 next #3): the de-facto directive origins rate-limit
+    * crawlers with. RFC 9309 rightly ignores it for allow/deny (the
+    * rule parser keeps doing so — [[ruleSet]] is untouched); a crawl
+    * SCHEDULER honors it. Per host: delays attach to their User-agent
+    * group exactly like rules; the agent's group wins when any group
+    * names it (UA-line based — selection must not depend on whether
+    * the group happens to carry rules), else the `*` group; merged
+    * groups take the MINIMUM delay (the conservative reading). Values
+    * are whole seconds — non-integer or non-positive values are
+    * ignored (treated absent), identically in the twin. Output: one
+    * (host, delay_secs) row per host whose SELECTED group declares a
+    * usable delay. */
+  def crawlDelays(robots: DataFrame, hostCol: Column, txtCol: Column,
+                  agent: String): DataFrame = {
+    val target = agent.toLowerCase
+    val lines = robots.select(hostCol.as("host"),
+      posexplode(split(txtCol, "\r?\n")).as(Seq("idx", "raw")))
+    val line = trim(substring_index(col("raw"), "#", 1))
+    val directive = lower(trim(substring_index(line, ":", 1)))
+    val value = trim(UrlCanonical.substrFrom(line,
+      length(substring_index(line, ":", 1)) + lit(2)))
+    val parsed = lines.select(col("host"), col("idx"),
+      directive.as("d"), value.as("v"),
+      (directive === "user-agent" && line.contains(":")).as("ua"))
+      .filter(line =!= "")
+    val w = Window.partitionBy(col("host")).orderBy(col("idx"))
+    val frame = Window.partitionBy(col("host")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = parsed
+      .withColumn("runStart",
+        col("ua") && !coalesce(lag(col("ua"), 1).over(w), lit(false)))
+      .withColumn("uaRun", sum(col("runStart").cast("long")).over(frame))
+      .withColumn("grp", max(when(col("ua"), col("uaRun"))).over(frame))
+    val agents = withRun.filter(col("ua"))
+      .select(col("host"), col("grp"), lower(col("v")).as("agent"))
+    val delays = withRun.filter(col("d") === "crawl-delay")
+      .select(col("host"), col("grp"),
+        expr("try_cast(v AS BIGINT)").as("delay_secs"))
+      .filter(col("delay_secs").isNotNull && col("delay_secs") > 0)
+    val byAgent = agents.join(delays, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("delay_secs"))
+    val hostsWithExact = agents.filter(col("agent") === target)
+      .select(col("host")).distinct()
+    val applicable = byAgent.filter(col("agent") === target).unionByName(
+      byAgent.filter(col("agent") === "*")
+        .join(hostsWithExact, Seq("host"), "left_anti"))
+    applicable.groupBy(col("host")).agg(min(col("delay_secs")).as("delay_secs"))
+  }
+
+  /** DuckDB twin of [[crawlDelays]] over `robotsCte (host, txt)` →
+    * exposes `rb_cd (host, delay_secs)`. */
+  def duckCrawlDelayCtes(robotsCte: String, agent: String): String = {
+    val target = agent.toLowerCase
+    s"""cd_ln AS (
+       |  SELECT host, unnest(range(len(l))) AS idx, unnest(l) AS raw
+       |  FROM (SELECT host, string_split(replace(txt, chr(13) || chr(10), chr(10)),
+       |                                  chr(10)) AS l FROM $robotsCte)),
+       |cd_p0 AS (
+       |  SELECT host, idx,
+       |    lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) AS d,
+       |    trim(substr(trim(string_split(raw, '#')[1]),
+       |      length(string_split(trim(string_split(raw, '#')[1]), ':')[1]) + 2)) AS v,
+       |    (lower(trim(string_split(trim(string_split(raw, '#')[1]), ':')[1])) = 'user-agent'
+       |     AND contains(trim(string_split(raw, '#')[1]), ':')) AS ua
+       |  FROM cd_ln
+       |  WHERE trim(string_split(raw, '#')[1]) <> ''),
+       |cd_p1 AS (
+       |  SELECT *, (ua AND NOT coalesce(lag(ua) OVER (PARTITION BY host ORDER BY idx), false)) AS run_start
+       |  FROM cd_p0),
+       |cd_p2 AS (
+       |  SELECT *,
+       |    sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS ua_run
+       |  FROM cd_p1),
+       |cd_p3 AS (
+       |  SELECT *,
+       |    max(CASE WHEN ua THEN ua_run END)
+       |      OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM cd_p2),
+       |cd_ag AS (SELECT host, grp, lower(v) AS agent FROM cd_p3 WHERE ua),
+       |cd_dl AS (
+       |  SELECT host, grp, try_cast(v AS BIGINT) AS delay_secs
+       |  FROM cd_p3
+       |  WHERE d = 'crawl-delay' AND try_cast(v AS BIGINT) IS NOT NULL
+       |    AND try_cast(v AS BIGINT) > 0),
+       |cd_by AS (
+       |  SELECT d.host, a.agent, d.delay_secs
+       |  FROM cd_dl d JOIN cd_ag a ON d.host = a.host AND d.grp = a.grp),
+       |cd_ex AS (SELECT DISTINCT host FROM cd_ag WHERE agent = '$target'),
+       |rb_cd AS (
+       |  SELECT host, min(delay_secs) AS delay_secs
+       |  FROM cd_by
+       |  WHERE (agent = '$target' AND host IN (SELECT host FROM cd_ex))
+       |     OR (agent = '*' AND host NOT IN (SELECT host FROM cd_ex))
+       |  GROUP BY host)""".stripMargin
+  }
+
   /** `Sitemap:` directive extraction (r17) — the OTHER thing robots.txt
     * declares besides rules: where the host's sitemaps live
     * (sitemaps.org discovery; RFC 9309 treats the line as an

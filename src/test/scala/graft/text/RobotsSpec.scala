@@ -168,4 +168,39 @@ class RobotsSpec extends SparkTestBase {
     assert(got(1L) == (false, "/x"))
     assert(got(2L) == (true, ""))
   }
+
+  test("Crawl-delay: selected group's delay, exact beats *, merged groups take MIN, junk ignored, rules unaffected") {
+    def delaysFor(pairs: (String, String)*): Map[String, Long] =
+      Robots.crawlDelays(pairs.toSeq.toDF("host", "txt"),
+          col("host"), col("txt"), "graftbot")
+        .as[(String, Long)].collect().toMap
+    val exactBeatsStar = Seq(
+      "User-agent: graftbot", "Crawl-delay: 7", "Disallow: /p",
+      "", "User-agent: *", "Crawl-delay: 2").mkString("\n")
+    val starFallback = Seq(
+      "User-agent: *", "Crawl-delay: 3", "Disallow: /q").mkString("\n")
+    val mergedMin = Seq(
+      "User-agent: graftbot", "Crawl-delay: 9",
+      "", "User-agent: graftbot", "Crawl-delay: 5").mkString("\n")
+    val junkOnly = Seq(
+      "User-agent: *", "Crawl-delay: fast", "Crawl-delay: -1",
+      "Disallow: /r").mkString("\n")
+    // exact group exists but declares NO delay: the * delay must not
+    // leak in (selection is by group, not by delay presence)
+    val exactNoDelay = Seq(
+      "User-agent: graftbot", "Disallow: /s",
+      "", "User-agent: *", "Crawl-delay: 4").mkString("\n")
+    val got = delaysFor(
+      "a.example" -> exactBeatsStar, "b.example" -> starFallback,
+      "c.example" -> mergedMin, "d.example" -> junkOnly,
+      "e.example" -> exactNoDelay)
+    assert(got == Map("a.example" -> 7L, "b.example" -> 3L,
+      "c.example" -> 5L), s"got $got")
+    // and the RULE parser still ignores the directive entirely
+    val rules = Robots.ruleSet(
+        Seq(("a.example", exactBeatsStar)).toDF("host", "txt"),
+        col("host"), col("txt"))
+      .select("rule").as[String].collect().toSet
+    assert(rules == Set("disallow"), s"got $rules")
+  }
 }
