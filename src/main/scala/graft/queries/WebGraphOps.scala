@@ -701,6 +701,40 @@ object WebGraphOps {
       |     ELSE strftime(DATE '2025-01-01' + CAST((doc_id * 7) % 365 AS INTEGER), '%Y-%m-%d')
       |END""".stripMargin.replace("\n", " ")
 
+  /** Deterministic `<changefreq>`/`<priority>` fixture elements (r18):
+    * the enumerated values, a case-variant INVALID one (must parse
+    * NULL), an out-of-range priority (must parse NULL), and absences. */
+  private def changefreqCol: Column = {
+    val m = pmod(col("doc_id"), lit(5))
+    when(m === 0, lit("<changefreq>daily</changefreq>"))
+      .when(m === 1, lit("<changefreq>weekly</changefreq>"))
+      .when(m === 2, lit("<changefreq>monthly</changefreq>"))
+      .when(m === 4, lit("<changefreq>Fortnightly</changefreq>"))
+      .otherwise(lit(""))
+  }
+  private val changefreqSql: String =
+    """CASE WHEN doc_id % 5 = 0 THEN '<changefreq>daily</changefreq>'
+      |     WHEN doc_id % 5 = 1 THEN '<changefreq>weekly</changefreq>'
+      |     WHEN doc_id % 5 = 2 THEN '<changefreq>monthly</changefreq>'
+      |     WHEN doc_id % 5 = 4 THEN '<changefreq>Fortnightly</changefreq>'
+      |     ELSE '' END""".stripMargin.replace("\n", " ")
+  private def priorityCol: Column = {
+    val m = pmod(col("doc_id"), lit(6))
+    when(m === 0, lit("<priority>1.0</priority>"))
+      .when(m === 1, lit("<priority>0.8</priority>"))
+      .when(m === 2, lit("<priority>0.5</priority>"))
+      .when(m === 3, lit("<priority>0.1</priority>"))
+      .when(m === 5, lit("<priority>2.5</priority>"))
+      .otherwise(lit(""))
+  }
+  private val prioritySql: String =
+    """CASE WHEN doc_id % 6 = 0 THEN '<priority>1.0</priority>'
+      |     WHEN doc_id % 6 = 1 THEN '<priority>0.8</priority>'
+      |     WHEN doc_id % 6 = 2 THEN '<priority>0.5</priority>'
+      |     WHEN doc_id % 6 = 3 THEN '<priority>0.1</priority>'
+      |     WHEN doc_id % 6 = 5 THEN '<priority>2.5</priority>'
+      |     ELSE '' END""".stripMargin.replace("\n", " ")
+
   private val sitemapZones =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -726,7 +760,8 @@ object WebGraphOps {
         concat(lit("<url><loc> "),
           regexp_replace(col("canon"), "&", "&amp;"),
           lit(" </loc><lastmod>"), lastmodCol,
-          lit("</lastmod></url>")).as("e"))
+          lit("</lastmod>"), changefreqCol, priorityCol,
+          lit("</url>")).as("e"))
       val bodies = entries.groupBy(col("n"), col("k"))
         .agg(array_join(
           transform(sort_array(collect_list(struct(col("doc_id"), col("e")))),
@@ -847,13 +882,13 @@ object WebGraphOps {
   private def sitemapCtes: String = {
     s"""smd AS (
        |  SELECT doc_id, canon, doc_id % 13 AS n, doc_id % $SmChildren AS k,
-       |    $lastmodSql AS lm
+       |    $lastmodSql AS lm, $changefreqSql AS cf, $prioritySql AS py
        |  FROM s4),
        |smb AS (
        |  SELECT n, k,
        |    '<?xml version="1.0"?><urlset>' ||
        |    string_agg('<url><loc> ' || replace(canon, '&', '&amp;') ||
-       |      ' </loc><lastmod>' || lm || '</lastmod></url>', ''
+       |      ' </loc><lastmod>' || lm || '</lastmod>' || cf || py || '</url>', ''
        |      ORDER BY doc_id) || '</urlset>' AS cxml
        |  FROM smd GROUP BY n, k),
        |six AS (
@@ -916,6 +951,7 @@ object WebGraphOps {
       .select(col("host"), col("k"), col("url_idx").as("entry_idx"),
         col("loc_canon"), col("lastmod_raw"),
         date_format(col("lastmod_day"), "yyyy-MM-dd").as("lastmod_day"),
+        col("changefreq"), col("priority_milli"),
         col("stale_rank"))
   }
 
@@ -929,15 +965,20 @@ object WebGraphOps {
        |  SELECT n, host, sm_idx, k, loc_idx,
        |    ${graft.text.HtmlExtract.duckEntities(
               graft.text.Sitemaps.duckEntryLoc("u"))} AS url,
-       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw
+       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw,
+       |    ${graft.text.Sitemaps.duckEntryChangefreq("u")} AS changefreq,
+       |    ${graft.text.Sitemaps.duckEntryPriorityMilli("u")} AS priority_milli
        |  FROM sce, entmap),
-       |${UrlCanonical.duckCanonCtes("sle", "host, sm_idx, k, loc_idx, lastmod_raw", idn, "sc")},
+       |${UrlCanonical.duckCanonCtes("sle",
+          "host, sm_idx, k, loc_idx, lastmod_raw, changefreq, priority_milli",
+          idn, "sc")},
        |sp AS (
        |  SELECT host, k, loc_idx, canon AS loc_canon, lastmod_raw,
+       |    changefreq, priority_milli,
        |    ${graft.text.Sitemaps.duckLastmodDay("lastmod_raw")} AS d
        |  FROM sc4)
        |SELECT host, k, loc_idx AS entry_idx, loc_canon, lastmod_raw,
-       |  strftime(d, '%Y-%m-%d') AS lastmod_day,
+       |  strftime(d, '%Y-%m-%d') AS lastmod_day, changefreq, priority_milli,
        |  CAST(row_number() OVER (PARTITION BY host
        |    ORDER BY d ASC NULLS FIRST, loc_canon, k, loc_idx) AS BIGINT)
        |    AS stale_rank
@@ -1023,9 +1064,13 @@ object WebGraphOps {
     val delays = graft.Checkpoints.eager(
       graft.text.Robots.crawlDelays(robots, col("host"), col("txt"),
         RobotsAgent).withColumnRenamed("delay_secs", "crawl_delay"))
+    // staleness first, then the origin's own <priority> (missing =
+    // the protocol's 0.5 default = 500 milli — r18, VERDICT r17 next
+    // #7's "scheduler use"), then the deterministic tiebreaks
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
-      .orderBy(col("lastmod_day").asc_nulls_first, col("loc_canon"),
-        col("k"), col("url_idx"))
+      .orderBy(col("lastmod_day").asc_nulls_first,
+        coalesce(col("priority_milli"), lit(500L)).desc,
+        col("loc_canon"), col("k"), col("url_idx"))
     gated
       .join(graft.operators.AdaptiveJoin.broadcastIfSmall(delays),
         Seq("host"), "left")
@@ -1038,7 +1083,8 @@ object WebGraphOps {
       .select(col("host"), col("k"), col("url_idx").as("entry_idx"),
         col("loc_canon"),
         date_format(col("lastmod_day"), "yyyy-MM-dd").as("lastmod_day"),
-        col("rule"), col("crawl_delay"), col("rate"), col("crawl_rank"),
+        col("priority_milli"), col("rule"), col("crawl_delay"),
+        col("rate"), col("crawl_rank"),
         expr("(crawl_rank - 1) div rate").as("slot"))
   }
 
@@ -1052,12 +1098,14 @@ object WebGraphOps {
        |  SELECT n, host, sm_idx, k, loc_idx,
        |    ${graft.text.HtmlExtract.duckEntities(
               graft.text.Sitemaps.duckEntryLoc("u"))} AS url,
-       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw
+       |    ${graft.text.Sitemaps.duckEntryLastmod("u")} AS lastmod_raw,
+       |    ${graft.text.Sitemaps.duckEntryPriorityMilli("u")} AS priority_milli
        |  FROM sce, entmap),
-       |${UrlCanonical.duckCanonCtes("sle", "host, sm_idx, k, loc_idx, lastmod_raw", idn, "sc")},
+       |${UrlCanonical.duckCanonCtes("sle",
+          "host, sm_idx, k, loc_idx, lastmod_raw, priority_milli", idn, "sc")},
        |fd AS (
        |  SELECT host || '|' || k || '|' || loc_idx AS entry_key,
-       |    host, k, loc_idx, canon AS loc_canon, lastmod_raw,
+       |    host, k, loc_idx, canon AS loc_canon, lastmod_raw, priority_milli,
        |    ${graft.text.Sitemaps.duckLastmodDay("lastmod_raw")} AS d,
        |    ${UrlCanonical.duckPathQueryOf("canon")} AS path
        |  FROM sc4),
@@ -1070,20 +1118,22 @@ object WebGraphOps {
        |${graft.text.Robots.duckRobotsCtes("rt", "fd", RobotsAgent, "entry_key")},
        |${graft.text.Robots.duckCrawlDelayCtes("rt", RobotsAgent)},
        |sched AS (
-       |  SELECT f.host, f.k, f.loc_idx, f.loc_canon, f.d, o.rule,
-       |    cd.delay_secs AS crawl_delay,
+       |  SELECT f.host, f.k, f.loc_idx, f.loc_canon, f.d, f.priority_milli,
+       |    o.rule, cd.delay_secs AS crawl_delay,
        |    CAST(CASE WHEN cd.delay_secs IS NULL THEN $CrawlRate
        |         ELSE greatest(1, $ScheduleWindowSec // cd.delay_secs)
        |         END AS BIGINT) AS rate,
        |    CAST(row_number() OVER (PARTITION BY f.host
-       |      ORDER BY f.d ASC NULLS FIRST, f.loc_canon, f.k, f.loc_idx)
+       |      ORDER BY f.d ASC NULLS FIRST,
+       |        coalesce(f.priority_milli, 500) DESC,
+       |        f.loc_canon, f.k, f.loc_idx)
        |      AS BIGINT) AS crawl_rank
        |  FROM fd f JOIN rb_out o USING (entry_key)
        |  LEFT JOIN rb_cd cd ON f.host = cd.host
        |  WHERE o.allowed)
        |SELECT host, k, loc_idx AS entry_idx, loc_canon,
-       |  strftime(d, '%Y-%m-%d') AS lastmod_day, rule, crawl_delay, rate,
-       |  crawl_rank, (crawl_rank - 1) // rate AS slot
+       |  strftime(d, '%Y-%m-%d') AS lastmod_day, priority_milli, rule,
+       |  crawl_delay, rate, crawl_rank, (crawl_rank - 1) // rate AS slot
        |FROM sched""".stripMargin
   }
 

@@ -38,4 +38,25 @@ class SitemapsSpec extends SparkTestBase {
     val got = extract(xml)
     assert(got.size == 1 && got.head._2.contains("odd]]>tail"), s"got $got")
   }
+
+  test("changefreq validates against the protocol enumeration; priority parses to milli and range-checks") {
+    import org.apache.spark.sql.functions._
+    val xml = "<urlset>" +
+      "<url><loc>http://h.example/a</loc><changefreq> Daily </changefreq><priority>0.8</priority></url>" +
+      "<url><loc>http://h.example/b</loc><changefreq>fortnightly</changefreq><priority>2.5</priority></url>" +
+      "<url><loc>http://h.example/c</loc><priority>1.0</priority></url>" +
+      "<url><loc>http://h.example/d</loc><changefreq>never</changefreq><priority>junk</priority></url>" +
+      "</urlset>"
+    val got = Sitemaps.urlEntries(
+        Seq((1L, xml)).toDF("id", "xml"), col("xml"))
+      .orderBy("url_idx")
+      .select("changefreq", "priority_milli")
+      .as[(Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (Some("daily"), Some(800L)),   // case-normalized, 0.8 → 800
+      (None, None),                  // invalid enum, out-of-range priority
+      (None, Some(1000L)),           // absent changefreq, 1.0 → 1000
+      (Some("never"), None)),        // junk priority
+      s"got $got")
+  }
 }
