@@ -592,30 +592,67 @@ object WebGraphOps {
         .select(
           when(col("n") === 5, lit(97L)).otherwise(col("n") + 1)
             .cast("long").as("doc_id"),
-          // each capture also declares its sitemaps (r17, q164): one
-          // canonical-spelling URL and one shouting-case default-port
-          // variant the canonicalizer must collapse; the rule parser
-          // must keep IGNORING these lines (q160's verdicts are
-          // unchanged — its oracle rebuilds rules WITHOUT them)
+          // each capture also declares its sitemaps (r17, q164; r18
+          // reshapes for the TREE walk): a ROOT index (which names the
+          // gz index — the index→index nesting the protocol permits),
+          // a plain urlset sitemap discovered DIRECTLY, and a
+          // shouting-case default-port variant the canonicalizer must
+          // collapse (no capture — a dead discovery that must drop).
+          // The rule parser must keep IGNORING these lines (q160's
+          // verdicts are unchanged — its oracle rebuilds rules WITHOUT
+          // them)
           concat(
             when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
               .otherwise(lit(OddRobots)),
             lit("\nSitemap: http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-index.xml"),
+            lit(".xn--bcher-kva.example/sm-root.xml"),
+            lit("\nSitemap: http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-direct.xml"),
             lit("\nSitemap: HTTP://SITE"), col("n").cast("string"),
             lit(".XN--BCHER-KVA.EXAMPLE:80/Dup.xml")).as("text"),
           concat(lit("http://site"), col("n").cast("string"),
             lit(".xn--bcher-kva.example/robots.txt")).as("url"))
-      // the DISCOVERED sitemap-index files are captures in the same
-      // zone (r17, q167): doc_ids n+20 dodge every corruption residue,
-      // so all 13 index captures are valid — host 5's stays
-      // UNDISCOVERABLE anyway because its robots capture is corrupt
+      // the DISCOVERED sitemap files are captures in the same zone
+      // (r17 indexes at n+20; r18 roots at n+40, directs at n+60 — all
+      // dodge every corruption residue, so every capture is valid —
+      // host 5's stay UNDISCOVERABLE anyway because its robots capture
+      // is corrupt)
       val indexes = sitemapIndexXml(s, d).select(
         (col("n") + 20).cast("long").as("doc_id"),
         col("xml").as("text"),
         concat(lit("http://"), col("host"), lit("/sm-index.xml")).as("url"))
+      val roots = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(13)).as("n")).distinct()
+        .select((col("n") + 40).cast("long").as("doc_id"),
+          concat(
+            lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>http://site"),
+            col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-index.xml</loc></sitemap></sitemapindex>"))
+            .as("text"),
+          concat(lit("http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-root.xml")).as("url"))
+      val directs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("canon"))
+        .filter(pmod(col("doc_id"), lit(4)) === 1)
+        .withColumn("n", pmod(col("doc_id"), lit(13)))
+        .groupBy(col("n"))
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"),
+            concat(lit("<url><loc>"),
+              regexp_replace(col("canon"), "&", "&amp;"),
+              lit("</loc></url>")).as("e")))),
+            x => x.getField("e")), "").as("body"))
+        .select((col("n") + 60).cast("long").as("doc_id"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"), col("body"),
+            lit("<url><loc>http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/direct/missing</loc></url></urlset>"))
+            .as("text"),
+          concat(lit("http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-direct.xml")).as("url"))
       graft.sources.Warc.synthesize(s,
-        pages.unionByName(robots).unionByName(indexes), base)
+        pages.unionByName(robots).unionByName(indexes)
+          .unionByName(roots).unionByName(directs), base)
       base
     })
 
@@ -1011,7 +1048,9 @@ object WebGraphOps {
        |    (CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
        |          ELSE ${sqlTextLit(OddRobots)} END) ||
        |    chr(10) || 'Sitemap: http://site' || n ||
-       |    '.xn--bcher-kva.example/sm-index.xml' ||
+       |    '.xn--bcher-kva.example/sm-root.xml' ||
+       |    chr(10) || 'Sitemap: http://site' || n ||
+       |    '.xn--bcher-kva.example/sm-direct.xml' ||
        |    chr(10) || 'Sitemap: HTTP://SITE' || n ||
        |    '.XN--BCHER-KVA.EXAMPLE:80/Dup.xml' AS txt
        |  FROM hn WHERE n <> 5),
@@ -1139,39 +1178,73 @@ object WebGraphOps {
 
   // --------- q167 end-to-end ZONE-sourced frontier (r17, beyond plan)
 
-  /** q167: the frontier chain with EVERY link zone-sourced — robots
-    * captures → `Sitemap:` discovery (q164) → the discovered index
-    * files fetched OUT OF THE ZONE by canonical URL → child refs →
-    * gz members (q161's machinery) → `<loc>` frontier with corpus
-    * membership. Nothing is a synthesized relation: a real pipeline
-    * runs exactly this composition over Common Crawl captures. Host 5
-    * drops at the FIRST link (its robots capture is corrupt, so its
-    * index capture — valid and present in the zone — is never
-    * discovered), which the oracle mirrors by restricting the q161
-    * chain to the discovered hosts. */
+  /** q167 (r18 upgrade — VERDICT r17 next #4/#5): the frontier chain
+    * with EVERY link zone-sourced AND generically routed — robots
+    * captures → `Sitemap:` discovery (q164) → a BOUNDED-DEPTH tree
+    * walk ([[graft.text.SitemapTree]]) that fetches each discovered
+    * URL out of the zone (plain captures by canonical URL; `.xml.gz`
+    * refs through the gz member machinery) and routes by ROOT ELEMENT,
+    * never by URL shape: the root index recurses into the gz index
+    * (index→index nesting), the gz index's children are urlset leaves,
+    * the directly-discovered plain sitemap is a leaf at depth 0, and
+    * the dead `Dup.xml` discovery drops unfetched. Output keys carry
+    * the DISCOVERY PATH (`sm_path`, document order at every level) and
+    * depth, so ordering is preserved across levels. Host 5 drops at
+    * the FIRST link (its robots capture is corrupt, so nothing of its
+    * — valid, present — sitemap tree is ever discovered); the oracle
+    * mirrors with a static replay of the known tree over non-corrupt
+    * hosts. */
   def q167ZoneFrontier(s: SparkSession, dir: String): DataFrame = {
-    val discovered = graft.text.Robots.sitemaps(
+    val zone = robotsZoneFor(s, dir)
+    val seeds = graft.text.Robots.sitemaps(
         zoneRobotsTexts(s, dir), col("host"), col("txt"))
-      .withColumn("sm_canon", UrlCanonical.canonicalize(col("sitemap_url")))
-      .filter(endswith(col("sm_canon"), lit("/sm-index.xml")))
-      .select(col("host"), col("sm_canon"))
-    val captures = graft.sources.Warc.readExactClean(s, robotsZoneFor(s, dir))
-      .filter(endswith(col("url"), lit("/sm-index.xml")))
+      .select(col("host"),
+        UrlCanonical.canonicalize(col("sitemap_url")).as("sm_canon"),
+        graft.text.SitemapTree.pathComponent(col("sm_idx")).as("sm_path"))
+    val captures = graft.sources.Warc.readExactClean(s, zone)
       .select(UrlCanonical.canonicalize(col("url")).as("sm_canon"),
         col("payload").as("xml"))
-    val index = discovered.join(captures, Seq("sm_canon"))
-    val children = resolveChildren(s, dir, index.select(col("host"), col("xml")))
-    val locs = graft.text.Sitemaps.locs(children, col("cxml")).drop("cxml")
+    val gzZone = sitemapZoneFor(s, dir)
+    val members = graft.sources.WarcGz.readMemberTexts(s,
+        graft.sources.WarcGz.memberIndex(s, gzZone))
+      .filter(col("ok"))
+      .select(regexp_extract(col("file"), "site(\\d+)\\.xml\\.gz$", 1)
+          .cast("long").as("n"),
+        col("member_idx").as("k"), col("text").as("gxml"))
+    def fetch(frontier: DataFrame): DataFrame = {
+      val plain = frontier.join(captures, Seq("sm_canon"))
+        .select(col("host"), col("sm_canon"), col("sm_path"), col("xml"))
+      // .xml.gz refs resolve by the zone's published ordinal layout
+      // (child URL sm-K ↔ member ordinal K of the host's file — the
+      // q161 convention)
+      val gz = frontier.filter(endswith(col("sm_canon"), lit(".xml.gz")))
+        .select(
+          regexp_extract(col("host"), "^site(\\d+)", 1).cast("long").as("n"),
+          regexp_extract(col("sm_canon"), "sm-(\\d+)\\.xml\\.gz$", 1)
+            .cast("long").as("k"),
+          col("host"), col("sm_canon"), col("sm_path"))
+        .join(members, Seq("n", "k"))
+        .select(col("host"), col("sm_canon"), col("sm_path"),
+          col("gxml").as("xml"))
+      plain.unionByName(gz)
+    }
+    val leaves = graft.text.SitemapTree.walk(seeds, fetch, maxDepth = 3)
+    val locs = graft.text.Sitemaps.locs(leaves, col("xml")).drop("xml")
     val corpus = Tables.documents(s, dir)
       .select(UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("loc_canon"))
       .distinct().withColumn("__in", lit(true))
     locs.join(corpus, Seq("loc_canon"), "left")
-      .select(col("host"), col("sm_idx"), col("k"), col("loc_idx"),
+      .select(col("host"), col("sm_path"), col("depth"), col("loc_idx"),
         col("loc_canon"), coalesce(col("__in"), lit(false)).as("in_corpus"))
   }
 
   val q167Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
+    // static replay of the known tree over non-corrupt hosts: the gz
+    // leaves sit at depth 2 under path root(00000)/index(00000)/childJ
+    // (J = the index's k-DESC document order, sitemapCtes' sm_idx);
+    // the direct urlset is a depth-0 leaf at path 00001 (the second
+    // Sitemap: directive); the Dup discovery (00002) fetches nothing
     s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
        |${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
@@ -1182,26 +1255,36 @@ object WebGraphOps {
               graft.text.Sitemaps.duckEntryLoc("u"))} AS url
        |  FROM sce, entmap),
        |${UrlCanonical.duckCanonCtes("sld", "host, sm_idx, k, loc_idx", idn, "sc")},
-       |hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents),
-       |rt AS (
-       |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
-       |    (CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
-       |          ELSE ${sqlTextLit(OddRobots)} END) ||
-       |    chr(10) || 'Sitemap: http://site' || n ||
-       |    '.xn--bcher-kva.example/sm-index.xml' ||
-       |    chr(10) || 'Sitemap: HTTP://SITE' || n ||
-       |    '.XN--BCHER-KVA.EXAMPLE:80/Dup.xml' AS txt
-       |  FROM hn WHERE n <> 5),
-       |${graft.text.Robots.duckSitemapsCtes("rt")},
-       |disc AS (
-       |  SELECT DISTINCT CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) AS n
-       |  FROM rb_sm WHERE sitemap_url LIKE '%/sm-index.xml'),
-       |cc AS (SELECT DISTINCT canon FROM s4)
-       |SELECT sc4.host, sc4.sm_idx, sc4.k, sc4.loc_idx,
-       |  sc4.canon AS loc_canon, (cc.canon IS NOT NULL) AS in_corpus
-       |FROM sc4
-       |JOIN disc ON CAST(regexp_extract(sc4.host, 'site(\\d+)', 1) AS BIGINT) = disc.n
-       |LEFT JOIN cc ON sc4.canon = cc.canon""".stripMargin
+       |cc AS (SELECT DISTINCT canon FROM s4),
+       |gleaf AS (
+       |  SELECT host,
+       |    '00000/00000/' || lpad(CAST(sm_idx AS VARCHAR), 5, '0') AS sm_path,
+       |    CAST(2 AS BIGINT) AS depth, loc_idx, canon AS loc_canon
+       |  FROM sc4
+       |  WHERE CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) <> 5),
+       |dd AS (
+       |  SELECT doc_id, canon, doc_id % 13 AS n FROM s4 WHERE doc_id % 4 = 1),
+       |dro AS (
+       |  SELECT n, 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    CAST(row_number() OVER (PARTITION BY n ORDER BY doc_id) - 1
+       |      AS BIGINT) AS loc_idx,
+       |    canon AS loc_canon
+       |  FROM dd),
+       |dmiss AS (
+       |  SELECT n, 'site' || n || '.xn--bcher-kva.example' AS host,
+       |    CAST(count(*) AS BIGINT) AS loc_idx,
+       |    'http://site' || n || '.xn--bcher-kva.example/direct/missing'
+       |      AS loc_canon
+       |  FROM dd GROUP BY n),
+       |dleaf AS (
+       |  SELECT host, '00001' AS sm_path, CAST(0 AS BIGINT) AS depth,
+       |    loc_idx, loc_canon
+       |  FROM (SELECT * FROM dro UNION ALL SELECT * FROM dmiss)
+       |  WHERE n <> 5),
+       |lf AS (SELECT * FROM gleaf UNION ALL SELECT * FROM dleaf)
+       |SELECT lf.host, lf.sm_path, lf.depth, lf.loc_idx, lf.loc_canon,
+       |  (cc.canon IS NOT NULL) AS in_corpus
+       |FROM lf LEFT JOIN cc ON lf.loc_canon = cc.canon""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
