@@ -526,12 +526,30 @@ object CorpusOps {
         concat(lit("<base target=\"_top\" href=\"http://wb"), d13.cast("string"),
           lit(".base.example/bdir/sub/\">"))).otherwise(lit("")),
       when(d7 === 4, lit("<base href='../bb/sub/'>")).otherwise(lit("")),
+      // r18 robots-meta classes (doc_id % 8): noindex, attr-order-
+      // swapped nofollow, case-variant NONE (≡ both), and a name≠robots
+      // decoy whose content says noindex but must not count
+      when(pmod(col("doc_id"), lit(8)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          lit("<meta content=\"nofollow\" name=\"robots\">"))
+        .when(pmod(col("doc_id"), lit(8)) === 5,
+          lit("<meta name=\"ROBOTS\" content=\"NONE\">"))
+        .when(pmod(col("doc_id"), lit(8)) === 6,
+          lit("<meta name=\"description\" content=\"noindex decoy\">"))
+        .otherwise(lit("")),
       lit("<script>var doc = "), id, lit(";</script>"),
       lit("<![CDATA[var hidden = \"<base href='/decoy/'><p>not content</p>\";]]></head>"),
       lit("<body><h1>Heading "), id, lit("</h1>"),
       lit("<p>"), col("text"), lit("</p>"),
       lit("<div class=\"nav\"><a href=\"/home\">Home</a> " +
-        "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a></div>"),
+        "<a href=\"/about\">About us</a> | <a href=\"/contact\">Contact</a> " +
+        // r18 rel classes: token before href, multi-token after href,
+        // non-nofollow rel, and the substring trap (rel="nofollower")
+        "<a rel=\"nofollow\" href=\"/login\">Login</a> " +
+        "<a href=\"/promo\" rel=\"sponsored NoFollow\">Promo</a> " +
+        "<a href=\"/author\" rel=\"author\">A</a> " +
+        "<a href=\"/nf2\" rel=\"nofollower\">NF</a></div>"),
       lit("<p>More at <a href=\"../up/one\">up</a> <a href=\"a/b/../c\">dots</a> "),
       lit("<a href=\"//site"), ring, lit(".xn--bcher-kva.example/m/\">ring</a> "),
       when(pmod(d13, lit(2)) === 1,
@@ -566,11 +584,16 @@ object CorpusOps {
       |      THEN '<base target="_top" href="http://wb' || (doc_id % 13) || '.base.example/bdir/sub/">'
       |      WHEN doc_id % 7 = 4 THEN '<base href=''../bb/sub/''>'
       |      ELSE '' END) ||
+      |(CASE WHEN doc_id % 8 = 0 THEN '<meta name="robots" content="noindex, follow">'
+      |      WHEN doc_id % 8 = 3 THEN '<meta content="nofollow" name="robots">'
+      |      WHEN doc_id % 8 = 5 THEN '<meta name="ROBOTS" content="NONE">'
+      |      WHEN doc_id % 8 = 6 THEN '<meta name="description" content="noindex decoy">'
+      |      ELSE '' END) ||
       |'<script>var doc = ' || doc_id || ';</script>' ||
       |'<![CDATA[var hidden = "<base href=''/decoy/''><p>not content</p>";]]></head>' ||
       |'<body><h1>Heading ' || doc_id || '</h1>' ||
       |'<p>' || text || '</p>' ||
-      |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a></div>' ||
+      |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a> <a rel="nofollow" href="/login">Login</a> <a href="/promo" rel="sponsored NoFollow">Promo</a> <a href="/author" rel="author">A</a> <a href="/nf2" rel="nofollower">NF</a></div>' ||
       |'<p>More at <a href="../up/one">up</a> <a href="a/b/../c">dots</a> ' ||
       |'<a href="//site' || ((doc_id % 13 + 1) % 13) || '.xn--bcher-kva.example/m/">ring</a> ' ||
       |(CASE WHEN (doc_id % 13) % 2 = 1
@@ -663,6 +686,50 @@ object CorpusOps {
        |  count(DISTINCT canon) AS n_pages,
        |  min(doc_id) AS first_doc
        |FROM u4 GROUP BY 1""".stripMargin
+
+  // ------------------------------ q170 page-level robots-meta screen
+
+  /** q170 (r18, beyond plan): the robots-META curation screen — the
+    * page-level crawler directives every polite corpus build honors
+    * alongside robots.txt: `noindex` removes the page from the corpus,
+    * `nofollow` kills its outlinks, `none` means both (union across
+    * multiple robots metas, the conservative read). The fixture mixes
+    * a noindex page, an attribute-order-swapped nofollow meta
+    * (`content` before `name` — extraction must not assume order), a
+    * case-variant NONE, and a `name="description"` decoy whose content
+    * says noindex but must not count. Map-only after the zone read. */
+  def q170MetaRobots(s: SparkSession, dir: String): DataFrame = {
+    val zone = htmlZoneFor(s, dir)
+    val pages = graft.sources.Warc.readExactClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+    import graft.text.HtmlExtract
+    pages
+      .select(col("doc_id"),
+        HtmlExtract.metaRobotsContents(col("payload")).as("__c"))
+      .select(col("doc_id"),
+        (HtmlExtract.metaDirective(col("__c"), "noindex") ||
+          HtmlExtract.metaDirective(col("__c"), "none")).as("noindex"),
+        (HtmlExtract.metaDirective(col("__c"), "nofollow") ||
+          HtmlExtract.metaDirective(col("__c"), "none")).as("nofollow"))
+      .withColumn("kept", !col("noindex"))
+  }
+
+  val q170Sql: String =
+    s"""WITH $htmlInCtes,
+       |mc AS (
+       |  SELECT doc_id,
+       |    ${graft.text.HtmlExtract.duckMetaRobotsContents("html")} AS c
+       |  FROM hin)
+       |SELECT doc_id,
+       |  (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
+       |   OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS noindex,
+       |  (${graft.text.HtmlExtract.duckMetaDirective("c", "nofollow")}
+       |   OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS nofollow,
+       |  NOT (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
+       |   OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS kept
+       |FROM mc""".stripMargin
 
   // ----------------------------- q143 end-to-end curation composition
 
@@ -889,6 +956,7 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     "q166_wet_roundtrip" -> q166WetRoundtrip,
+    "q170_meta_robots" -> q170MetaRobots,
     "q163_revisit_resolve" -> q163RevisitResolve,
     "q152_warcgz_index" -> q152WarcGzStoredIndex,
     "q149_nfkc_normalize" -> q149NfkcNormalize,
@@ -911,6 +979,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q166_wet_roundtrip" -> q166Sql,
+    "q170_meta_robots" -> q170Sql,
     "q163_revisit_resolve" -> q163Sql,
     "q152_warcgz_index" -> q136Sql,
     "q149_nfkc_normalize" -> q149Sql,

@@ -256,6 +256,67 @@ object WebGraphOps {
        |FROM af JOIN d4 ON af.doc_id = d4.doc_id AND af.link_idx = d4.link_idx""".stripMargin
   }
 
+  // ----------------------------------- q169 rel=nofollow link semantics
+
+  /** q169 (r18, beyond plan): link-ATTRIBUTE semantics — the `rel`
+    * token list of every resolvable outlink with its `nofollow`
+    * verdict (HTML §4.6.6: rel is space-separated tokens,
+    * case-insensitive; `nofollow` is THE link-level signal a PageRank
+    * or frontier build must screen — the original sculpting-resistant
+    * semantics). The unit is the COMPLETE anchor open tag
+    * ([[HtmlExtract.hrefTags]] — attributes live there), so the
+    * substring trap (`rel="nofollower"`) and the attribute-order trap
+    * (rel before href) are both in the fixture. Resolution composes
+    * the same §5.1.1 base chain as q150. Map-only after the zone
+    * read. */
+  def q169NofollowEdges(s: SparkSession, dir: String): DataFrame =
+    pagesWithBase(s, dir)
+      .select(col("doc_id"), col("__base"),
+        posexplode_outer(HtmlExtract.hrefTags(col("payload")))
+          .as(Seq("tag_idx", "__t")))
+      .filter(col("__t").isNotNull)
+      .withColumn("href",
+        HtmlExtract.decodeEntities(HtmlExtract.tagHref(col("__t"))))
+      .filter(hierarchicalOnly(col("href")))
+      .select(col("doc_id"), col("tag_idx").cast("long").as("tag_idx"),
+        col("href"),
+        lower(HtmlExtract.tagRel(col("__t"))).as("rel"),
+        HtmlExtract.relHasNofollow(HtmlExtract.tagRel(col("__t")))
+          .as("nofollow"),
+        UrlCanonical.canonicalize(
+          UrlCanonical.resolve(col("__base"), col("href"))).as("dst_canon"))
+
+  val q169Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
+       |tl AS (
+       |  SELECT doc_id, ${HtmlExtract.duckHrefTags("html")} AS l FROM hin),
+       |tx AS (
+       |  SELECT doc_id, unnest(range(len(l))) AS tag_idx, unnest(l) AS t
+       |  FROM tl),
+       |tf AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, tag_idx,
+       |      ${HtmlExtract.duckEntities(HtmlExtract.duckTagHref("t"))} AS href,
+       |      lower(${HtmlExtract.duckTagRel("t")}) AS rel,
+       |      ${HtmlExtract.duckRelHasNofollow(HtmlExtract.duckTagRel("t"))} AS nofollow
+       |    FROM tx, entmap)
+       |  WHERE NOT (regexp_matches(href, '$SchemeLike')
+       |             AND NOT regexp_matches(href, '$Hierarchical'))),
+       |rin AS (
+       |  SELECT tf.doc_id, tf.tag_idx, e.url AS base, tf.href AS ref
+       |  FROM tf JOIN ebase e ON tf.doc_id = e.doc_id),
+       |${UrlCanonical.duckResolveCtes("rin", "doc_id, tag_idx", "rv")},
+       |tin AS (SELECT doc_id, tag_idx, target AS url FROM rv4),
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, tag_idx", idn, "d")}
+       |SELECT tf.doc_id, tf.tag_idx, tf.href, tf.rel, tf.nofollow,
+       |  d4.canon AS dst_canon
+       |FROM tf JOIN d4 ON tf.doc_id = d4.doc_id AND tf.tag_idx = d4.tag_idx""".stripMargin
+  }
+
   // --------------------------------------- q156 rank-weighted host quota
 
   /** Per-host base quota multiplier — the highest-ranked host keeps
@@ -1301,10 +1362,12 @@ object WebGraphOps {
     "q156_rank_quota" -> q156RankQuota,
     "q158_robots_gate" -> q158RobotsGate,
     "q168_quota_kept" -> q168QuotaKept,
+    "q169_nofollow_edges" -> q169NofollowEdges,
   )
 
   val oracles: Map[String, String] = Map(
     "q168_quota_kept" -> q168Sql,
+    "q169_nofollow_edges" -> q169Sql,
     "q167_zone_frontier" -> q167Sql,
     "q165_crawl_schedule" -> q165Sql,
     "q164_robots_sitemaps" -> q164Sql,

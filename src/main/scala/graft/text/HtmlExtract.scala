@@ -152,6 +152,85 @@ object HtmlExtract {
   def duckAnchorText(a: String): String =
     duckVisible(s"""regexp_extract($a, '(?is)^<a\\b[^>]*>(.*)</a>$$', 1)""")
 
+  /** COMPLETE href-bearing anchor OPEN TAGS (`<a … href="…" …>`), in
+    * document order, post de-script — the unit of link-ATTRIBUTE
+    * extraction (rel/nofollow, r18): the attributes live on the open
+    * tag, so the element machinery ([[anchors]], which needs the
+    * closing tag for text) is the wrong unit and [[hrefs]] (which
+    * doesn't require the tag to close) the wrong recall class.
+    * Narrower than [[hrefs]] by construction: an href in a tag whose
+    * `>` never comes is an outlink with no parseable attributes. */
+  def hrefTags(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    regexp_extract_all(deScripted, lit(HrefTagPat), lit(0))
+  }
+
+  private val HrefTagPat =
+    "(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"'][^\"']*[\"'][^>]*>"
+
+  /** The href / rel attribute of one [[hrefTags]] tag (raw text; rel is
+    * "" when absent — HTML's default link relation). */
+  def tagHref(t: Column): Column =
+    regexp_extract(t, "(?is)\\shref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+  def tagRel(t: Column): Column =
+    regexp_extract(t, "(?is)\\srel\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+
+  /** rel is a space-separated TOKEN LIST (HTML §4.6.6) — `nofollow`
+    * must match as a token, never as a substring (`rel="nofollower"`
+    * is not a nofollow). Case-insensitive per spec. */
+  def relHasNofollow(rel: Column): Column =
+    lower(rel).rlike("(^|\\s)nofollow(\\s|$)")
+
+  /** DuckDB twins of the tag-attribute machinery. */
+  def duckHrefTags(e: String): String =
+    s"""regexp_extract_all(${duckDescript(e)}, '(?is)<a\\b[^>]*?\\shref\\s*=\\s*["''][^"'']*["''][^>]*>', 0)"""
+  def duckTagHref(t: String): String =
+    s"""regexp_extract($t, '(?is)\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)"""
+  def duckTagRel(t: String): String =
+    s"""regexp_extract($t, '(?is)\\srel\\s*=\\s*["'']([^"'']*)["'']', 1)"""
+  def duckRelHasNofollow(rel: String): String =
+    s"""regexp_matches(lower($rel), '(^|\\s)nofollow(\\s|$$)')"""
+
+  /** The lowercased `content` values of every `<meta name="robots">`
+    * tag, post non-content drops (r18): the page-level crawler
+    * directives (robots-meta / X-Robots conventions) a curation
+    * pipeline screens on — `noindex` removes the page from the corpus,
+    * `nofollow` kills its outlinks, `none` means both. Attribute ORDER
+    * is free (`content` before `name` is common), so extraction takes
+    * whole meta tags and filters by the name attribute; multiple
+    * robots metas UNION their directives (the conservative read). */
+  def metaRobotsContents(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    val tags = regexp_extract_all(deScripted, lit(MetaTagPat), lit(0))
+    filter(
+      transform(tags, t =>
+        when(lower(regexp_extract(t, NameAttrPat, 1)) === "robots",
+          lower(regexp_extract(t, ContentAttrPat, 1)))),
+      c => c.isNotNull)
+  }
+
+  private val MetaTagPat = "(?is)<meta\\b[^>]*>"
+  private val NameAttrPat = "(?is)\\sname\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val ContentAttrPat = "(?is)\\scontent\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** Whether any robots-meta content carries `token` — directives are
+    * a comma-separated list with free whitespace, matched as TOKENS
+    * (inputs already lowercased by [[metaRobotsContents]]). */
+  def metaDirective(contents: Column, token: String): Column =
+    exists(contents, c => c.rlike(s"(^|[\\s,])$token([\\s,]|$$)"))
+
+  /** DuckDB twins of the robots-meta machinery. */
+  def duckMetaRobotsContents(e: String): String =
+    s"""list_filter(list_transform(
+       |      regexp_extract_all(${duckDescript(e)}, '(?is)<meta\\b[^>]*>', 0),
+       |      t -> CASE WHEN lower(regexp_extract(t, '(?is)\\sname\\s*=\\s*["'']([^"'']*)["'']', 1)) = 'robots'
+       |                THEN lower(regexp_extract(t, '(?is)\\scontent\\s*=\\s*["'']([^"'']*)["'']', 1))
+       |           END), c -> c IS NOT NULL)""".stripMargin
+  def duckMetaDirective(c: String, token: String): String =
+    s"""(len(list_filter($c, x -> regexp_matches(x, '(^|[\\s,])$token([\\s,]|$$)'))) > 0)"""
+
   /** Character-reference decode, FULL coverage (clears VERDICT r15 weak
     * #1): named references over the complete HTML 4.01 + `apos` table
     * ([[HtmlEntities]], via the native O(1) `html_entity` lookup) and
