@@ -317,6 +317,80 @@ object WebGraphOps {
        |FROM tf JOIN d4 ON tf.doc_id = d4.doc_id AND tf.tag_idx = d4.tag_idx""".stripMargin
   }
 
+  // ------------------------------------ q171 followed host-edge relation
+
+  /** q171 (r18, beyond plan): the edge set a POLITE rank uses — q169's
+    * outlinks with BOTH nofollow channels honored: the link-level rel
+    * token drops the edge, and a page whose robots-meta says
+    * nofollow/none drops ALL its edges (the page-level directive
+    * composes from the same zone payloads — q170's extraction).
+    * Collapsed to distinct host→host edges (self-loops out), exactly
+    * the relation PageRank consumes; the host graph here is a strict
+    * subset of q151's. One distinct on a host-cardinality relation —
+    * everything upstream is map-only. */
+  def q171FollowedEdges(s: SparkSession, dir: String): DataFrame = {
+    val pageNf = pagesWithBase(s, dir)
+      .select(col("doc_id"),
+        HtmlExtract.metaRobotsContents(col("payload")).as("__c"))
+      .select(col("doc_id"),
+        (HtmlExtract.metaDirective(col("__c"), "nofollow") ||
+          HtmlExtract.metaDirective(col("__c"), "none")).as("__pnf"))
+    q169NofollowEdges(s, dir)
+      .filter(!col("nofollow"))
+      .join(pageNf, Seq("doc_id"))
+      .filter(!col("__pnf"))
+      .select(
+        UrlCanonical.hostOfCanon(
+          UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("src_host"),
+        UrlCanonical.hostOfCanon(col("dst_canon")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .distinct()
+  }
+
+  val q171Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
+       |pnf AS (
+       |  SELECT doc_id,
+       |    (${HtmlExtract.duckMetaDirective("c", "nofollow")}
+       |     OR ${HtmlExtract.duckMetaDirective("c", "none")}) AS page_nf
+       |  FROM (SELECT doc_id,
+       |          ${HtmlExtract.duckMetaRobotsContents("html")} AS c
+       |        FROM hin)),
+       |tl AS (
+       |  SELECT doc_id, ${HtmlExtract.duckHrefTags("html")} AS l FROM hin),
+       |tx AS (
+       |  SELECT doc_id, unnest(range(len(l))) AS tag_idx, unnest(l) AS t
+       |  FROM tl),
+       |tf AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, tag_idx,
+       |      ${HtmlExtract.duckEntities(HtmlExtract.duckTagHref("t"))} AS href,
+       |      ${HtmlExtract.duckRelHasNofollow(HtmlExtract.duckTagRel("t"))} AS nofollow
+       |    FROM tx, entmap)
+       |  WHERE NOT (regexp_matches(href, '$SchemeLike')
+       |             AND NOT regexp_matches(href, '$Hierarchical'))),
+       |ff AS (
+       |  SELECT tf.doc_id, tf.tag_idx, tf.href
+       |  FROM tf JOIN pnf ON tf.doc_id = pnf.doc_id
+       |  WHERE NOT tf.nofollow AND NOT pnf.page_nf),
+       |rin AS (
+       |  SELECT ff.doc_id, ff.tag_idx, e.url AS base, ff.href AS ref
+       |  FROM ff JOIN ebase e ON ff.doc_id = e.doc_id),
+       |${UrlCanonical.duckResolveCtes("rin", "doc_id, tag_idx", "rv")},
+       |tin AS (SELECT doc_id, tag_idx, target AS url FROM rv4),
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, tag_idx", idn, "d")},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}
+       |SELECT DISTINCT ${UrlCanonical.duckHostOf("s4.canon")} AS src_host,
+       |  ${UrlCanonical.duckHostOf("d4.canon")} AS dst_host
+       |FROM d4 JOIN s4 ON d4.doc_id = s4.doc_id
+       |WHERE ${UrlCanonical.duckHostOf("s4.canon")}
+       |      <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
+  }
+
   // --------------------------------------- q156 rank-weighted host quota
 
   /** Per-host base quota multiplier — the highest-ranked host keeps
@@ -1363,11 +1437,13 @@ object WebGraphOps {
     "q158_robots_gate" -> q158RobotsGate,
     "q168_quota_kept" -> q168QuotaKept,
     "q169_nofollow_edges" -> q169NofollowEdges,
+    "q171_followed_edges" -> q171FollowedEdges,
   )
 
   val oracles: Map[String, String] = Map(
     "q168_quota_kept" -> q168Sql,
     "q169_nofollow_edges" -> q169Sql,
+    "q171_followed_edges" -> q171Sql,
     "q167_zone_frontier" -> q167Sql,
     "q165_crawl_schedule" -> q165Sql,
     "q164_robots_sitemaps" -> q164Sql,
