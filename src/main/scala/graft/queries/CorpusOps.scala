@@ -517,6 +517,19 @@ object CorpusOps {
     concat(
       lit("<html><head><title>Doc "), id, lit("</title>"),
       lit("<style>body { margin: 0 }</style>"),
+      // r18 canonical-link classes (doc_id % 9): absolute SELF
+      // canonical (the page's own messy URL), root-relative canonical,
+      // attribute-order-swapped + case-variant canonical; every page
+      // carries a stylesheet link that must never count
+      lit("<link rel=\"stylesheet\" href=\"/style.css\">"),
+      when(pmod(col("doc_id"), lit(9)) === 1,
+        concat(lit("<link rel=\"canonical\" href=\""), messyUrlCol,
+          lit("\">"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 4,
+        lit("<link rel=\"canonical\" href=\"/canonical/page\">"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 7,
+        lit("<link href='/canon2' rel='CANONICAL'>")).otherwise(lit("")),
       // r18 <base href> classes (RFC 3986 §5.1.1): d7==2 an ABSOLUTE
       // base on a foreign host (every relative link must re-root
       // there), d7==4 a RELATIVE single-quoted base (itself resolved
@@ -578,8 +591,14 @@ object CorpusOps {
   }
 
   private val htmlSqlExpr: String =
-    """'<html><head><title>Doc ' || doc_id || '</title>' ||
+    s"""'<html><head><title>Doc ' || doc_id || '</title>' ||
       |'<style>body { margin: 0 }</style>' ||
+      |'<link rel="stylesheet" href="/style.css">' ||
+      |(CASE WHEN doc_id % 9 = 1
+      |      THEN '<link rel="canonical" href="' || ($messyUrlSqlExpr) || '">'
+      |      WHEN doc_id % 9 = 4 THEN '<link rel="canonical" href="/canonical/page">'
+      |      WHEN doc_id % 9 = 7 THEN '<link href=''/canon2'' rel=''CANONICAL''>'
+      |      ELSE '' END) ||
       |(CASE WHEN doc_id % 7 = 2
       |      THEN '<base target="_top" href="http://wb' || (doc_id % 13) || '.base.example/bdir/sub/">'
       |      WHEN doc_id % 7 = 4 THEN '<base href=''../bb/sub/''>'
@@ -926,11 +945,13 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
   }
 
-  /** q139/q144 shared oracle fixture CTE. */
-  private[queries] def messyUrlMkCte: String =
-      """mk AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
+  /** The messy-URL fixture as a bare SQL expression over `doc_id` —
+    * shared by the mk CTE and the html fixture's self-referential
+    * canonical link (r18). A `def`, not a `val`: SQL vals earlier in
+    * this object's init order splice it (the q166Sql object-init
+    * lesson). */
+  private[queries] def messyUrlSqlExpr: String =
+      """(CASE WHEN doc_id % 3 = 1 THEN 'HTTP' ELSE 'http' END) || '://' ||
         |    'site' || (doc_id % 13) || '.' ||
         |    (CASE WHEN doc_id % 3 = 1 THEN 'BÜCHER' ELSE 'xn--bcher-kva' END) ||
         |    '.example' ||
@@ -942,8 +963,14 @@ object CorpusOps {
         |          WHEN doc_id % 3 = 1 THEN '?b=2%2f2&a=1'
         |          ELSE '?b=2%2F2&a=1' END) ||
         |    '&next=http://dest.example/x' ||
-        |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END) AS url
-        |  FROM documents)""".stripMargin
+        |    (CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END)""".stripMargin
+
+  /** q139/q144 shared oracle fixture CTE. */
+  private[queries] def messyUrlMkCte: String =
+    s"""mk AS (
+       |  SELECT doc_id,
+       |    $messyUrlSqlExpr AS url
+       |  FROM documents)""".stripMargin
 
   val q139Sql: String = {
     s"""WITH $messyUrlMkCte,

@@ -391,6 +391,67 @@ object WebGraphOps {
        |      <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
   }
 
+  // --------------------------------- q172 canonical-link consolidation
+
+  /** q172 (r18, beyond plan): the `<link rel="canonical">` signal —
+    * pages declaring their authoritative URL, the consolidation key a
+    * corpus build clusters on BEFORE content dedup (mirror/variant
+    * pages collapse onto one canonical holder). The declared target is
+    * entity-decoded and resolved against the page's effective base
+    * (§5.1.1 — a relative canonical composes with `<base href>`), then
+    * canonicalized into the engine's key space; `dedup_key` falls back
+    * to the page's own canonical form when no link is declared.
+    * Fixture classes: an absolute SELF canonical (is_self must be
+    * true THROUGH the messy-URL normalization), a root-relative
+    * target, an attribute-order-swapped case-variant rel, and a
+    * stylesheet link decoy on every page. Map-only after the zone
+    * read. */
+  def q172CanonicalLink(s: SparkSession, dir: String): DataFrame =
+    pagesWithBase(s, dir)
+      .withColumn("__ch",
+        HtmlExtract.decodeEntities(HtmlExtract.canonicalHref(col("payload"))))
+      .select(col("doc_id"),
+        UrlCanonical.canonicalize(col("__url")).as("self_canon"),
+        UrlCanonical.let(col("__ch")) { ch =>
+          when(ch.isNull || ch === "" ||
+              (ch.rlike(SchemeLike) && !ch.rlike(Hierarchical)),
+            lit(null))
+            .otherwise(UrlCanonical.canonicalize(
+              UrlCanonical.resolve(col("__base"), ch)))
+        }.as("canonical_canon"))
+      .withColumn("is_self",
+        coalesce(col("canonical_canon") === col("self_canon"), lit(false)))
+      .withColumn("dedup_key",
+        coalesce(col("canonical_canon"), col("self_canon")))
+
+  val q172Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
+       |ch0 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckEntities(HtmlExtract.duckCanonicalHref("html"))} AS ch
+       |  FROM hin, entmap),
+       |cri AS (
+       |  SELECT c.doc_id, e.url AS base, c.ch AS ref
+       |  FROM ch0 c JOIN ebase e ON c.doc_id = e.doc_id
+       |  WHERE c.ch IS NOT NULL AND c.ch <> ''
+       |    AND NOT (regexp_matches(c.ch, '$SchemeLike')
+       |             AND NOT regexp_matches(c.ch, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("cri", "doc_id", "cn")},
+       |ctin AS (SELECT doc_id, target AS url FROM cn4),
+       |${UrlCanonical.duckCanonCtes("ctin", "doc_id", idn, "cx")},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}
+       |SELECT h.doc_id, s4.canon AS self_canon, cx4.canon AS canonical_canon,
+       |  coalesce(cx4.canon = s4.canon, false) AS is_self,
+       |  coalesce(cx4.canon, s4.canon) AS dedup_key
+       |FROM hin h
+       |JOIN s4 ON h.doc_id = s4.doc_id
+       |LEFT JOIN cx4 ON h.doc_id = cx4.doc_id""".stripMargin
+  }
+
   // --------------------------------------- q156 rank-weighted host quota
 
   /** Per-host base quota multiplier — the highest-ranked host keeps
@@ -1438,12 +1499,14 @@ object WebGraphOps {
     "q168_quota_kept" -> q168QuotaKept,
     "q169_nofollow_edges" -> q169NofollowEdges,
     "q171_followed_edges" -> q171FollowedEdges,
+    "q172_canonical_link" -> q172CanonicalLink,
   )
 
   val oracles: Map[String, String] = Map(
     "q168_quota_kept" -> q168Sql,
     "q169_nofollow_edges" -> q169Sql,
     "q171_followed_edges" -> q171Sql,
+    "q172_canonical_link" -> q172Sql,
     "q167_zone_frontier" -> q167Sql,
     "q165_crawl_schedule" -> q165Sql,
     "q164_robots_sitemaps" -> q164Sql,

@@ -214,6 +214,39 @@ object HtmlExtract {
   private val MetaTagPat = "(?is)<meta\\b[^>]*>"
   private val NameAttrPat = "(?is)\\sname\\s*=\\s*[\"']([^\"']*)[\"']"
   private val ContentAttrPat = "(?is)\\scontent\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val LinkTagPat = "(?is)<link\\b[^>]*>"
+  private val RelAttrPat = "(?is)\\srel\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** The FIRST `<link rel="canonical" href>` target of the document
+    * (r18) — the canonical-consolidation dedup signal (pages declaring
+    * which URL is the authoritative copy; a corpus build clusters on
+    * it before content dedup). rel is matched as a TOKEN (like
+    * [[relHasNofollow]]), attribute order is free, only the first
+    * canonical link counts (the `<base>` discipline), and a
+    * `rel="stylesheet"` (or any other) link never does. NULL when the
+    * page declares none. Raw attribute text — callers decode and
+    * resolve against the page's effective base. */
+  def canonicalHref(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    val tags = regexp_extract_all(deScripted, lit(LinkTagPat), lit(0))
+    get(filter(
+      transform(tags, t =>
+        when(lower(regexp_extract(t, RelAttrPat, 1))
+            .rlike("(^|\\s)canonical(\\s|$)"),
+          regexp_extract(t, "(?is)\\shref\\s*=\\s*[\"']([^\"']*)[\"']", 1))),
+      c => c.isNotNull), lit(0))
+  }
+
+  /** DuckDB twin of [[canonicalHref]]. */
+  def duckCanonicalHref(e: String): String =
+    s"""(list_filter(list_transform(
+       |      regexp_extract_all(${duckDescript(e)}, '(?is)<link\\b[^>]*>', 0),
+       |      t -> CASE WHEN regexp_matches(
+       |                  lower(regexp_extract(t, '(?is)\\srel\\s*=\\s*["'']([^"'']*)["'']', 1)),
+       |                  '(^|\\s)canonical(\\s|$$)')
+       |                THEN regexp_extract(t, '(?is)\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)
+       |           END), c -> c IS NOT NULL))[1]""".stripMargin
 
   /** Whether any robots-meta content carries `token` — directives are
     * a comma-separated list with free whitespace, matched as TOKENS
