@@ -526,6 +526,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"the static-cap conjunct must rewrite to a map-side group limit:\n$p")
   }
 
+  test("q169/q172: link-attribute and canonical extraction add NO data-keyed shuffle beyond the zone read") {
+    for ((name, df) <- Seq(
+        "q169" -> WebGraphOps.q169NofollowEdges(spark, dir),
+        "q172" -> WebGraphOps.q172CanonicalLink(spark, dir))) {
+      val p = plan(df)
+      // the WARC exact reader legitimately exchanges on FILE keys to
+      // assemble chunked records; the extraction itself must add no
+      // doc-/host-keyed shuffle and no range partition
+      assert(!p.contains("hashpartitioning(doc_id") &&
+        !p.contains("hashpartitioning(host"),
+        s"$name must not shuffle on data keys:\n$p")
+      assert(countOf(p, "Exchange rangepartitioning") == 0,
+        s"$name global sort crept in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+  }
+
+  test("q171 followed edges: ONE zone pass (single tag generate), no doc_id join") {
+    val p = plan(WebGraphOps.q171FollowedEdges(spark, dir))
+    assert(countOf(p, "Generate") == 1,
+      s"one tag explode — the page-flag pass must be fused, not a second scan:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"no doc_id-keyed join/shuffle in the fused shape:\n$p")
+  }
+
   test("q156 adaptive chain: exactly ONE strategy-count job — the quota join reuses the name count") {
     // VERDICT r17 wrong #2: hostRanks measured `names`, then q156
     // re-counted `quotas`, whose cardinality equals the rank
