@@ -563,7 +563,17 @@ object CorpusOps {
         "<a href=\"/promo\" rel=\"sponsored NoFollow\">Promo</a> " +
         "<a href=\"/author\" rel=\"author\">A</a> " +
         "<a href=\"/nf2\" rel=\"nofollower\">NF</a></div>"),
+      // r18: a CROSS-HOST link that is ALWAYS nofollow (the spam-farm
+      // shape — it must appear in the raw edge set but contribute no
+      // authority), and a cross-host link carried ONLY by robots-meta
+      // nofollow pages (so the PAGE channel also discriminates the
+      // followed graph from the full one)
       lit("<p>More at <a href=\"../up/one\">up</a> <a href=\"a/b/../c\">dots</a> "),
+      lit("<a rel=\"nofollow\" href=\"//spam"), d13.cast("string"),
+      lit(".example/promo\">spam</a> "),
+      when(pmod(col("doc_id"), lit(8)).isin(3, 5),
+        concat(lit("<a href=\"//pagenf"), d13.cast("string"),
+          lit(".example/x\">pnf</a> "))).otherwise(lit("")),
       lit("<a href=\"//site"), ring, lit(".xn--bcher-kva.example/m/\">ring</a> "),
       when(pmod(d13, lit(2)) === 1,
         concat(lit("<a href=\"//site"), far,
@@ -614,6 +624,10 @@ object CorpusOps {
       |'<p>' || text || '</p>' ||
       |'<div class="nav"><a href="/home">Home</a> <a href="/about">About us</a> | <a href="/contact">Contact</a> <a rel="nofollow" href="/login">Login</a> <a href="/promo" rel="sponsored NoFollow">Promo</a> <a href="/author" rel="author">A</a> <a href="/nf2" rel="nofollower">NF</a></div>' ||
       |'<p>More at <a href="../up/one">up</a> <a href="a/b/../c">dots</a> ' ||
+      |'<a rel="nofollow" href="//spam' || (doc_id % 13) || '.example/promo">spam</a> ' ||
+      |(CASE WHEN doc_id % 8 IN (3, 5)
+      |      THEN '<a href="//pagenf' || (doc_id % 13) || '.example/x">pnf</a> '
+      |      ELSE '' END) ||
       |'<a href="//site' || ((doc_id % 13 + 1) % 13) || '.xn--bcher-kva.example/m/">ring</a> ' ||
       |(CASE WHEN (doc_id % 13) % 2 = 1
       |      THEN '<a href="//site' || ((doc_id % 13 + 5) % 13) || '.xn--bcher-kva.example/far">far</a> '

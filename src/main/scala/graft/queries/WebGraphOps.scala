@@ -136,12 +136,18 @@ object WebGraphOps {
     * join (whose row count equals the rank relation's ≤ this), so the
     * chain runs exactly ONE strategy-count job (VERDICT r17 wrong #2;
     * PlanAuditSpec asserts via AdaptiveJoin.measuredProbes). */
-  private def hostRanksCounted(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val hostEdges = outlinkEdges(s, dir)
+  private def hostRanksCounted(s: SparkSession, dir: String): (DataFrame, Long) =
+    rankOverHostEdges(outlinkEdges(s, dir)
       .select(UrlCanonical.hostOfCanon(col("src_canon")).as("src_host"),
         UrlCanonical.hostOfCanon(col("dst_canon")).as("dst_host"))
       .filter(col("src_host") =!= col("dst_host"))
-      .distinct()
+      .distinct())
+
+  /** The h60-keyed integer PageRank over any distinct
+    * `(src_host, dst_host)` relation, plus the measured node count —
+    * shared by the full-graph rank (q151/q156/q168) and the
+    * followed-edge rank (q173). */
+  private def rankOverHostEdges(hostEdges: DataFrame): (DataFrame, Long) = {
     val scope = graft.CacheScope.scoped()
     val edges = scope.cache(hostEdges.select(
       Portable.h60(col("src_host")).as("src"),
@@ -180,11 +186,18 @@ object WebGraphOps {
          |FROM lf JOIN s4 ON lf.doc_id = s4.doc_id
          |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx
          |WHERE ${UrlCanonical.duckHostOf("s4.canon")} <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
-    val out = new StringBuilder
-    out ++= s"""$outlinkCtePrefix,
+    s"""$outlinkCtePrefix,
        |e AS (
        |$edgeSelect),
-       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |$rankSweepCtes""".stripMargin
+  }
+
+  /** The integer PageRank sweep as CTEs over an already-defined edge
+    * CTE `e (src, dst)` → exposes `r$Iterations (node, pr)`. Shared by
+    * the q151/q156/q168 chain and the followed-edge rank (q173). */
+  private def rankSweepCtes: String = {
+    val out = new StringBuilder
+    out ++= s"""deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |r0 AS (SELECT node, ${Scale}::BIGINT AS pr FROM n)""".stripMargin
     for (i <- 1 to Iterations) {
@@ -358,9 +371,11 @@ object WebGraphOps {
       .filter(col("src_host") =!= col("dst_host"))
       .distinct()
 
-  val q171Sql: String = {
+  /** The q171 chain as CTEs → exposes `fe (src_host, dst_host)` —
+    * shared by q171's gate SELECT and q173's rank sweep. */
+  private def followedEdgeCtes: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${HtmlExtract.duckEntmapCte},
+    s"""${HtmlExtract.duckEntmapCte},
        |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
        |$duckEbaseCtes,
@@ -394,13 +409,36 @@ object WebGraphOps {
        |${UrlCanonical.duckResolveCtes("rin", "doc_id, tag_idx", "rv")},
        |tin AS (SELECT doc_id, tag_idx, target AS url FROM rv4),
        |${UrlCanonical.duckCanonCtes("tin", "doc_id, tag_idx", idn, "d")},
-       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}
-       |SELECT DISTINCT ${UrlCanonical.duckHostOf("s4.canon")} AS src_host,
-       |  ${UrlCanonical.duckHostOf("d4.canon")} AS dst_host
-       |FROM d4 JOIN s4 ON d4.doc_id = s4.doc_id
-       |WHERE ${UrlCanonical.duckHostOf("s4.canon")}
-       |      <> ${UrlCanonical.duckHostOf("d4.canon")}""".stripMargin
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |fe AS (
+       |  SELECT DISTINCT ${UrlCanonical.duckHostOf("s4.canon")} AS src_host,
+       |    ${UrlCanonical.duckHostOf("d4.canon")} AS dst_host
+       |  FROM d4 JOIN s4 ON d4.doc_id = s4.doc_id
+       |  WHERE ${UrlCanonical.duckHostOf("s4.canon")}
+       |        <> ${UrlCanonical.duckHostOf("d4.canon")})""".stripMargin
   }
+
+  val q171Sql: String =
+    s"WITH $followedEdgeCtes\nSELECT src_host, dst_host FROM fe"
+
+  // -------------------------------------- q173 followed-edge host rank
+
+  /** q173 (r18, beyond plan): PageRank over the FOLLOWED edge set —
+    * the sculpting-resistant domain-authority signal nofollow exists
+    * for: links marked nofollow (and every link on a robots-meta
+    * nofollow page) contribute NO authority. Same rank machinery as
+    * q151 (h60 keys, integer fixed-point, adaptive name join, one
+    * measured count) over q171's edge relation; on this fixture the
+    * followed graph is a strict subgraph of q151's, so ranks shift
+    * exactly where sculpted links were propping hosts up. */
+  def q173FollowedRank(s: SparkSession, dir: String): DataFrame =
+    rankOverHostEdges(q171FollowedEdges(s, dir))._1
+
+  val q173Sql: String =
+    s"""WITH $followedEdgeCtes,
+       |e AS (SELECT src_host AS src, dst_host AS dst FROM fe),
+       |$rankSweepCtes
+       |SELECT node AS host, pr FROM r$Iterations""".stripMargin
 
   // --------------------------------- q172 canonical-link consolidation
 
@@ -1511,9 +1549,11 @@ object WebGraphOps {
     "q169_nofollow_edges" -> q169NofollowEdges,
     "q171_followed_edges" -> q171FollowedEdges,
     "q172_canonical_link" -> q172CanonicalLink,
+    "q173_followed_rank" -> q173FollowedRank,
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_followed_rank" -> q173Sql,
     "q168_quota_kept" -> q168Sql,
     "q169_nofollow_edges" -> q169Sql,
     "q171_followed_edges" -> q171Sql,
