@@ -530,6 +530,18 @@ object CorpusOps {
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(9)) === 7,
         lit("<link href='/canon2' rel='CANONICAL'>")).otherwise(lit("")),
+      // r18 meta-refresh classes (doc_id % 12): a ZERO-delay redirect
+      // (relative target), a delayed refresh with NO target
+      // (attr-order-swapped, shouting http-equiv), and a delayed
+      // protocol-relative hop with uppercase URL=
+      when(pmod(col("doc_id"), lit(12)) === 1,
+        lit("<meta http-equiv=\"refresh\" content=\"0; url=/moved/here\">"))
+        .when(pmod(col("doc_id"), lit(12)) === 5,
+          lit("<meta content=\"30\" http-equiv=\"REFRESH\">"))
+        .when(pmod(col("doc_id"), lit(12)) === 9,
+          concat(lit("<meta http-equiv=\"refresh\" content=\"2;URL=//site"),
+            pmod(pmod(col("doc_id"), lit(13)) + lit(1), lit(13)).cast("string"),
+            lit(".xn--bcher-kva.example/hop\">"))).otherwise(lit("")),
       // r18 <base href> classes (RFC 3986 §5.1.1): d7==2 an ABSOLUTE
       // base on a foreign host (every relative link must re-root
       // there), d7==4 a RELATIVE single-quoted base (itself resolved
@@ -609,6 +621,10 @@ object CorpusOps {
       |      WHEN doc_id % 9 = 4 THEN '<link rel="canonical" href="/canonical/page">'
       |      WHEN doc_id % 9 = 7 THEN '<link href=''/canon2'' rel=''CANONICAL''>'
       |      ELSE '' END) ||
+      |(CASE WHEN doc_id % 12 = 1 THEN '<meta http-equiv="refresh" content="0; url=/moved/here">'
+      |      WHEN doc_id % 12 = 5 THEN '<meta content="30" http-equiv="REFRESH">'
+      |      WHEN doc_id % 12 = 9 THEN '<meta http-equiv="refresh" content="2;URL=//site' || ((doc_id % 13 + 1) % 13) || '.xn--bcher-kva.example/hop">'
+      |      ELSE '' END) ||
       |(CASE WHEN doc_id % 7 = 2
       |      THEN '<base target="_top" href="http://wb' || (doc_id % 13) || '.base.example/bdir/sub/">'
       |      WHEN doc_id % 7 = 4 THEN '<base href=''../bb/sub/''>'
@@ -646,8 +662,20 @@ object CorpusOps {
   private[queries] def htmlZoneFor(s: SparkSession, dir: String): String =
     htmlZones.computeIfAbsent(dir, { d =>
       val base = graft.TempArtifacts.dir("graft_warc_html")
+      // r18: some captures carry the HEADER-channel robots directives
+      // (the X-Robots-Tag convention) through the synthesize
+      // extra-header seam — in this zone model payloads are bare text,
+      // so the capture record is where response headers live. Every
+      // header-parsing reader ignores unknown headers, so all existing
+      // consumers are payload-identical.
+      val d10 = pmod(col("doc_id"), lit(10))
+      val xrt = when(d10 === 7, lit("X-Robots-Tag: noindex\r\n"))
+        .when(d10 === 4, lit("X-Robots-Tag: NOFOLLOW, noarchive\r\n"))
+        .when(d10 === 2, lit("X-Robots-Tag: noarchive\r\n"))
+        .otherwise(lit(""))
       graft.sources.Warc.synthesize(s,
-        Tables.documents(s, d).select(col("doc_id"), htmlCol.as("text")), base)
+        Tables.documents(s, d).select(col("doc_id"), htmlCol.as("text"),
+          xrt.as("extra_headers")), base)
       base
     })
 
@@ -763,6 +791,191 @@ object CorpusOps {
        |  NOT (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
        |   OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS kept
        |FROM mc""".stripMargin
+
+  // ------------------- q174 dual-channel robots directives (r18)
+
+  /** q174 (r18, beyond plan): the HEADER channel of the robots-meta
+    * screen — the X-Robots-Tag convention — MERGED with q170's meta
+    * channel: a directive from EITHER binds (the union read every
+    * crawler documents). Headers surface through the WARC reader's
+    * extra-header seam (`parseChunksWith`; in this zone model payloads
+    * are bare text, so response headers live on the capture record);
+    * directives are the same comma-separated token list, matched
+    * case-insensitively. Fixture classes: header noindex, a SHOUTING
+    * multi-directive header nofollow, a noarchive-only header (a
+    * directive this screen does not act on — flags stay false), plus
+    * the q170 meta variants — docs where the channels OVERLAP prove
+    * the union. Chunk-level read (the q163 posture): quote-class docs
+    * are not parseable at this level and drop, mirrored in the
+    * oracle's survivor set. */
+  def q174RobotsDirectives(s: SparkSession, dir: String): DataFrame = {
+    val zone = htmlZoneFor(s, dir)
+    import graft.text.HtmlExtract
+    val pages = graft.sources.Warc.parseChunksWith(
+        s.read.option("lineSep", graft.sources.Warc.Magic).text(zone),
+        Seq("X-Robots-Tag" -> "x_robots"))
+      .filter(col("is_valid"))
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"), lower(coalesce(col("x_robots"), lit(""))).as("__x"))
+    def hdr(token: String) =
+      col("__x").rlike(s"(^|[\\s,])$token([\\s,]|$$)")
+    pages
+      .withColumn("__c", HtmlExtract.metaRobotsContents(col("payload")))
+      .select(col("doc_id"),
+        (HtmlExtract.metaDirective(col("__c"), "noindex") ||
+          HtmlExtract.metaDirective(col("__c"), "none")).as("meta_noindex"),
+        (HtmlExtract.metaDirective(col("__c"), "nofollow") ||
+          HtmlExtract.metaDirective(col("__c"), "none")).as("meta_nofollow"),
+        (hdr("noindex") || hdr("none")).as("hdr_noindex"),
+        (hdr("nofollow") || hdr("none")).as("hdr_nofollow"))
+      .withColumn("noindex", col("meta_noindex") || col("hdr_noindex"))
+      .withColumn("nofollow", col("meta_nofollow") || col("hdr_nofollow"))
+      .withColumn("kept", !col("noindex"))
+  }
+
+  val q174Sql: String = {
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
+    def duckHdr(token: String) =
+      s"""regexp_matches(x, '(^|[\\s,])$token([\\s,]|$$)')"""
+    s"""WITH hs AS (
+       |  SELECT doc_id, $htmlSqlExpr AS html,
+       |    lower(CASE WHEN doc_id % 10 = 7 THEN 'X-Robots-Tag: noindex'
+       |          WHEN doc_id % 10 = 4 THEN 'X-Robots-Tag: NOFOLLOW, noarchive'
+       |          WHEN doc_id % 10 = 2 THEN 'X-Robots-Tag: noarchive'
+       |          ELSE '' END) AS xh
+       |  FROM documents
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0
+       |    AND doc_id % $MagicQuoteMod <> 0),
+       |mc AS (
+       |  SELECT doc_id,
+       |    ${graft.text.HtmlExtract.duckMetaRobotsContents("html")} AS c,
+       |    trim(substr(xh, length('x-robots-tag: ') + 1)) AS x
+       |  FROM hs),
+       |fl AS (
+       |  SELECT doc_id,
+       |    (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
+       |     OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS meta_noindex,
+       |    (${graft.text.HtmlExtract.duckMetaDirective("c", "nofollow")}
+       |     OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}) AS meta_nofollow,
+       |    (${duckHdr("noindex")} OR ${duckHdr("none")}) AS hdr_noindex,
+       |    (${duckHdr("nofollow")} OR ${duckHdr("none")}) AS hdr_nofollow
+       |  FROM mc)
+       |SELECT doc_id, meta_noindex, meta_nofollow, hdr_noindex, hdr_nofollow,
+       |  (meta_noindex OR hdr_noindex) AS noindex,
+       |  (meta_nofollow OR hdr_nofollow) AS nofollow,
+       |  NOT (meta_noindex OR hdr_noindex) AS kept
+       |FROM fl""".stripMargin
+  }
+
+  // ------------------------- q175 meta-refresh redirects (r18)
+
+  /** q175 (r18, beyond plan): the CLIENT-SIDE redirect channel —
+    * `<meta http-equiv="refresh">` parsed into (delay, target): a
+    * zero-delay refresh is a redirect a consolidation pass follows
+    * (q172's sibling signal — `consolidation_key` routes to the
+    * target), a delayed one is a freshness hint (target surfaced,
+    * key stays the page). The target resolves against the page's
+    * EFFECTIVE base (composes with `<base href>`), entity-decoded;
+    * attribute order and directive case are free; name-only metas
+    * (the q170 fixtures) never count. Map-only after the zone read. */
+  def q175MetaRefresh(s: SparkSession, dir: String): DataFrame = {
+    val zone = htmlZoneFor(s, dir)
+    import graft.text.{HtmlExtract, UrlCanonical}
+    val SchemeLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+    val Hierarchical = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+    graft.sources.Warc.readExactClean(s, zone)
+      .select(
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("payload"))
+      .select(col("doc_id"), col("payload"), messyUrlCol.as("__url"))
+      .withColumn("__base", UrlCanonical.let(
+          HtmlExtract.decodeEntities(HtmlExtract.baseHref(col("payload")))) { bh =>
+        UrlCanonical.let(col("__url")) { u =>
+          when(bh.isNull || bh === "" ||
+              (bh.rlike(SchemeLike) && !bh.rlike(Hierarchical)), u)
+            .otherwise(UrlCanonical.resolve(u, bh))
+        }
+      })
+      .withColumn("__rc", HtmlExtract.metaRefreshContent(col("payload")))
+      // extract with the Column API, cast via expr on the extracted
+      // column — regex literals inside expr() hit SQL string escaping
+      .withColumn("__secs", regexp_extract(col("__rc"), "^\\s*([0-9]{1,7})", 1))
+      .withColumn("refresh_secs", expr("try_cast(__secs AS BIGINT)"))
+      .withColumn("__t", HtmlExtract.decodeEntities(trim(
+        regexp_extract(col("__rc"), "(?is)[;,]\\s*url\\s*=\\s*(.+)$", 1))))
+      .withColumn("refresh_target_canon",
+        UrlCanonical.let(col("__t")) { t =>
+          when(t.isNull || t === "" ||
+              (t.rlike(SchemeLike) && !t.rlike(Hierarchical)), lit(null))
+            .otherwise(UrlCanonical.canonicalize(
+              UrlCanonical.resolve(col("__base"), t)))
+        })
+      .withColumn("self_canon", UrlCanonical.canonicalize(col("__url")))
+      .withColumn("is_redirect",
+        coalesce(col("refresh_secs") === 0L, lit(false)) &&
+          col("refresh_target_canon").isNotNull)
+      .withColumn("consolidation_key",
+        when(col("is_redirect"), col("refresh_target_canon"))
+          .otherwise(col("self_canon")))
+      .select(col("doc_id"), col("refresh_secs"), col("refresh_target_canon"),
+        col("self_canon"), col("is_redirect"), col("consolidation_key"))
+  }
+
+  val q175Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    import graft.text.{HtmlExtract, UrlCanonical}
+    val SchemeLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+    val Hierarchical = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |$htmlInCtes,
+       |$messyUrlMkCte,
+       |bh1 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckEntities(HtmlExtract.duckBaseHref("html"))} AS bh
+       |  FROM hin, entmap),
+       |bri AS (
+       |  SELECT b.doc_id, mk.url AS base, b.bh AS ref
+       |  FROM bh1 b JOIN mk ON b.doc_id = mk.doc_id
+       |  WHERE b.bh IS NOT NULL AND b.bh <> ''
+       |    AND NOT (regexp_matches(b.bh, '$SchemeLike')
+       |             AND NOT regexp_matches(b.bh, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("bri", "doc_id", "eb")},
+       |ebase AS (
+       |  SELECT mk.doc_id, coalesce(eb4.target, mk.url) AS url
+       |  FROM mk LEFT JOIN eb4 ON mk.doc_id = eb4.doc_id),
+       |rc0 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckMetaRefreshContent("html")} AS rc
+       |  FROM hin),
+       |rc1 AS (
+       |  SELECT r.doc_id,
+       |    try_cast(regexp_extract(r.rc, '^\\s*([0-9]{1,7})', 1) AS BIGINT)
+       |      AS refresh_secs,
+       |    ${HtmlExtract.duckEntities(
+            "trim(regexp_extract(r.rc, '(?is)[;,]\\s*url\\s*=\\s*(.+)$', 1))")} AS t
+       |  FROM rc0 r, entmap),
+       |tri AS (
+       |  SELECT r.doc_id, e.url AS base, r.t AS ref
+       |  FROM rc1 r JOIN ebase e ON r.doc_id = e.doc_id
+       |  WHERE r.t IS NOT NULL AND r.t <> ''
+       |    AND NOT (regexp_matches(r.t, '$SchemeLike')
+       |             AND NOT regexp_matches(r.t, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("tri", "doc_id", "tv")},
+       |ttin AS (SELECT doc_id, target AS url FROM tv4),
+       |${UrlCanonical.duckCanonCtes("ttin", "doc_id", idn, "tc")},
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")}
+       |SELECT h.doc_id, r.refresh_secs, tc4.canon AS refresh_target_canon,
+       |  s4.canon AS self_canon,
+       |  (coalesce(r.refresh_secs = 0, false) AND tc4.canon IS NOT NULL)
+       |    AS is_redirect,
+       |  CASE WHEN coalesce(r.refresh_secs = 0, false) AND tc4.canon IS NOT NULL
+       |       THEN tc4.canon ELSE s4.canon END AS consolidation_key
+       |FROM hin h
+       |JOIN s4 ON h.doc_id = s4.doc_id
+       |LEFT JOIN rc1 r ON h.doc_id = r.doc_id
+       |LEFT JOIN tc4 ON h.doc_id = tc4.doc_id""".stripMargin
+  }
 
   // ----------------------------- q143 end-to-end curation composition
 
@@ -998,6 +1211,8 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q166_wet_roundtrip" -> q166WetRoundtrip,
     "q170_meta_robots" -> q170MetaRobots,
+    "q174_robots_directives" -> q174RobotsDirectives,
+    "q175_meta_refresh" -> q175MetaRefresh,
     "q163_revisit_resolve" -> q163RevisitResolve,
     "q152_warcgz_index" -> q152WarcGzStoredIndex,
     "q149_nfkc_normalize" -> q149NfkcNormalize,
@@ -1021,6 +1236,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q166_wet_roundtrip" -> q166Sql,
     "q170_meta_robots" -> q170Sql,
+    "q174_robots_directives" -> q174Sql,
+    "q175_meta_refresh" -> q175Sql,
     "q163_revisit_resolve" -> q163Sql,
     "q152_warcgz_index" -> q136Sql,
     "q149_nfkc_normalize" -> q149Sql,

@@ -214,6 +214,32 @@ object HtmlExtract {
   private val MetaTagPat = "(?is)<meta\\b[^>]*>"
   private val NameAttrPat = "(?is)\\sname\\s*=\\s*[\"']([^\"']*)[\"']"
   private val ContentAttrPat = "(?is)\\scontent\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val EquivAttrPat = "(?is)\\shttp-equiv\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** The FIRST `<meta http-equiv="refresh">` content value (r18) — the
+    * client-side redirect channel: a zero-delay refresh is a redirect
+    * a consolidation pass must follow (the `<link rel="canonical">`
+    * sibling signal), a delayed one is a freshness hint. Attribute
+    * order free, name-only metas never count, first wins. NULL when
+    * absent; callers parse the `delay[;url=target]` payload. */
+  def metaRefreshContent(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    val tags = regexp_extract_all(deScripted, lit(MetaTagPat), lit(0))
+    get(filter(
+      transform(tags, t =>
+        when(lower(regexp_extract(t, EquivAttrPat, 1)) === "refresh",
+          regexp_extract(t, ContentAttrPat, 1))),
+      c => c.isNotNull), lit(0))
+  }
+
+  /** DuckDB twin of [[metaRefreshContent]]. */
+  def duckMetaRefreshContent(e: String): String =
+    s"""(list_filter(list_transform(
+       |      regexp_extract_all(${duckDescript(e)}, '(?is)<meta\\b[^>]*>', 0),
+       |      t -> CASE WHEN lower(regexp_extract(t, '(?is)\\shttp-equiv\\s*=\\s*["'']([^"'']*)["'']', 1)) = 'refresh'
+       |                THEN regexp_extract(t, '(?is)\\scontent\\s*=\\s*["'']([^"'']*)["'']', 1)
+       |           END), c -> c IS NOT NULL))[1]""".stripMargin
   private val LinkTagPat = "(?is)<link\\b[^>]*>"
   private val RelAttrPat = "(?is)\\srel\\s*=\\s*[\"']([^\"']*)[\"']"
 
