@@ -42,7 +42,23 @@ object QuotaCap {
     * pathologically hot group funnels whole through one partition's
     * window). The rank survives as `rankName` (INT — casting it before
     * the literal comparison would defeat the rewrite; cast afterwards
-    * if a LONG is needed). */
+    * if a LONG is needed).
+    *
+    * PRECONDITION (ADVICE r18): `capCol <= staticCap` must hold for
+    * every group. The literal conjunct is a semantic part of the
+    * filter, not just a planner hint — a group whose `capCol` exceeds
+    * `staticCap` keeps only `staticCap` rows (rows with
+    * `staticCap < rank <= capCol` are SILENTLY dropped). The bound
+    * cannot be checked at plan time (capCol is data), so callers must
+    * establish it structurally, the way q168 does
+    * (quota = max(1, (Q·pr) div max_pr) ≤ Q by construction);
+    * ContractsSpec codifies the truncation against the pure
+    * `rank <= capCol` filter. Pass the group-wise max of capCol as
+    * `staticCap` when in doubt — a looser ceiling only weakens the
+    * map-side pre-truncation, never correctness.
+    *
+    * @param staticCap the literal ceiling that drives the map-side
+    *                  group limit; MUST be >= every group's capCol. */
   def capPerGroupDynamic(df: DataFrame, groupCols: Seq[String],
                          order: Seq[Column], staticCap: Int,
                          capCol: Column, rankName: String): DataFrame = {

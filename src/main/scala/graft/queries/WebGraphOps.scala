@@ -688,6 +688,9 @@ object WebGraphOps {
     "User-agent: *",
     "Crawl-delay: fast",        // r18: non-integer value — ignored, the
                                 // host schedules at the default rate
+    "Crawl-delay: 1.5",         // r19 (ADVICE r18): DECIMAL value — also
+                                // ignored; an ungated cast would round it
+                                // to 2 in DuckDB but NULL it in Spark
     "Disallow: /Page/1",
     "Disallow: /Page/5").mkString("\n")
 
@@ -866,13 +869,25 @@ object WebGraphOps {
         (col("n") + 20).cast("long").as("doc_id"),
         col("xml").as("text"),
         concat(lit("http://"), col("host"), lit("/sm-index.xml")).as("url"))
+      // r19 (VERDICT r18 next #8 + what's-wrong #3): the root index
+      // names sm-index.xml TWICE (a child reachable through two parent
+      // slots — the per-level dedupe must keep the smaller discovery
+      // path or every gz leaf duplicates) and names sm-0.xml.gz
+      // DIRECTLY (so the k=0 leaf is first reachable at depth 1; the
+      // gz index re-names it at depth 2, and the walk's CUMULATIVE
+      // visited set must drop the re-discovery — the acyclic diamond
+      // spanning levels ADVICE r18 flagged)
       val roots = Tables.documents(s, d)
         .select(pmod(col("doc_id"), lit(13)).as("n")).distinct()
         .select((col("n") + 40).cast("long").as("doc_id"),
           concat(
             lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>http://site"),
             col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-index.xml</loc></sitemap></sitemapindex>"))
+            lit(".xn--bcher-kva.example/sm-index.xml</loc></sitemap>"),
+            lit("<sitemap><loc>http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-index.xml</loc></sitemap>"),
+            lit("<sitemap><loc>http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/sm-0.xml.gz</loc></sitemap></sitemapindex>"))
             .as("text"),
           concat(lit("http://site"), col("n").cast("string"),
             lit(".xn--bcher-kva.example/sm-root.xml")).as("url"))
@@ -1438,7 +1453,15 @@ object WebGraphOps {
     * the FIRST link (its robots capture is corrupt, so nothing of its
     * — valid, present — sitemap tree is ever discovered); the oracle
     * mirrors with a static replay of the known tree over non-corrupt
-    * hosts. */
+    * hosts.
+    *
+    * r19 tree shape (VERDICT r18 next #8): the root index names the gz
+    * index TWICE (per-level dedupe keeps the smaller slot's path) and
+    * names sm-0.xml.gz directly — so the k=0 leaf emits ONCE, at depth
+    * 1 under path 00000/00002, and the gz index's own sm-0 entry at
+    * depth 2 must be dropped by the walk's cumulative visited set (the
+    * cross-level diamond). A walk without either dedupe emits
+    * duplicate leaves and hash-mismatches. */
   def q167ZoneFrontier(s: SparkSession, dir: String): DataFrame = {
     val zone = robotsZoneFor(s, dir)
     val seeds = graft.text.Robots.sitemaps(
@@ -1446,16 +1469,32 @@ object WebGraphOps {
       .select(col("host"),
         UrlCanonical.canonicalize(col("sitemap_url")).as("sm_canon"),
         graft.text.SitemapTree.pathComponent(col("sm_idx")).as("sm_path"))
-    val captures = graft.sources.Warc.readExactClean(s, zone)
-      .select(UrlCanonical.canonicalize(col("url")).as("sm_canon"),
-        col("payload").as("xml"))
+    // r19 (VERDICT r18 what's-wrong #1): both fetch sources are
+    // eagerly CHECKPOINTED once, so each of the walk's maxDepth+1
+    // fetch-joins reads the materialized relation instead of re-running
+    // the whole-zone exact read / gz member inflate per level (r18 paid
+    // up to 4 zone scans + 4 inflates where 1 of each suffices —
+    // measured +2.8 s at sf0.1). The capture checkpoint is pre-filtered
+    // to ROOT-ELEMENT-credible payloads (the same <urlset|sitemapindex>
+    // match the router applies) — output-equivalent by construction
+    // (a fetched document matching neither root element routes nowhere:
+    // not a leaf, not a recursion), and at 100 TB it is the difference
+    // between checkpointing the sitemap slice and copying the corpus.
+    // PlanAuditSpec asserts the returned plan reads NO zone source.
+    val captures = graft.Checkpoints.eager(
+      graft.sources.Warc.readExactClean(s, zone)
+        .filter(regexp_extract(col("payload"),
+          "(?is)<\\s*(urlset|sitemapindex)", 1) =!= "")
+        .select(UrlCanonical.canonicalize(col("url")).as("sm_canon"),
+          col("payload").as("xml")))
     val gzZone = sitemapZoneFor(s, dir)
-    val members = graft.sources.WarcGz.readMemberTexts(s,
-        graft.sources.WarcGz.memberIndex(s, gzZone))
-      .filter(col("ok"))
-      .select(regexp_extract(col("file"), "site(\\d+)\\.xml\\.gz$", 1)
-          .cast("long").as("n"),
-        col("member_idx").as("k"), col("text").as("gxml"))
+    val members = graft.Checkpoints.eager(
+      graft.sources.WarcGz.readMemberTexts(s,
+          graft.sources.WarcGz.memberIndex(s, gzZone))
+        .filter(col("ok"))
+        .select(regexp_extract(col("file"), "site(\\d+)\\.xml\\.gz$", 1)
+            .cast("long").as("n"),
+          col("member_idx").as("k"), col("text").as("gxml")))
     def fetch(frontier: DataFrame): DataFrame = {
       val plain = frontier.join(captures, Seq("sm_canon"))
         .select(col("host"), col("sm_canon"), col("sm_path"), col("xml"))
@@ -1485,11 +1524,16 @@ object WebGraphOps {
 
   val q167Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    // static replay of the known tree over non-corrupt hosts: the gz
-    // leaves sit at depth 2 under path root(00000)/index(00000)/childJ
-    // (J = the index's k-DESC document order, sitemapCtes' sm_idx);
-    // the direct urlset is a depth-0 leaf at path 00001 (the second
-    // Sitemap: directive); the Dup discovery (00002) fetches nothing
+    // static replay of the known tree over non-corrupt hosts: the k=0
+    // gz leaf is first reachable DIRECTLY from the root's third slot —
+    // depth 1, path root(00000)/00002 — and its depth-2 re-discovery
+    // through the gz index is dropped by the cumulative visited set;
+    // the k≠0 gz leaves sit at depth 2 under path
+    // root(00000)/index(00000 — the SMALLER of the duplicate slots
+    // 00000/00001)/childJ (J = the index's k-DESC document order,
+    // sitemapCtes' sm_idx); the direct urlset is a depth-0 leaf at
+    // path 00001 (the second Sitemap: directive); the Dup discovery
+    // (00002) fetches nothing
     s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
        |${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
@@ -1503,8 +1547,11 @@ object WebGraphOps {
        |cc AS (SELECT DISTINCT canon FROM s4),
        |gleaf AS (
        |  SELECT host,
-       |    '00000/00000/' || lpad(CAST(sm_idx AS VARCHAR), 5, '0') AS sm_path,
-       |    CAST(2 AS BIGINT) AS depth, loc_idx, canon AS loc_canon
+       |    CASE WHEN k = 0 THEN '00000/00002'
+       |         ELSE '00000/00000/' || lpad(CAST(sm_idx AS VARCHAR), 5, '0')
+       |    END AS sm_path,
+       |    CAST(CASE WHEN k = 0 THEN 1 ELSE 2 END AS BIGINT) AS depth,
+       |    loc_idx, canon AS loc_canon
        |  FROM sc4
        |  WHERE CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) <> 5),
        |dd AS (

@@ -259,10 +259,14 @@ object WarcGz {
         }
         val invalid = WarcRec(null, null, null, null, None, null, is_valid = false)
         val recs = it.flatMap { case (file, offset, length, ok) =>
-          // a span past Int.MaxValue cannot be buffered as one array —
-          // surface the documented one-bad-row, not a
-          // NegativeArraySizeException task failure (ADVICE r17)
-          if (!ok || length < 0 || length > Int.MaxValue)
+          // a span past the JVM's max array size cannot be buffered as
+          // one array — surface the documented one-bad-row, not a task
+          // failure (ADVICE r17). The bound is Int.MaxValue - 8, not
+          // Int.MaxValue: HotSpot rejects arrays above ~MaxValue-2 with
+          // an OutOfMemoryError ("array size exceeds VM limit") that no
+          // exception handler below catches (ADVICE r18 — the boundary
+          // values resurrected exactly the failure mode this guards)
+          if (!ok || length < 0 || length > Int.MaxValue - 8)
             Iterator.single(invalid)
           else {
             try {
@@ -334,9 +338,10 @@ object WarcGz {
           curFile = file
         }
         val out = it.map { case (file, offset, length, ok, idx) =>
-          // same Int.MaxValue span guard as readMembers (ADVICE r17):
-          // one ok=false row, never a NegativeArraySizeException
-          if (!ok || length < 0 || length > Int.MaxValue)
+          // same max-array-size span guard as readMembers (ADVICE r17;
+          // r18 tightened to the VM limit — Int.MaxValue itself OOMs
+          // past every handler): one ok=false row, never a task failure
+          if (!ok || length < 0 || length > Int.MaxValue - 8)
             (file, offset, idx, null: String, false)
           else {
             try {

@@ -100,8 +100,13 @@ object Robots {
     * names it (UA-line based — selection must not depend on whether
     * the group happens to carry rules), else the `*` group; merged
     * groups take the MINIMUM delay (the conservative reading). Values
-    * are whole seconds — non-integer or non-positive values are
-    * ignored (treated absent), identically in the twin. Output: one
+    * are whole seconds — usable means an all-digits string (gated by a
+    * `^[0-9]+$` match BEFORE any cast) that casts to a positive BIGINT;
+    * anything else — alphabetic junk, negatives, and DECIMAL values
+    * like `0.5` — is ignored (treated absent). The digits-only gate is
+    * the cross-engine seam (ADVICE r18): Spark's try_cast('1.5' AS
+    * BIGINT) yields NULL while DuckDB's ROUNDS to 2, so an ungated cast
+    * silently honored decimal delays in the oracle only. Output: one
     * (host, delay_secs) row per host whose SELECTED group declares a
     * usable delay. */
   def crawlDelays(robots: DataFrame, hostCol: Column, txtCol: Column,
@@ -127,7 +132,8 @@ object Robots {
       .withColumn("grp", max(when(col("ua"), col("uaRun"))).over(frame))
     val agents = withRun.filter(col("ua"))
       .select(col("host"), col("grp"), lower(col("v")).as("agent"))
-    val delays = withRun.filter(col("d") === "crawl-delay")
+    val delays = withRun
+      .filter(col("d") === "crawl-delay" && col("v").rlike("^[0-9]+$"))
       .select(col("host"), col("grp"),
         expr("try_cast(v AS BIGINT)").as("delay_secs"))
       .filter(col("delay_secs").isNotNull && col("delay_secs") > 0)
@@ -175,7 +181,8 @@ object Robots {
        |cd_dl AS (
        |  SELECT host, grp, try_cast(v AS BIGINT) AS delay_secs
        |  FROM cd_p3
-       |  WHERE d = 'crawl-delay' AND try_cast(v AS BIGINT) IS NOT NULL
+       |  WHERE d = 'crawl-delay' AND regexp_matches(v, '^[0-9]+$$')
+       |    AND try_cast(v AS BIGINT) IS NOT NULL
        |    AND try_cast(v AS BIGINT) > 0),
        |cd_by AS (
        |  SELECT d.host, a.agent, d.delay_secs

@@ -31,6 +31,34 @@ class ContractsSpec extends SparkTestBase {
     }
   }
 
+  test("capPerGroupDynamic: a capCol above staticCap truncates to staticCap — the documented precondition, made visible (ADVICE r18)") {
+    // 5 rows in one group, quota says keep 5, but the static ceiling is
+    // 3: the literal conjunct drops ranks 4..5. This is exactly the
+    // silent-row-loss mode the precondition (capCol <= staticCap)
+    // forbids — asserted here against the pure dynamic filter so the
+    // divergence class is pinned, not latent.
+    val rows = (1L to 5L).map(i => ("g", i, 5L)).toDF("k", "id", "quota")
+    val capped = QuotaCap.capPerGroupDynamic(rows, Seq("k"), Seq($"id"),
+        staticCap = 3, capCol = $"quota", rankName = "rn")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(1L, 2L, 3L),
+      s"violating capCol must truncate at staticCap, got $capped")
+    // the pure dynamic filter (no map-side limit) keeps all 5 — the
+    // delta IS the precondition's stake
+    import org.apache.spark.sql.expressions.Window
+    val pure = rows.withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"id")))
+      .filter($"rn".cast("long") <= $"quota")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(pure == (1L to 5L), s"pure filter keeps the quota, got $pure")
+    // and when the precondition HOLDS, the two shapes agree exactly
+    val ok = (1L to 5L).map(i => ("g", i, 2L)).toDF("k", "id", "quota")
+    val a = QuotaCap.capPerGroupDynamic(ok, Seq("k"), Seq($"id"),
+        staticCap = 3, capCol = $"quota", rankName = "rn")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == Seq(1L, 2L), s"got $a")
+  }
+
   test("denseGrid's in-plan alignment guard fires on off-step buckets") {
     val misaligned = Seq(("a", 0L), ("a", 250L), ("a", 500L)).toDF("k", "b")
     val e = intercept[Exception] {

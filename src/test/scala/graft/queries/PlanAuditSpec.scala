@@ -520,6 +520,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
   }
 
+  test("q167 tree walk: fetch sources checkpoint ONCE — the returned plan reads no zone source (VERDICT r18 wrong #1)") {
+    // r18 re-ran the whole-zone exact read and the gz member inflate at
+    // EVERY level (up to 4 of each at maxDepth 3). r19 checkpoints
+    // captures and members before the walk; every per-level fetch joins
+    // the materialized relations, so the walk's construction scans each
+    // source exactly once and the RETURNED frame's lineage contains no
+    // zone scan at all — only the per-level checkpoints plus the one
+    // documents scan for corpus membership.
+    val p = plan(WebGraphOps.q167ZoneFrontier(spark, dir))
+    assert(!p.contains("graft_warc_robots") && !p.contains("graft_sitemap_gz"),
+      s"walk output must not carry zone-scan lineage:\n$p")
+    assert(countOf(p, "FileScan parquet") == 1,
+      s"expected exactly the documents membership scan:\n$p")
+  }
+
   test("q168 kept-only quota: the per-host window pre-truncates map-side (WindowGroupLimit)") {
     val p = plan(WebGraphOps.q168QuotaKept(spark, dir))
     assert(p.contains("WindowGroupLimit"),

@@ -219,17 +219,24 @@ class WarcGzSpec extends SparkTestBase {
     val real = WarcGz.memberIndex(spark, dir).as[WarcGz.Member]
       .collect().sortBy(_.offset)
     assert(real.length == 2 && real.forall(_.ok))
+    // two forged spans: one past Int.MaxValue, and one AT the boundary
+    // (Int.MaxValue exactly) — the latter passed the r17 guard but blows
+    // the HotSpot max array size (~MaxValue-2) with an OutOfMemoryError
+    // no handler catches (ADVICE r18): both must isolate, not throw
     val forged = Seq(
       (real(0).file, real(0).offset, Int.MaxValue.toLong + 10L, true),
+      (real(0).file, real(0).offset + 1, Int.MaxValue.toLong, true),
       (real(1).file, real(1).offset, real(1).length, true))
       .toDF("file", "offset", "length", "ok")
     val texts = WarcGz.readMemberTexts(spark, forged)
       .select(col("member_idx"), col("text"), col("ok"))
       .as[(Long, String, Boolean)].collect().sortBy(_._1)
-    assert(texts.length == 2)
+    assert(texts.length == 3)
     assert(!texts(0)._3 && texts(0)._2 == null,
       s"oversize span must isolate, not throw: ${texts(0)}")
-    assert(texts(1) == (1L, "alpha", true), s"neighbor survives: ${texts(1)}")
+    assert(!texts(1)._3 && texts(1)._2 == null,
+      s"boundary span (Int.MaxValue) must isolate, not throw: ${texts(1)}")
+    assert(texts(2) == (2L, "alpha", true), s"neighbor survives: ${texts(2)}")
     val recs = WarcGz.readMembers(spark, forged)
       .select(col("is_valid")).as[Boolean].collect()
     assert(recs.count(_ == false) >= 1, s"readMembers must emit the bad row: ${recs.toSeq}")

@@ -182,8 +182,12 @@ class RobotsSpec extends SparkTestBase {
     val mergedMin = Seq(
       "User-agent: graftbot", "Crawl-delay: 9",
       "", "User-agent: graftbot", "Crawl-delay: 5").mkString("\n")
+    // decimal values (common in the wild: 'Crawl-delay: 0.5') must be
+    // ignored like junk — the digits-only gate exists because DuckDB's
+    // try_cast ROUNDS '1.5' to 2 while Spark's yields NULL (ADVICE r18)
     val junkOnly = Seq(
       "User-agent: *", "Crawl-delay: fast", "Crawl-delay: -1",
+      "Crawl-delay: 0.5", "Crawl-delay: 1.5",
       "Disallow: /r").mkString("\n")
     // exact group exists but declares NO delay: the * delay must not
     // leak in (selection is by group, not by delay presence)

@@ -65,7 +65,7 @@ class SitemapTreeSpec extends SparkTestBase {
     assert(out == Seq("00000/00000"), s"one leaf via the smaller parent: $out")
   }
 
-  test("a cyclic index graph terminates at maxDepth; leaves up to the bound still emit") {
+  test("a cyclic index graph terminates immediately: the visited set never re-enters the cycle edge (ADVICE r18)") {
     val store = docs(
       "http://h.example/cyc" ->
         ("<sitemapindex><sitemap><loc>http://h.example/cyc</loc></sitemap>" +
@@ -76,9 +76,52 @@ class SitemapTreeSpec extends SparkTestBase {
         fetchFrom(store), maxDepth = 2)
       .select(col("sm_path"), col("depth")).as[(String, Long)]
       .collect().toSet
-    // the leaf is re-DISCOVERED under the cycle at depths 1 and 2 with
-    // growing paths; the cycle itself never emits (always an index)
-    assert(out == Set(("00000/00001", 1L), ("00000/00000/00001", 2L)),
-      s"got $out")
+    // pre-r19 the leaf was re-discovered under the cycle at every depth
+    // (00000/00000/00001 at depth 2, …); the cumulative visited set
+    // settles each URL once — the leaf emits exactly once, at its first
+    // reachable depth
+    assert(out == Set(("00000/00001", 1L)), s"got $out")
+  }
+
+  test("an acyclic diamond SPANNING levels fetches the shared sitemap once, at its first reachable depth (ADVICE r18)") {
+    // seed0 is an index two levels deep to /shared; seed1 reaches
+    // /shared directly at depth 1: pre-r19 the per-level dedupe missed
+    // the cross-level re-discovery and the urlset leaf emitted twice
+    // (double-counting every loc downstream)
+    val store = docs(
+      "http://h.example/deep" ->
+        "<sitemapindex><sitemap><loc>http://h.example/mid</loc></sitemap></sitemapindex>",
+      "http://h.example/mid" ->
+        "<sitemapindex><sitemap><loc>http://h.example/shared</loc></sitemap></sitemapindex>",
+      "http://h.example/flat" ->
+        "<sitemapindex><sitemap><loc>http://h.example/shared</loc></sitemap></sitemapindex>",
+      "http://h.example/shared" ->
+        "<urlset><url><loc>http://h.example/p</loc></url></urlset>")
+    val out = SitemapTree.walk(
+        seeds("http://h.example/deep", "http://h.example/flat"),
+        fetchFrom(store), maxDepth = 3)
+      .select(col("sm_path"), col("depth")).as[(String, Long)]
+      .collect().toSeq
+    assert(out == Seq(("00001/00000", 1L)),
+      s"one leaf, first reachable depth, via the flat parent: $out")
+  }
+
+  test("a DEAD discovery is settled too: re-discovering it deeper does not re-try the fetch") {
+    // /ghost resolves nowhere at depth 1 (seed) and is named again by
+    // the index at depth 1 — the walk must not carry it into depth 2's
+    // frontier (the fetch join would just drop it again, but the
+    // visited contract is 'attempted once', fetched or not)
+    val store = docs(
+      "http://h.example/idx" ->
+        ("<sitemapindex><sitemap><loc>http://h.example/ghost</loc></sitemap>" +
+          "<sitemap><loc>http://h.example/leafy</loc></sitemap></sitemapindex>"),
+      "http://h.example/leafy" ->
+        "<urlset><url><loc>http://h.example/p</loc></url></urlset>")
+    val out = SitemapTree.walk(
+        seeds("http://h.example/ghost", "http://h.example/idx"),
+        fetchFrom(store), maxDepth = 2)
+      .select(col("sm_path"), col("depth")).as[(String, Long)]
+      .collect().toSet
+    assert(out == Set(("00001/00001", 1L)), s"got $out")
   }
 }
