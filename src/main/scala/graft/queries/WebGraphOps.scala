@@ -817,6 +817,17 @@ object WebGraphOps {
   private val robotsZones =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The Sitemap: discovery lines every USABLE robots body carries
+    * (r17/r18): a ROOT index, a directly-discovered plain urlset, and a
+    * shouting-case default-port dead variant. */
+  private def sitemapLines(n: Column): Column = concat(
+    lit("\nSitemap: http://site"), n.cast("string"),
+    lit(".xn--bcher-kva.example/sm-root.xml"),
+    lit("\nSitemap: http://site"), n.cast("string"),
+    lit(".xn--bcher-kva.example/sm-direct.xml"),
+    lit("\nSitemap: HTTP://SITE"), n.cast("string"),
+    lit(".XN--BCHER-KVA.EXAMPLE:80/Dup.xml"))
+
   /** A MIXED WARC zone — ordinary page responses (the q136 shape,
     * UriPrefix Target-URIs, same corruption residues) interleaved with
     * one robots.txt capture per host (Target-URI
@@ -827,39 +838,73 @@ object WebGraphOps {
     * doc_id = 97, i.e. the Content-Length-overstated corruption class:
     * the record is INVALID, readExactClean drops it, and the engine
     * must fail OPEN for that host (no robots.txt → everything allowed)
-    * — so the gate proves the rules really come from the zone. */
+    * — so the gate proves the rules really come from the zone.
+    *
+    * r19 — the HTTP SPINE (VERDICT r18 next #4): robots captures carry
+    * a fetch-status channel through the extra-header seam (the q174
+    * posture: payloads in this zone model are bare text, so the status
+    * line and `Location` live on the capture record as `X-Crawl-Status`
+    * / `Location`). Three hosts exercise RFC 9309 §2.3.1:
+    *
+    *   - host 7: status 404, body a POISON deny-all with a poison
+    *     Sitemap line — §2.3.1.3 says unavailable = MAY access
+    *     anything, so an engine that parses the body anyway flips both
+    *     q160's verdicts AND q164's discovery;
+    *   - host 9: status 503, body a POISON allow-all with poison
+    *     Sitemap lines — §2.3.1.4 says unreachable = complete
+    *     disallow;
+    *   - host 11: status 301 with a RELATIVE Location to
+    *     /robots-real.txt (resolution against the fetch URL is part of
+    *     the machinery), poison body at the redirect SOURCE; the
+    *     TARGET capture (doc_id 91 — dodges every corruption residue)
+    *     carries host 11's real OddRobots policy + discovery lines and
+    *     an explicit 200 — so host 11's q160/q164/q165/q167 rows are
+    *     IDENTICAL to r18's, but only for an engine that follows the
+    *     redirect. */
   private[queries] def robotsZoneFor(s: SparkSession, dir: String): String =
     robotsZones.computeIfAbsent(dir, { d =>
       val base = graft.TempArtifacts.dir("graft_warc_robots")
       val pages = Tables.documents(s, d).select(
         col("doc_id"), col("text"),
         concat(lit(graft.sources.Warc.UriPrefix),
-          col("doc_id").cast("string")).as("url"))
-      val robots = Tables.documents(s, d)
+          col("doc_id").cast("string")).as("url"),
+        lit("").as("extra_headers"))
+      val hostNs = Tables.documents(s, d)
         .select(pmod(col("doc_id"), lit(13)).as("n")).distinct()
+      val robots = hostNs
         .select(
           when(col("n") === 5, lit(97L)).otherwise(col("n") + 1)
             .cast("long").as("doc_id"),
-          // each capture also declares its sitemaps (r17, q164; r18
-          // reshapes for the TREE walk): a ROOT index (which names the
-          // gz index — the index→index nesting the protocol permits),
-          // a plain urlset sitemap discovered DIRECTLY, and a
-          // shouting-case default-port variant the canonicalizer must
-          // collapse (no capture — a dead discovery that must drop).
-          // The rule parser must keep IGNORING these lines (q160's
-          // verdicts are unchanged — its oracle rebuilds rules WITHOUT
-          // them)
-          concat(
-            when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
-              .otherwise(lit(OddRobots)),
-            lit("\nSitemap: http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-root.xml"),
-            lit("\nSitemap: http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-direct.xml"),
-            lit("\nSitemap: HTTP://SITE"), col("n").cast("string"),
-            lit(".XN--BCHER-KVA.EXAMPLE:80/Dup.xml")).as("text"),
+          when(col("n") === 7, concat(
+              lit("User-agent: *\nDisallow: /\nSitemap: http://site"),
+              col("n").cast("string"),
+              lit(".xn--bcher-kva.example/POISON-404.xml")))
+            .when(col("n") === 9, concat(
+              lit("User-agent: *\nAllow: /\nSitemap: http://site"),
+              col("n").cast("string"),
+              lit(".xn--bcher-kva.example/POISON-503.xml")))
+            .when(col("n") === 11, concat(
+              lit("User-agent: *\nDisallow: /poison\nSitemap: http://site"),
+              col("n").cast("string"),
+              lit(".xn--bcher-kva.example/POISON-301.xml")))
+            .otherwise(concat(
+              when(pmod(col("n"), lit(2)) === 0, lit(EvenRobots))
+                .otherwise(lit(OddRobots)),
+              sitemapLines(col("n")))).as("text"),
           concat(lit("http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/robots.txt")).as("url"))
+            lit(".xn--bcher-kva.example/robots.txt")).as("url"),
+          when(col("n") === 7, lit("X-Crawl-Status: 404\r\n"))
+            .when(col("n") === 9, lit("X-Crawl-Status: 503\r\n"))
+            .when(col("n") === 11,
+              lit("X-Crawl-Status: 301\r\nLocation: /robots-real.txt\r\n"))
+            .otherwise(lit("")).as("extra_headers"))
+      // host 11's REAL robots body lives at the redirect target
+      val robotsReal = hostNs.filter(col("n") === 11)
+        .select(lit(91L).as("doc_id"),
+          concat(lit(OddRobots), sitemapLines(col("n"))).as("text"),
+          concat(lit("http://site"), col("n").cast("string"),
+            lit(".xn--bcher-kva.example/robots-real.txt")).as("url"),
+          lit("X-Crawl-Status: 200\r\n").as("extra_headers"))
       // the DISCOVERED sitemap files are captures in the same zone
       // (r17 indexes at n+20; r18 roots at n+40, directs at n+60 — all
       // dodge every corruption residue, so every capture is valid —
@@ -868,7 +913,8 @@ object WebGraphOps {
       val indexes = sitemapIndexXml(s, d).select(
         (col("n") + 20).cast("long").as("doc_id"),
         col("xml").as("text"),
-        concat(lit("http://"), col("host"), lit("/sm-index.xml")).as("url"))
+        concat(lit("http://"), col("host"), lit("/sm-index.xml")).as("url"),
+        lit("").as("extra_headers"))
       // r19 (VERDICT r18 next #8 + what's-wrong #3): the root index
       // names sm-index.xml TWICE (a child reachable through two parent
       // slots — the per-level dedupe must keep the smaller discovery
@@ -877,8 +923,7 @@ object WebGraphOps {
       // gz index re-names it at depth 2, and the walk's CUMULATIVE
       // visited set must drop the re-discovery — the acyclic diamond
       // spanning levels ADVICE r18 flagged)
-      val roots = Tables.documents(s, d)
-        .select(pmod(col("doc_id"), lit(13)).as("n")).distinct()
+      val roots = hostNs
         .select((col("n") + 40).cast("long").as("doc_id"),
           concat(
             lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>http://site"),
@@ -890,7 +935,8 @@ object WebGraphOps {
             lit(".xn--bcher-kva.example/sm-0.xml.gz</loc></sitemap></sitemapindex>"))
             .as("text"),
           concat(lit("http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-root.xml")).as("url"))
+            lit(".xn--bcher-kva.example/sm-root.xml")).as("url"),
+          lit("").as("extra_headers"))
       val directs = Tables.documents(s, d)
         .select(col("doc_id"),
           UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("canon"))
@@ -909,48 +955,114 @@ object WebGraphOps {
             lit(".xn--bcher-kva.example/direct/missing</loc></url></urlset>"))
             .as("text"),
           concat(lit("http://site"), col("n").cast("string"),
-            lit(".xn--bcher-kva.example/sm-direct.xml")).as("url"))
+            lit(".xn--bcher-kva.example/sm-direct.xml")).as("url"),
+          lit("").as("extra_headers"))
       graft.sources.Warc.synthesize(s,
-        pages.unionByName(robots).unionByName(indexes)
-          .unionByName(roots).unionByName(directs), base)
+        pages.unionByName(robots).unionByName(robotsReal)
+          .unionByName(indexes).unionByName(roots).unionByName(directs), base)
       base
     })
 
-  /** q160: the q158 evaluation with the rules READ OUT OF THE WARC
-    * ZONE instead of a fixture literal — filter captures whose
-    * Target-URI path is /robots.txt, decode through the exact reader,
-    * [[graft.text.Robots.ruleSet]] them, evaluate the page relation
-    * (the composition a real crawl-compliance pass runs). The oracle
-    * rebuilds the SURVIVING rules in SQL (host 5's corrupt capture
-    * excluded) and replays parse + §2.2.1/2.2.2 end to end — a reader
-    * regression that dropped or mangled a robots payload, a filter
-    * that missed a capture, or a fail-open default that leaked a rule
-    * all hash-mismatch. Composed on the clean operator API
-    * (ruleSet/allowed), no fixture-parity arithmetic in the query. */
-  /** The zone's surviving robots captures as (host, txt) — shared by
-    * q160/q164/q165. */
-  private def zoneRobotsTexts(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Warc.readExactClean(s, robotsZoneFor(s, dir))
-      .filter(endswith(col("url"), lit("/robots.txt")))
+  /** The zone's robots CAPTURES with their fetch-status channel (r19):
+    * chunk-level parse (the q174 posture — every robots capture in this
+    * zone is single-chunk by construction, and host 5's corrupt one
+    * fails validity at this level exactly as under the exact reader)
+    * with `X-Crawl-Status` / `Location` surfaced off the capture
+    * record. Restricted to robots-path URLs, so the relation stays
+    * host-cardinality. */
+  private def zoneRobotsCaptures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.parseChunksWith(
+        s.read.option("lineSep", graft.sources.Warc.Magic)
+          .text(robotsZoneFor(s, dir)),
+        Seq("X-Crawl-Status" -> "__status", "Location" -> "__location"))
+      .filter(col("is_valid") && col("url").contains("/robots"))
       .select(UrlCanonical.hostOfCanon(col("url")).as("host"),
-        col("payload").as("txt"))
+        UrlCanonical.canonicalize(col("url")).as("url_canon"),
+        col("payload").as("txt"),
+        expr("try_cast(__status AS BIGINT)").as("status"),
+        col("__location").as("location"))
 
+  /** RFC 9309 §2.3.1-resolved per-host robots policies over the zone
+    * (r19, VERDICT r18 next #4): one row per host with a surviving
+    * robots.txt capture — (host, policy, txt, status, hops); `txt` is
+    * NULL unless policy = 'rules' (a poison 404/503/redirect-source
+    * body structurally cannot be parsed). The capture relation is
+    * checkpointed ONCE here; [[graft.text.Robots.fetchPolicies]]'s hop
+    * loop checkpoints its own state. Shared by q160/q164/q165/q167 and
+    * gated directly as q179. */
+  private def zoneRobotsPolicies(s: SparkSession, dir: String): DataFrame = {
+    val caps = graft.Checkpoints.eager(zoneRobotsCaptures(s, dir))
+    graft.text.Robots.fetchPolicies(
+      caps.filter(endswith(col("url_canon"), lit("/robots.txt")))
+        .select(col("host"), col("url_canon")),
+      caps.select(col("url_canon"), col("txt"), col("status"),
+        col("location")))
+  }
+
+  /** The USABLE rule texts a policy relation yields — rules-policy
+    * hosts only (4xx/unresolved hosts fall open by ABSENCE, exactly
+    * like corrupt-capture host 5; 5xx hosts are handled by their
+    * consumer's explicit disallow override). */
+  private def rulesTexts(pol: DataFrame): DataFrame =
+    pol.filter(col("policy") === "rules").select(col("host"), col("txt"))
+
+  /** [[zoneRobotsPolicies]] plus its row count — ONE explicit count
+    * over the hop loop's final checkpoint (metadata-cheap, no lineage
+    * re-run), a valid `knownRows` upper bound for EVERY host-keyed
+    * derivative (deny hosts, crawl delays — each emits at most one row
+    * per policy host), so no consumer pays its own strategy probe
+    * (VERDICT r18 wrong #2). The RULE relation's probe inside
+    * allowed() stays: its cardinality is rules×agents, which this
+    * count does NOT bound (and the converse bound is unsound — a
+    * rule-less User-agent group can still carry a Crawl-delay). */
+  private def zoneRobotsPoliciesCounted(
+      s: SparkSession, dir: String): (DataFrame, Long) = {
+    val pol = zoneRobotsPolicies(s, dir)
+    (pol, pol.count())
+  }
+
+  /** q160: the q158 evaluation with the rules READ OUT OF THE WARC
+    * ZONE instead of a fixture literal — robots captures resolved
+    * through the §2.3.1 status machinery (r19): host 7's 404 fails
+    * OPEN (its poison deny-all body must never parse), host 9's 503
+    * fails CLOSED (allowed=false, rule='unavailable' — §2.3.1.4's
+    * complete disallow), host 11's rules arrive via its 301 →
+    * /robots-real.txt redirect (verdicts identical to a direct fetch),
+    * host 5 stays the corrupt-capture fail-open. The oracle rebuilds
+    * the EFFECTIVE rules in SQL (poison bodies excluded, host 9
+    * overridden) and replays parse + §2.2.1/2.2.2 end to end. Composed
+    * on the clean operator API (fetchPolicies/ruleSet/allowed), no
+    * fixture-parity arithmetic in the query. */
   def q160ZoneRobotsGate(s: SparkSession, dir: String): DataFrame = {
-    val robots = zoneRobotsTexts(s, dir)
-    val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
+    val (pol, nHosts) = zoneRobotsPoliciesCounted(s, dir)
+    val rs = graft.text.Robots.ruleSet(rulesTexts(pol), col("host"), col("txt"))
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("__c"))
       .select(col("doc_id"),
         UrlCanonical.hostOfCanon(col("__c")).as("host"),
         UrlCanonical.pathQueryOfCanon(col("__c")).as("path"))
+    val deny = pol.filter(col("policy") === "disallow_all")
+      .select(col("host"), lit(true).as("__deny"))
     graft.text.Robots.allowed(docs, rs, RobotsAgent)
+      .join(graft.operators.AdaptiveJoin.broadcastIfSmall(deny,
+        knownRows = Some(nHosts)), Seq("host"), "left")
       .select(col("doc_id"), col("host"), col("path"),
-        col("allowed"), col("rule"), col("rule_path"))
+        when(col("__deny"), lit(false)).otherwise(col("allowed"))
+          .as("allowed"),
+        when(col("__deny"), lit("unavailable")).otherwise(col("rule"))
+          .as("rule"),
+        when(col("__deny"), lit("")).otherwise(col("rule_path"))
+          .as("rule_path"))
   }
 
   val q160Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
+    // effective rules after §2.3.1: host 5 (corrupt) and host 7 (404)
+    // contribute NO rules (default-allow falls out of the left join);
+    // host 11's rules are OddRobots — the redirect target's body, which
+    // equals what a direct fetch would have served; host 9 (503) is
+    // overridden to the complete disallow AFTER evaluation
     s"""WITH ${CorpusOps.messyUrlMkCte},
        |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
        |dh AS (
@@ -962,9 +1074,16 @@ object WebGraphOps {
        |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
        |    CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
        |         ELSE ${sqlTextLit(OddRobots)} END AS txt
-       |  FROM hn WHERE n <> 5),
+       |  FROM hn WHERE n NOT IN (5, 7, 9)),
        |${graft.text.Robots.duckRobotsCtes("rt", "dh", RobotsAgent)}
-       |SELECT doc_id, host, path, allowed, rule, rule_path FROM rb_out""".stripMargin
+       |SELECT doc_id, host, path,
+       |  CASE WHEN host = 'site9.xn--bcher-kva.example' THEN false
+       |       ELSE allowed END AS allowed,
+       |  CASE WHEN host = 'site9.xn--bcher-kva.example' THEN 'unavailable'
+       |       ELSE rule END AS rule,
+       |  CASE WHEN host = 'site9.xn--bcher-kva.example' THEN ''
+       |       ELSE rule_path END AS rule_path
+       |FROM rb_out""".stripMargin
   }
 
   // -------------- q161 sitemap INDEX recursion over gz sitemaps (r17)
@@ -1294,7 +1413,10 @@ object WebGraphOps {
     * collapse onto the same host, path case kept). Host 5's corrupt
     * capture contributes nothing. */
   def q164RobotsSitemaps(s: SparkSession, dir: String): DataFrame = {
-    val robots = zoneRobotsTexts(s, dir)
+    // r19: discovery reads only §2.3.1 rules-policy texts — host 7's
+    // 404 and host 9's 503 POISON Sitemap lines must never surface;
+    // host 11's lines arrive through its redirect unchanged
+    val robots = rulesTexts(zoneRobotsPolicies(s, dir))
     graft.text.Robots.sitemaps(robots, col("host"), col("txt"))
       .withColumn("sitemap_canon",
         UrlCanonical.canonicalize(col("sitemap_url")))
@@ -1302,6 +1424,9 @@ object WebGraphOps {
 
   val q164Sql: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
+    // hosts 5 (corrupt), 7 (404), 9 (503) discover nothing — their
+    // poison Sitemap lines must never surface; host 11 discovers
+    // through its redirect target, whose lines equal the direct shape
     s"""WITH hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents),
        |rt AS (
        |  SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
@@ -1313,7 +1438,7 @@ object WebGraphOps {
        |    '.xn--bcher-kva.example/sm-direct.xml' ||
        |    chr(10) || 'Sitemap: HTTP://SITE' || n ||
        |    '.XN--BCHER-KVA.EXAMPLE:80/Dup.xml' AS txt
-       |  FROM hn WHERE n <> 5),
+       |  FROM hn WHERE n NOT IN (5, 7, 9)),
        |${graft.text.Robots.duckSitemapsCtes("rt")},
        |smu AS (SELECT host, sm_idx, sitemap_url,
        |          sitemap_url AS url FROM rb_sm),
@@ -1345,7 +1470,15 @@ object WebGraphOps {
     * staleness → robots compliance → rate-limited order. Disallowed
     * entries drop BEFORE ranking, so ranks are dense within the
     * crawlable set; all divisions are non-negative (truncate ≡ floor
-    * on both engines). */
+    * on both engines).
+    *
+    * r19 status semantics: host 9 (503) is COMPLETELY disallowed — its
+    * entries anti-join out before the rules gate; host 7 (404) fails
+    * open and schedules whole at the default rate; host 11's delay
+    * (none — OddRobots junk only) comes from its redirect target. The
+    * delays join threads the policy relation's one count as its bound
+    * (VERDICT r18 wrong #2: |delays| ≤ policy hosts by construction —
+    * no second strategy probe; PlanAuditSpec asserts exactly one). */
   def q165CrawlSchedule(s: SparkSession, dir: String): DataFrame = {
     val entries = graft.text.Sitemaps.urlEntries(
       childSitemaps(s, dir), col("cxml")).drop("cxml")
@@ -1353,10 +1486,15 @@ object WebGraphOps {
         concat(col("host"), lit("|"), col("k").cast("string"),
           lit("|"), col("url_idx").cast("string")))
       .withColumn("path", UrlCanonical.pathQueryOfCanon(col("loc_canon")))
-    val robots = zoneRobotsTexts(s, dir)
+    val (pol, nHosts) = zoneRobotsPoliciesCounted(s, dir)
+    val robots = rulesTexts(pol)
     val rs = graft.text.Robots.ruleSet(robots, col("host"), col("txt"))
-    val gated = graft.text.Robots.allowed(entries, rs, RobotsAgent,
-        keyCol = "entry_key")
+    val deny = pol.filter(col("policy") === "disallow_all")
+      .select(col("host"))
+    val gated = graft.text.Robots.allowed(
+        entries.join(graft.operators.AdaptiveJoin.broadcastIfSmall(deny,
+          knownRows = Some(nHosts)), Seq("host"), "left_anti"),
+        rs, RobotsAgent, keyCol = "entry_key")
       .filter(col("allowed"))
     // host-cardinality, zone-derived lineage — same checkpoint-then-
     // adaptive discipline as allowed()'s rule relation
@@ -1371,8 +1509,10 @@ object WebGraphOps {
         coalesce(col("priority_milli"), lit(500L)).desc,
         col("loc_canon"), col("k"), col("url_idx"))
     gated
-      .join(graft.operators.AdaptiveJoin.broadcastIfSmall(delays),
-        Seq("host"), "left")
+      // knownRows: at most one delay row per policy host — the bound
+      // rides the ONE count the policy relation already paid for
+      .join(graft.operators.AdaptiveJoin.broadcastIfSmall(delays,
+        knownRows = Some(nHosts)), Seq("host"), "left")
       // greatest() SKIPS nulls on both engines, so the absent-delay
       // default must be an explicit CASE, not greatest-with-null
       .withColumn("rate", when(col("crawl_delay").isNull, lit(CrawlRate))
@@ -1413,7 +1553,7 @@ object WebGraphOps {
        |    CASE WHEN n % 2 = 0 THEN ${sqlTextLit(EvenRobots)}
        |         ELSE ${sqlTextLit(OddRobots)} END AS txt
        |  FROM (SELECT DISTINCT doc_id % 13 AS n FROM documents)
-       |  WHERE n <> 5),
+       |  WHERE n NOT IN (5, 7, 9)),
        |${graft.text.Robots.duckRobotsCtes("rt", "fd", RobotsAgent, "entry_key")},
        |${graft.text.Robots.duckCrawlDelayCtes("rt", RobotsAgent)},
        |sched AS (
@@ -1429,7 +1569,8 @@ object WebGraphOps {
        |      AS BIGINT) AS crawl_rank
        |  FROM fd f JOIN rb_out o USING (entry_key)
        |  LEFT JOIN rb_cd cd ON f.host = cd.host
-       |  WHERE o.allowed)
+       |  WHERE o.allowed
+       |    AND f.host <> 'site9.xn--bcher-kva.example')
        |SELECT host, k, loc_idx AS entry_idx, loc_canon,
        |  strftime(d, '%Y-%m-%d') AS lastmod_day, priority_milli, rule,
        |  crawl_delay, rate, crawl_rank, (crawl_rank - 1) // rate AS slot
@@ -1464,8 +1605,11 @@ object WebGraphOps {
     * duplicate leaves and hash-mismatches. */
   def q167ZoneFrontier(s: SparkSession, dir: String): DataFrame = {
     val zone = robotsZoneFor(s, dir)
+    // r19: discovery honors §2.3.1 — hosts 7 (404) and 9 (503) have no
+    // usable robots text, so their (present, valid) sitemap trees are
+    // never entered; host 11 seeds from its redirect target's text
     val seeds = graft.text.Robots.sitemaps(
-        zoneRobotsTexts(s, dir), col("host"), col("txt"))
+        rulesTexts(zoneRobotsPolicies(s, dir)), col("host"), col("txt"))
       .select(col("host"),
         UrlCanonical.canonicalize(col("sitemap_url")).as("sm_canon"),
         graft.text.SitemapTree.pathComponent(col("sm_idx")).as("sm_path"))
@@ -1553,7 +1697,8 @@ object WebGraphOps {
        |    CAST(CASE WHEN k = 0 THEN 1 ELSE 2 END AS BIGINT) AS depth,
        |    loc_idx, canon AS loc_canon
        |  FROM sc4
-       |  WHERE CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) <> 5),
+       |  WHERE CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT)
+       |        NOT IN (5, 7, 9)),
        |dd AS (
        |  SELECT doc_id, canon, doc_id % 13 AS n FROM s4 WHERE doc_id % 4 = 1),
        |dro AS (
@@ -1572,14 +1717,43 @@ object WebGraphOps {
        |  SELECT host, '00001' AS sm_path, CAST(0 AS BIGINT) AS depth,
        |    loc_idx, loc_canon
        |  FROM (SELECT * FROM dro UNION ALL SELECT * FROM dmiss)
-       |  WHERE n <> 5),
+       |  WHERE n NOT IN (5, 7, 9)),
        |lf AS (SELECT * FROM gleaf UNION ALL SELECT * FROM dleaf)
        |SELECT lf.host, lf.sm_path, lf.depth, lf.loc_idx, lf.loc_canon,
        |  (cc.canon IS NOT NULL) AS in_corpus
        |FROM lf LEFT JOIN cc ON lf.loc_canon = cc.canon""".stripMargin
   }
 
+  // ------------- q179 robots fetch-status resolution (r19, next #4)
+
+  /** q179: the §2.3.1 policy relation ITSELF, gate-hashed — one row per
+    * host with a surviving robots.txt capture: its FINAL fetch status
+    * (null = the archiver recorded no status channel = 200-class),
+    * redirect hops followed, and the assumed policy. Host 5 is absent
+    * (corrupt capture — the fail-open is its consumers' left-join
+    * default, not a policy row); host 7 reads 404/allow_all; host 9
+    * 503/disallow_all; host 11 finishes 200/rules after ONE hop through
+    * its relative-Location redirect; every other host is a statusless
+    * rules row at hop 0. The oracle is a static replay of the known
+    * status layout (the q167 oracle's honesty posture); RobotsSpec
+    * covers the machinery's loop/budget/missing-target classes the
+    * fixture doesn't reach. */
+  def q179RobotsFetchStatus(s: SparkSession, dir: String): DataFrame =
+    zoneRobotsPolicies(s, dir)
+      .select(col("host"), col("status"), col("hops"), col("policy"))
+
+  val q179Sql: String =
+    s"""WITH hn AS (SELECT DISTINCT doc_id % 13 AS n FROM documents)
+       |SELECT 'site' || n || '.xn--bcher-kva.example' AS host,
+       |  CAST(CASE WHEN n = 7 THEN 404 WHEN n = 9 THEN 503
+       |       WHEN n = 11 THEN 200 END AS BIGINT) AS status,
+       |  CAST(CASE WHEN n = 11 THEN 1 ELSE 0 END AS BIGINT) AS hops,
+       |  CASE WHEN n = 7 THEN 'allow_all' WHEN n = 9 THEN 'disallow_all'
+       |       ELSE 'rules' END AS policy
+       |FROM hn WHERE n <> 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q179_robots_fetch_status" -> q179RobotsFetchStatus,
     "q167_zone_frontier" -> q167ZoneFrontier,
     "q165_crawl_schedule" -> q165CrawlSchedule,
     "q164_robots_sitemaps" -> q164RobotsSitemaps,
@@ -1600,6 +1774,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_robots_fetch_status" -> q179Sql,
     "q173_followed_rank" -> q173Sql,
     "q168_quota_kept" -> q168Sql,
     "q169_nofollow_edges" -> q169Sql,

@@ -196,6 +196,86 @@ object Robots {
        |  GROUP BY host)""".stripMargin
   }
 
+  /** RFC 9309 §2.3.1 fetch-status semantics (r19, VERDICT r18 next #4):
+    * what a crawler must ASSUME about a host whose robots.txt did not
+    * come back 200 —
+    *
+    *   - 2xx (or no status channel): the body is the rule set
+    *     (`policy = 'rules'`);
+    *   - 3xx: follow `Location` — resolved against the CURRENT fetch
+    *     URL (it may be relative), canonicalized, looked up in the
+    *     capture relation — up to `maxHops` consecutive redirects
+    *     (§2.3.1.2's five); a chain that exhausts the budget, lands on
+    *     a never-captured URL, or carries no Location is UNAVAILABLE;
+    *   - 4xx (unavailable, §2.3.1.3): crawlers MAY access any resource
+    *     → `policy = 'allow_all'`, the same fail-open as an absent
+    *     robots.txt — and the 4xx BODY must never be parsed as rules;
+    *   - 5xx (unreachable, §2.3.1.4): MUST assume complete disallow →
+    *     `policy = 'disallow_all'`, body equally ignored.
+    *
+    * Input: `seeds (host, url_canon)` — each host's origin robots URL —
+    * and `captures (url_canon, txt, status, location)`, the surviving
+    * robots-path captures (status/location from the response channel;
+    * a NULL status means the archiver recorded a plain 200-class
+    * capture). Output: one row per seed host —
+    * (host, policy, txt, status, hops), `txt` NULLed unless
+    * `policy = 'rules'` so a consumer structurally cannot parse a
+    * poison body. `hops` counts followed redirects; `status` is the
+    * FINAL response's.
+    *
+    * Shape: the capture relation is host-cardinality; the chain is the
+    * bounded-hop iterative sweep ([[SitemapTree]]'s lineage
+    * discipline — per-hop eager checkpoints, early exit when nothing
+    * is still redirecting). Callers with an expensive capture lineage
+    * should materialize it first; the loop itself checkpoints the
+    * state relation, never the captures. */
+  def fetchPolicies(seeds: DataFrame, captures: DataFrame,
+                    maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "maxHops must be at least 1")
+    val caps = captures.select(col("url_canon").as("__cu"),
+      col("txt").as("__ct"), col("status").as("__cs"),
+      col("location").as("__cl"))
+    def joined(from: DataFrame, hops: Column): DataFrame =
+      from.join(caps, from("url_canon") === caps("__cu"), "left")
+        .select(col("host"), col("url_canon"),
+          col("__ct").as("txt"), col("__cs").as("status"),
+          col("__cl").as("location"), hops.as("hops"),
+          col("__cu").isNotNull.as("reached"))
+    val redirecting = col("reached") && col("status").between(300L, 399L) &&
+      col("location").isNotNull && col("location") =!= ""
+    var cur = graft.Checkpoints.eager(
+      joined(seeds.select(col("host"), col("url_canon")), lit(0L)))
+    var hop = 1
+    var drained = false
+    while (!drained && hop <= maxHops) {
+      val moving = cur.filter(redirecting)
+      if (moving.isEmpty) drained = true
+      else {
+        val stepped = joined(
+          moving.select(col("host"),
+            UrlCanonical.canonicalize(UrlCanonical.resolve(
+              col("url_canon"), col("location"))).as("url_canon"),
+            col("hops")),
+          col("hops") + 1)
+        cur = graft.Checkpoints.eager(
+          cur.filter(!redirecting).unionByName(stepped))
+      }
+      hop += 1
+    }
+    // classification: a target that never resolved (reached=false past
+    // hop 0 — seeds are captures by construction) and a chain still 3xx
+    // at the budget are both 'unavailable' → allow_all
+    val policy =
+      when(!col("reached"), lit("allow_all"))
+        .when(col("status").isNull ||
+          col("status").between(200L, 299L), lit("rules"))
+        .when(col("status").between(300L, 499L), lit("allow_all"))
+        .otherwise(lit("disallow_all"))
+    cur.select(col("host"), policy.as("policy"),
+      when(policy === "rules", col("txt")).as("txt"),
+      col("status"), col("hops"))
+  }
+
   /** `Sitemap:` directive extraction (r17) — the OTHER thing robots.txt
     * declares besides rules: where the host's sitemaps live
     * (sitemaps.org discovery; RFC 9309 treats the line as an

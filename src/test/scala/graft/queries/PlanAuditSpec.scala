@@ -566,6 +566,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"no doc_id-keyed join/shuffle in the fused shape:\n$p")
   }
 
+  test("q165 adaptive chain: exactly ONE strategy probe — deny and delay joins thread the policy relation's count (VERDICT r18 wrong #2)") {
+    // allowed()'s rule relation legitimately measures itself (its
+    // cardinality is rules×agents — nothing else bounds it); the deny
+    // anti-join and the crawl-delay join are host-keyed, so both thread
+    // |policies| (counted once over the hop loop's final checkpoint)
+    val before = graft.operators.AdaptiveJoin.measuredProbes.get()
+    WebGraphOps.q165CrawlSchedule(spark, dir)
+    val probes = graft.operators.AdaptiveJoin.measuredProbes.get() - before
+    assert(probes == 1, s"expected ONE measured cardinality probe, got $probes")
+  }
+
   test("q156 adaptive chain: exactly ONE strategy-count job — the quota join reuses the name count") {
     // VERDICT r17 wrong #2: hostRanks measured `names`, then q156
     // re-counted `quotas`, whose cardinality equals the rank

@@ -207,4 +207,60 @@ class RobotsSpec extends SparkTestBase {
       .select("rule").as[String].collect().toSet
     assert(rules == Set("disallow"), s"got $rules")
   }
+
+  test("fetchPolicies: RFC 9309 §2.3.1 — 2xx rules, 4xx allow-all, 5xx disallow-all, redirects followed, loops/missing/budget fail open as unavailable") {
+    def u(h: String, p: String) = s"http://$h.example$p"
+    val seeds = Seq(
+      "plain", "ok200", "gone404", "err503", "rel301", "loopy",
+      "nowhere", "noloc", "deep")
+      .map(h => (s"$h.example", u(h, "/robots.txt")))
+      .toDF("host", "url_canon")
+    val captures = Seq(
+      // (url_canon, txt, status, location)
+      (u("plain", "/robots.txt"), "User-agent: *\nDisallow: /a",
+        None: Option[Long], None: Option[String]),
+      (u("ok200", "/robots.txt"), "User-agent: *\nDisallow: /b",
+        Some(204L), None: Option[String]),
+      (u("gone404", "/robots.txt"), "User-agent: *\nDisallow: /poison",
+        Some(404L), None: Option[String]),
+      (u("err503", "/robots.txt"), "User-agent: *\nAllow: /poison",
+        Some(503L), None: Option[String]),
+      // a RELATIVE Location — resolution against the current fetch URL
+      (u("rel301", "/robots.txt"), "poison", Some(301L), Some("/real.txt")),
+      (u("rel301", "/real.txt"), "User-agent: *\nDisallow: /c",
+        Some(200L), None: Option[String]),
+      // a 2-cycle: budget exhausts → unavailable → allow_all
+      (u("loopy", "/robots.txt"), "p", Some(301L), Some(u("loopy", "/b.txt"))),
+      (u("loopy", "/b.txt"), "p", Some(302L), Some(u("loopy", "/robots.txt"))),
+      // redirect to a never-captured URL → allow_all
+      (u("nowhere", "/robots.txt"), "p", Some(301L), Some(u("nowhere", "/gone"))),
+      // 3xx with NO Location → nothing to follow → allow_all
+      (u("noloc", "/robots.txt"), "p", Some(307L), None: Option[String]),
+      // a 4-hop chain INSIDE the 5-hop budget resolves
+      (u("deep", "/robots.txt"), "p", Some(301L), Some("/h1")),
+      (u("deep", "/h1"), "p", Some(302L), Some("/h2")),
+      (u("deep", "/h2"), "p", Some(307L), Some("/h3")),
+      (u("deep", "/h3"), "p", Some(308L), Some("/h4")),
+      (u("deep", "/h4"), "User-agent: *\nDisallow: /d",
+        Some(200L), None: Option[String]))
+      .toDF("url_canon", "txt", "status", "location")
+    val got = Robots.fetchPolicies(seeds, captures)
+      .select(col("host"), col("policy"), col("txt"), col("hops"))
+      .as[(String, String, Option[String], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3.orNull, r._4))).toMap
+    assert(got("plain.example") ==
+      (("rules", "User-agent: *\nDisallow: /a", 0L)), s"got $got")
+    assert(got("ok200.example") ==
+      (("rules", "User-agent: *\nDisallow: /b", 0L)))
+    // poison bodies must come back NULL — structurally unparseable
+    assert(got("gone404.example") == (("allow_all", null, 0L)))
+    assert(got("err503.example") == (("disallow_all", null, 0L)))
+    assert(got("rel301.example") ==
+      (("rules", "User-agent: *\nDisallow: /c", 1L)))
+    assert(got("loopy.example")._1 == "allow_all", s"got ${got("loopy.example")}")
+    assert(got("nowhere.example") == (("allow_all", null, 1L)))
+    assert(got("noloc.example") == (("allow_all", null, 0L)))
+    assert(got("deep.example") ==
+      (("rules", "User-agent: *\nDisallow: /d", 4L)))
+  }
 }
