@@ -669,9 +669,20 @@ object CorpusOps {
       // header-parsing reader ignores unknown headers, so all existing
       // consumers are payload-identical.
       val d10 = pmod(col("doc_id"), lit(10))
+      // r19 adds the convention's remaining layers: an agent-SCOPED
+      // value for ANOTHER crawler (must not bind), one scoped to ours
+      // (binds), a REPEATED header whose lines merge (RFC 9110 §5.2),
+      // and an unavailable_after value — a directive that contains a
+      // colon and must not be misread as an agent scope
       val xrt = when(d10 === 7, lit("X-Robots-Tag: noindex\r\n"))
         .when(d10 === 4, lit("X-Robots-Tag: NOFOLLOW, noarchive\r\n"))
         .when(d10 === 2, lit("X-Robots-Tag: noarchive\r\n"))
+        .when(d10 === 1, lit("X-Robots-Tag: googlebot: noindex\r\n"))
+        .when(d10 === 8, lit("X-Robots-Tag: graftbot: noindex\r\n"))
+        .when(d10 === 6,
+          lit("X-Robots-Tag: noarchive\r\nX-Robots-Tag: nofollow\r\n"))
+        .when(d10 === 9,
+          lit("X-Robots-Tag: unavailable_after: 25 Jun 2026 15:00:00 GMT\r\n"))
         .otherwise(lit(""))
       // r19: the HTTP status + Location channel (VERDICT r18 missing
       // #1), same seam. Classes by doc_id % 19: a 2-hop 301→302 chain
@@ -816,33 +827,61 @@ object CorpusOps {
 
   // ------------------- q174 dual-channel robots directives (r18)
 
-  /** q174 (r18, beyond plan): the HEADER channel of the robots-meta
-    * screen — the X-Robots-Tag convention — MERGED with q170's meta
-    * channel: a directive from EITHER binds (the union read every
-    * crawler documents). Headers surface through the WARC reader's
-    * extra-header seam (`parseChunksWith`; in this zone model payloads
-    * are bare text, so response headers live on the capture record);
-    * directives are the same comma-separated token list, matched
-    * case-insensitively. Fixture classes: header noindex, a SHOUTING
-    * multi-directive header nofollow, a noarchive-only header (a
-    * directive this screen does not act on — flags stay false), plus
-    * the q170 meta variants — docs where the channels OVERLAP prove
-    * the union. Chunk-level read (the q163 posture): quote-class docs
-    * are not parseable at this level and drop, mirrored in the
-    * oracle's survivor set. */
+  /** The crawler product token the header channel scopes to. */
+  private val DirectiveAgent = "graftbot"
+
+  /** A leading single-token `agent:` prefix on an X-Robots-Tag VALUE
+    * scopes it to that crawler — except `unavailable_after`, the one
+    * directive that itself carries a colon. */
+  private val ScopePrefix = "^([a-z0-9_*\\-]+)\\s*:"
+
+  /** q174 (r18, beyond plan; r19 upgrade — VERDICT r18 missing #5): the
+    * HEADER channel of the robots-meta screen — the X-Robots-Tag
+    * convention — MERGED with q170's meta channel: a directive from
+    * EITHER binds (the union read every crawler documents). Headers
+    * surface through the WARC reader's extra-header seam
+    * (`parseChunksWith`; in this zone model payloads are bare text, so
+    * response headers live on the capture record).
+    *
+    * r19 models the convention's full value grammar: the header may
+    * REPEAT (each line is one value; RFC 9110 §5.2 merges them), and a
+    * value may carry a leading `agent:` SCOPE — a value scoped to
+    * another crawler must not bind, one scoped to ours does, and the
+    * colon-bearing `unavailable_after:` directive must not be misread
+    * as a scope. Binding directives are the comma-separated token list
+    * over the UNION of applying values, matched case-insensitively.
+    * Fixture classes: header noindex, SHOUTING multi-directive
+    * nofollow, noarchive-only (flags stay false), googlebot-scoped
+    * noindex (must NOT bind), graftbot-scoped noindex (binds),
+    * repeated noarchive+nofollow lines (merge → nofollow), and
+    * unavailable_after (binds nothing), plus the q170 meta variants —
+    * docs where the channels OVERLAP prove the union. Chunk-level read
+    * (the q163 posture): quote-class docs are not parseable at this
+    * level and drop, mirrored in the oracle's survivor set. */
   def q174RobotsDirectives(s: SparkSession, dir: String): DataFrame = {
     val zone = htmlZoneFor(s, dir)
     import graft.text.HtmlExtract
     val pages = graft.sources.Warc.parseChunksWith(
         s.read.option("lineSep", graft.sources.Warc.Magic).text(zone),
-        Seq("X-Robots-Tag" -> "x_robots"))
+        Nil, repeated = Seq("X-Robots-Tag" -> "__xl"))
       .filter(col("is_valid"))
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
-        col("payload"), lower(coalesce(col("x_robots"), lit(""))).as("__x"))
+        col("payload"), col("__xl"))
+    def scopeOf(v: org.apache.spark.sql.Column) =
+      regexp_extract(v, ScopePrefix, 1)
+    // per-value scope resolution, lowercased: keep unscoped values,
+    // unavailable_after (a directive, not a scope), and values scoped
+    // to OUR token; strip the scope prefix off the survivors
+    val applying = filter(transform(col("__xl"), v => lower(v)),
+      v => scopeOf(v).isin("", "unavailable_after", DirectiveAgent))
+    val bodies = transform(applying, v =>
+      when(scopeOf(v).isin("", "unavailable_after"), v)
+        .otherwise(ltrim(regexp_replace(v, ScopePrefix + "\\s*", ""))))
     def hdr(token: String) =
       col("__x").rlike(s"(^|[\\s,])$token([\\s,]|$$)")
     pages
+      .withColumn("__x", array_join(bodies, ","))
       .withColumn("__c", HtmlExtract.metaRobotsContents(col("payload")))
       .select(col("doc_id"),
         (HtmlExtract.metaDirective(col("__c"), "noindex") ||
@@ -860,19 +899,36 @@ object CorpusOps {
     import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
     def duckHdr(token: String) =
       s"""regexp_matches(x, '(^|[\\s,])$token([\\s,]|$$)')"""
+    // the twin replays the full value grammar: per-line values as a
+    // LIST, lowercased, scope-filtered to ('', unavailable_after,
+    // graftbot), scope prefixes stripped, survivors comma-joined
     s"""WITH hs AS (
        |  SELECT doc_id, $htmlSqlExpr AS html,
-       |    lower(CASE WHEN doc_id % 10 = 7 THEN 'X-Robots-Tag: noindex'
-       |          WHEN doc_id % 10 = 4 THEN 'X-Robots-Tag: NOFOLLOW, noarchive'
-       |          WHEN doc_id % 10 = 2 THEN 'X-Robots-Tag: noarchive'
-       |          ELSE '' END) AS xh
+       |    CASE WHEN doc_id % 10 = 7 THEN ['noindex']
+       |         WHEN doc_id % 10 = 4 THEN ['NOFOLLOW, noarchive']
+       |         WHEN doc_id % 10 = 2 THEN ['noarchive']
+       |         WHEN doc_id % 10 = 1 THEN ['googlebot: noindex']
+       |         WHEN doc_id % 10 = 8 THEN ['graftbot: noindex']
+       |         WHEN doc_id % 10 = 6 THEN ['noarchive', 'nofollow']
+       |         WHEN doc_id % 10 = 9
+       |         THEN ['unavailable_after: 25 Jun 2026 15:00:00 GMT']
+       |         ELSE CAST([] AS VARCHAR[]) END AS xl
        |  FROM documents
        |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0
        |    AND doc_id % $MagicQuoteMod <> 0),
        |mc AS (
        |  SELECT doc_id,
        |    ${graft.text.HtmlExtract.duckMetaRobotsContents("html")} AS c,
-       |    trim(substr(xh, length('x-robots-tag: ') + 1)) AS x
+       |    coalesce(array_to_string(
+       |      list_transform(
+       |        list_filter(list_transform(xl, v -> lower(v)),
+       |          v -> regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
+       |               IN ('', 'unavailable_after', '$DirectiveAgent')),
+       |        v -> CASE WHEN regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
+       |                       IN ('', 'unavailable_after') THEN v
+       |                  ELSE ltrim(regexp_replace(v,
+       |                         '^([a-z0-9_*\\-]+)\\s*:\\s*', '')) END),
+       |      ','), '') AS x
        |  FROM hs),
        |fl AS (
        |  SELECT doc_id,

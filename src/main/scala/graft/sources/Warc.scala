@@ -230,9 +230,33 @@ object Warc {
     * a `revisit` record's `WARC-Refers-To-Target-URI` names the
     * earlier capture it deduplicated against). `extra` maps header
     * name → output column, appended AFTER the base schema so existing
-    * consumers are position-stable. */
+    * consumers are position-stable.
+    *
+    * `repeated` (r19) collects headers that may occur on SEVERAL lines
+    * of one record (HTTP lets a field repeat — RFC 9110 §5.2 reads the
+    * repetitions as one comma-joined list, and `X-Robots-Tag` uses
+    * that in the wild): each name yields an ARRAY column of the
+    * per-line values in document order, since `str_to_map` can only
+    * keep one. Matching is case-insensitive on the header NAME (§5.1);
+    * values come back verbatim. */
+  /** The header block with only the FIRST line per (case-insensitive)
+    * header name kept — `str_to_map` THROWS on duplicate keys
+    * (DUPLICATE_MAP_KEY, default EXCEPTION policy), and HTTP lets a
+    * field repeat (the r19 repeated X-Robots-Tag fixture made this
+    * real; a quoting payload's text can also collide before its first
+    * blank line). First-wins matches [[assemble]]'s map semantics;
+    * consumers that need EVERY repetition use `repeated` below. The
+    * quadratic dedupe is over one record's header LINES (~6). */
+  private def firstWinsHeaderLines(headers: Column): Column = {
+    val lines = split(headers, "\r\n")
+    def name(l: Column) = lower(substring_index(l, ":", 1))
+    filter(lines, (l, i) =>
+      size(filter(slice(lines, lit(1), i), p => name(p) === name(l))) === 0)
+  }
+
   def parseChunksWith(chunks: DataFrame,
-                      extra: Seq[(String, String)]): DataFrame = {
+                      extra: Seq[(String, String)],
+                      repeated: Seq[(String, String)] = Nil): DataFrame = {
     val chunk = col("value")
     // header block = everything before the first blank line; rest =
     // payload + the record-final "\r\n\r\n" (so the payload needs no
@@ -240,13 +264,20 @@ object Warc {
     val headers = substring_index(chunk, "\r\n\r\n", 1)
     val rest = expr(
       raw"substr(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)")
-    val hmap = str_to_map(headers, lit("\r\n"), lit(": "))
+    val hmap = str_to_map(array_join(firstWinsHeaderLines(headers), "\r\n"),
+      lit("\r\n"), lit(": "))
     val payload = expr(raw"substr(__rest, 1, length(__rest) - 4)")
     val extraCols = extra.map { case (h, a) => col("__h").getItem(h).as(a) }
+    val repeatedCols = repeated.map { case (h, a) =>
+      val quoted = java.util.regex.Pattern.quote(h)
+      regexp_extract_all(col("__hdrs"),
+        lit(s"(?mi)^$quoted:[ \\t]*(.*?)[ \\t]*$$"), lit(1)).as(a)
+    }
     chunks
       // the zone split at the magic leaves one empty head chunk per file
       .filter(length(chunk) > 0)
-      .select(hmap.as("__h"), rest.as("__rest"), chunk.as("__chunk"))
+      .select(hmap.as("__h"), rest.as("__rest"), chunk.as("__chunk"),
+        headers.as("__hdrs"))
       .select(Seq(
         col("__h").getItem("WARC-Target-URI").as("url"),
         col("__h").getItem("WARC-Type").as("warc_type"),
@@ -271,7 +302,7 @@ object Warc {
           // the record terminator (found by the assemble-parity review)
           octet_length(col("__rest")) - 4 ===
             col("__h").getItem("Content-Length").cast("long")
-          ).as("is_valid")) ++ extraCols: _*)
+          ).as("is_valid")) ++ extraCols ++ repeatedCols: _*)
   }
 
   /** Record-type-routing read: [[read]]'s schema plus `refers_to`
@@ -314,11 +345,21 @@ object Warc {
       private def nextChunk(): String =
         if (pending.nonEmpty) pending.removeHead() else chunks.next()
       private def utf8Len(s: String): Long = s.getBytes("UTF-8").length.toLong
-      private def headerMap(h: String): Map[String, String] =
-        h.split("\r\n").iterator.flatMap { line =>
+      // FIRST occurrence wins on a repeated header name (parity with
+      // parseChunks' firstWinsHeaderLines; a bare .toMap was last-wins)
+      private def headerMap(h: String): Map[String, String] = {
+        val out = Map.newBuilder[String, String]
+        val seen = scala.collection.mutable.Set.empty[String]
+        h.split("\r\n").foreach { line =>
           val i = line.indexOf(": ")
-          if (i < 0) None else Some(line.substring(0, i) -> line.substring(i + 2))
-        }.toMap
+          if (i >= 0) {
+            val name = line.substring(0, i)
+            if (seen.add(name.takeWhile(_ != ':').toLowerCase))
+              out += name -> line.substring(i + 2)
+          }
+        }
+        out.result()
+      }
       // parseChunks parity: payload drops the final 4 chars even on
       // invalid rows (substr with a negative length yields "")
       private def payloadOf(b: String): String =
@@ -430,7 +471,11 @@ object Warc {
     // quoting 'WARC/1.0\r\nWARC/1.0\r\n' (ADVICE r15). assemble skips
     // them as record HEADS; parseChunks filters them on the clean path.
 
-    val hmap = str_to_map(substring_index(col("value"), HdrSep, 1),
+    // first-wins line dedupe before the map: a repeated header (or a
+    // quoting payload's colliding text lines) must not throw
+    val hmap = str_to_map(
+      array_join(firstWinsHeaderLines(
+        substring_index(col("value"), HdrSep, 1)), "\r\n"),
       lit("\r\n"), lit(": "))
     val cl = hmap.getItem("Content-Length").cast("long")
     val rest = expr(
