@@ -239,9 +239,12 @@ object WebGraphOps {
         UrlCanonical.canonicalize(
           UrlCanonical.resolve(col("__base"), col("href"))).as("dst_canon"))
 
-  val q155Sql: String = {
+  /** The q155 CTE chain WITHOUT the leading WITH/final SELECT —
+    * exposes `af (doc_id, link_idx, href, anchor_text)` and
+    * `d4 (doc_id, link_idx, canon)`; shared by q155 and q178. */
+  private def anchorCtePrefix: String = {
     val idn = Seq("bücher" -> "xn--bcher-kva")
-    s"""WITH ${HtmlExtract.duckEntmapCte},
+    s"""${HtmlExtract.duckEntmapCte},
        |${CorpusOps.htmlInCtes},
        |${CorpusOps.messyUrlMkCte},
        |$duckEbaseCtes,
@@ -263,11 +266,71 @@ object WebGraphOps {
        |  FROM af JOIN ebase e ON af.doc_id = e.doc_id),
        |${UrlCanonical.duckResolveCtes("rin", "doc_id, link_idx", "rv")},
        |tin AS (SELECT doc_id, link_idx, target AS url FROM rv4),
-       |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")}
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, link_idx", idn, "d")}""".stripMargin
+  }
+
+  val q155Sql: String =
+    s"""WITH $anchorCtePrefix
        |SELECT af.doc_id, af.link_idx, af.href, af.anchor_text,
        |  d4.canon AS dst_canon
        |FROM af JOIN d4 ON af.doc_id = d4.doc_id AND af.link_idx = d4.link_idx""".stripMargin
+
+  // ------------------------------ q178 per-target anchor aggregation
+
+  /** Terms kept per destination — the classic capped anchor list. */
+  private val AnchorTermsK = 8
+
+  /** q178 (r19, VERDICT r18 next #5): the INVERTED anchor relation —
+    * per destination URL, the top-[[AnchorTermsK]] anchor TERMS with
+    * their link frequency and document frequency (the retrieval signal
+    * anchor text exists for: what the web calls a page). Terms are the
+    * lowercase `[a-z0-9]+` runs of q155's anchor texts; ranking is
+    * n_links DESC then term (unique within a destination → total
+    * order, the window-tie discipline).
+    *
+    * Scale shape: tokenize/explode is map-only on top of the q155
+    * chain; ONE partial-aggregated exchange on (dst, term) — the
+    * map-side combine collapses the web's hugely repetitive anchor
+    * vocabulary before the shuffle — then the per-dst rank window
+    * pre-truncates map-side ([[graft.operators.QuotaCap]]'s
+    * WindowGroupLimit shape, plan-asserted): a URL with 10⁹ in-links
+    * costs each mapper at most K rows of the second (aggregated,
+    * term-cardinality) exchange. */
+  def q178AnchorTerms(s: SparkSession, dir: String): DataFrame = {
+    val terms = q155AnchorText(s, dir)
+      .select(col("doc_id"), col("dst_canon"),
+        explode(regexp_extract_all(lower(col("anchor_text")),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+    val agg = terms.groupBy(col("dst_canon"), col("term"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_canon"))
+      .orderBy(col("n_links").desc, col("term"))
+    agg.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= AnchorTermsK)
+      .select(col("dst_canon"), col("term"), col("n_links"), col("n_docs"),
+        col("term_rank").cast("long").as("term_rank"))
   }
+
+  val q178Sql: String =
+    s"""WITH $anchorCtePrefix,
+       |ap AS (
+       |  SELECT af.doc_id, d4.canon AS dst_canon, af.anchor_text
+       |  FROM af JOIN d4 ON af.doc_id = d4.doc_id AND af.link_idx = d4.link_idx),
+       |tm AS (
+       |  SELECT doc_id, dst_canon,
+       |    unnest(regexp_extract_all(lower(anchor_text), '[a-z0-9]+')) AS term
+       |  FROM ap),
+       |ag AS (
+       |  SELECT dst_canon, term, count(*) AS n_links,
+       |    count(DISTINCT doc_id) AS n_docs
+       |  FROM tm GROUP BY dst_canon, term)
+       |SELECT dst_canon, term, n_links, n_docs,
+       |  CAST(row_number() OVER (PARTITION BY dst_canon
+       |    ORDER BY n_links DESC, term) AS BIGINT) AS term_rank
+       |FROM ag
+       |QUALIFY term_rank <= $AnchorTermsK""".stripMargin
 
   // ----------------------------------- q169 rel=nofollow link semantics
 
@@ -1753,6 +1816,7 @@ object WebGraphOps {
        |FROM hn WHERE n <> 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q178_anchor_terms" -> q178AnchorTerms,
     "q179_robots_fetch_status" -> q179RobotsFetchStatus,
     "q167_zone_frontier" -> q167ZoneFrontier,
     "q165_crawl_schedule" -> q165CrawlSchedule,
@@ -1774,6 +1838,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_anchor_terms" -> q178Sql,
     "q179_robots_fetch_status" -> q179Sql,
     "q173_followed_rank" -> q173Sql,
     "q168_quota_kept" -> q168Sql,

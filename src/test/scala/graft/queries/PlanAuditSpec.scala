@@ -577,6 +577,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(probes == 1, s"expected ONE measured cardinality probe, got $probes")
   }
 
+  test("q178 anchor terms: map-side WindowGroupLimit + partial aggregation before the term exchange") {
+    val p = plan(WebGraphOps.q178AnchorTerms(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-dst rank must pre-truncate map-side:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine on (dst, term):\n$p")
+    assert(countOf(p, "Exchange rangepartitioning") == 0, s"global sort crept in:\n$p")
+  }
+
   test("q156 adaptive chain: exactly ONE strategy-count job — the quota join reuses the name count") {
     // VERDICT r17 wrong #2: hostRanks measured `names`, then q156
     // re-counted `quotas`, whose cardinality equals the rank
