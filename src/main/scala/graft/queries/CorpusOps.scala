@@ -699,13 +699,19 @@ object CorpusOps {
         .when(m19 === 9, messyUrlColFor(col("doc_id") - 2))
         .when(m19 === 11, messyUrlColFor(col("doc_id")))
         .when(m19 === 13, lit("http://nowhere.example/gone"))
+      // error-page classes (r19, q180): a 404 and a 503 capture whose
+      // BODY is an ordinary page — an eligibility screen that reads
+      // bodies without statuses would keep them
       val rstatus = when(m19.isin(1, 7, 9, 13), lit("301"))
         .when(m19 === 2, lit("302"))
         .when(m19 === 5, lit("307"))
         .when(m19 === 11, lit("308"))
+        .when(m19 === 15, lit("404"))
+        .when(m19 === 17, lit("503"))
       val redirectHdrs = when(rstatus.isNull, lit(""))
-        .otherwise(concat(lit("X-Crawl-Status: "), rstatus,
-          lit("\r\nLocation: "), rloc, lit("\r\n")))
+        .otherwise(concat(lit("X-Crawl-Status: "), rstatus, lit("\r\n"),
+          when(rloc.isNull, lit(""))
+            .otherwise(concat(lit("Location: "), rloc, lit("\r\n")))))
       graft.sources.Warc.synthesize(s,
         Tables.documents(s, d).select(col("doc_id"), htmlCol.as("text"),
           concat(xrt, redirectHdrs).as("extra_headers")), base)
@@ -835,6 +841,54 @@ object CorpusOps {
     * directive that itself carries a colon. */
   private val ScopePrefix = "^([a-z0-9_*\\-]+)\\s*:"
 
+  /** The binding X-Robots-Tag BODIES of a per-line value array:
+    * lowercased, scope-filtered to (unscoped ∪ unavailable_after ∪
+    * [[DirectiveAgent]]), scope prefixes stripped, comma-joined —
+    * ready for token matching. Shared by q174 and q180. */
+  private def xRobotsBodiesCol(
+      xl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def scopeOf(v: org.apache.spark.sql.Column) =
+      regexp_extract(v, ScopePrefix, 1)
+    val applying = filter(transform(xl, v => lower(v)),
+      v => scopeOf(v).isin("", "unavailable_after", DirectiveAgent))
+    array_join(transform(applying, v =>
+      when(scopeOf(v).isin("", "unavailable_after"), v)
+        .otherwise(ltrim(regexp_replace(v, ScopePrefix + "\\s*", "")))), ",")
+  }
+
+  /** Case-insensitive token match over a comma/space-separated
+    * directive list (pre-lowercased). */
+  private def hdrHas(x: org.apache.spark.sql.Column,
+                     token: String): org.apache.spark.sql.Column =
+    x.rlike(s"(^|[\\s,])$token([\\s,]|$$)")
+
+  /** Oracle twins of the header machinery (shared by q174/q180): the
+    * fixture's per-line value list, the scope-resolved body join, and
+    * the token match. */
+  private def duckXrtList: String =
+    """CASE WHEN doc_id % 10 = 7 THEN ['noindex']
+      |         WHEN doc_id % 10 = 4 THEN ['NOFOLLOW, noarchive']
+      |         WHEN doc_id % 10 = 2 THEN ['noarchive']
+      |         WHEN doc_id % 10 = 1 THEN ['googlebot: noindex']
+      |         WHEN doc_id % 10 = 8 THEN ['graftbot: noindex']
+      |         WHEN doc_id % 10 = 6 THEN ['noarchive', 'nofollow']
+      |         WHEN doc_id % 10 = 9
+      |         THEN ['unavailable_after: 25 Jun 2026 15:00:00 GMT']
+      |         ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+  private def duckXBodies(xl: String): String =
+    s"""coalesce(array_to_string(
+       |      list_transform(
+       |        list_filter(list_transform($xl, v -> lower(v)),
+       |          v -> regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
+       |               IN ('', 'unavailable_after', '$DirectiveAgent')),
+       |        v -> CASE WHEN regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
+       |                       IN ('', 'unavailable_after') THEN v
+       |                  ELSE ltrim(regexp_replace(v,
+       |                         '^([a-z0-9_*\\-]+)\\s*:\\s*', '')) END),
+       |      ','), '')""".stripMargin
+  private def duckHdrHas(x: String, token: String): String =
+    s"""regexp_matches($x, '(^|[\\s,])$token([\\s,]|$$)')"""
+
   /** q174 (r18, beyond plan; r19 upgrade — VERDICT r18 missing #5): the
     * HEADER channel of the robots-meta screen — the X-Robots-Tag
     * convention — MERGED with q170's meta channel: a directive from
@@ -868,20 +922,9 @@ object CorpusOps {
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("payload"), col("__xl"))
-    def scopeOf(v: org.apache.spark.sql.Column) =
-      regexp_extract(v, ScopePrefix, 1)
-    // per-value scope resolution, lowercased: keep unscoped values,
-    // unavailable_after (a directive, not a scope), and values scoped
-    // to OUR token; strip the scope prefix off the survivors
-    val applying = filter(transform(col("__xl"), v => lower(v)),
-      v => scopeOf(v).isin("", "unavailable_after", DirectiveAgent))
-    val bodies = transform(applying, v =>
-      when(scopeOf(v).isin("", "unavailable_after"), v)
-        .otherwise(ltrim(regexp_replace(v, ScopePrefix + "\\s*", ""))))
-    def hdr(token: String) =
-      col("__x").rlike(s"(^|[\\s,])$token([\\s,]|$$)")
+    def hdr(token: String) = hdrHas(col("__x"), token)
     pages
-      .withColumn("__x", array_join(bodies, ","))
+      .withColumn("__x", xRobotsBodiesCol(col("__xl")))
       .withColumn("__c", HtmlExtract.metaRobotsContents(col("payload")))
       .select(col("doc_id"),
         (HtmlExtract.metaDirective(col("__c"), "noindex") ||
@@ -897,38 +940,20 @@ object CorpusOps {
 
   val q174Sql: String = {
     import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
-    def duckHdr(token: String) =
-      s"""regexp_matches(x, '(^|[\\s,])$token([\\s,]|$$)')"""
+    def duckHdr(token: String) = duckHdrHas("x", token)
     // the twin replays the full value grammar: per-line values as a
     // LIST, lowercased, scope-filtered to ('', unavailable_after,
     // graftbot), scope prefixes stripped, survivors comma-joined
     s"""WITH hs AS (
        |  SELECT doc_id, $htmlSqlExpr AS html,
-       |    CASE WHEN doc_id % 10 = 7 THEN ['noindex']
-       |         WHEN doc_id % 10 = 4 THEN ['NOFOLLOW, noarchive']
-       |         WHEN doc_id % 10 = 2 THEN ['noarchive']
-       |         WHEN doc_id % 10 = 1 THEN ['googlebot: noindex']
-       |         WHEN doc_id % 10 = 8 THEN ['graftbot: noindex']
-       |         WHEN doc_id % 10 = 6 THEN ['noarchive', 'nofollow']
-       |         WHEN doc_id % 10 = 9
-       |         THEN ['unavailable_after: 25 Jun 2026 15:00:00 GMT']
-       |         ELSE CAST([] AS VARCHAR[]) END AS xl
+       |    $duckXrtList AS xl
        |  FROM documents
        |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0
        |    AND doc_id % $MagicQuoteMod <> 0),
        |mc AS (
        |  SELECT doc_id,
        |    ${graft.text.HtmlExtract.duckMetaRobotsContents("html")} AS c,
-       |    coalesce(array_to_string(
-       |      list_transform(
-       |        list_filter(list_transform(xl, v -> lower(v)),
-       |          v -> regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
-       |               IN ('', 'unavailable_after', '$DirectiveAgent')),
-       |        v -> CASE WHEN regexp_extract(v, '^([a-z0-9_*\\-]+)\\s*:', 1)
-       |                       IN ('', 'unavailable_after') THEN v
-       |                  ELSE ltrim(regexp_replace(v,
-       |                         '^([a-z0-9_*\\-]+)\\s*:\\s*', '')) END),
-       |      ','), '') AS x
+       |    ${duckXBodies("xl")} AS x
        |  FROM hs),
        |fl AS (
        |  SELECT doc_id,
@@ -1065,13 +1090,14 @@ object CorpusOps {
     val zone = htmlZoneFor(s, dir)
     graft.sources.Warc.parseChunksWith(
         s.read.option("lineSep", graft.sources.Warc.Magic).text(zone),
-        Seq("X-Crawl-Status" -> "__status", "Location" -> "__location"))
+        Seq("X-Crawl-Status" -> "__status", "Location" -> "__location"),
+        repeated = Seq("X-Robots-Tag" -> "__xl"))
       .filter(col("is_valid"))
       .select(
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("payload"),
         expr("try_cast(__status AS BIGINT)").as("status"),
-        col("__location").as("location"))
+        col("__location").as("location"), col("__xl"))
       .withColumn("__url", messyUrlCol)
       .withColumn("self_canon",
         graft.text.UrlCanonical.canonicalize(col("__url")))
@@ -1089,7 +1115,7 @@ object CorpusOps {
     * applies. Resolution runs once per DISTINCT canon (the canonical
     * relation), then fans back out to docs — at 100 TB the hop loop
     * moves only the 3xx slice, never the corpus. */
-  private def redirectResolved(
+  private[queries] def redirectResolved(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("self_canon")).orderBy(col("doc_id"))
@@ -1139,7 +1165,7 @@ object CorpusOps {
     * classes → canonical capture per canon → edge set → 4 unrolled
     * chain steps → `rres (node, final_canon, hops, is_loop, settled)`
     * + `rcap (self_canon)`. */
-  private def duckRedirectCtes(idn: Seq[(String, String)]): String = {
+  private[queries] def duckRedirectCtes(idn: Seq[(String, String)]): String = {
     import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
     val steps = new StringBuilder
     for (i <- 1 to MaxRedirectHops) {
@@ -1165,7 +1191,9 @@ object CorpusOps {
        |    CASE WHEN doc_id % 19 IN (1, 7, 9, 13) THEN 301
        |         WHEN doc_id % 19 = 2 THEN 302
        |         WHEN doc_id % 19 = 5 THEN 307
-       |         WHEN doc_id % 19 = 11 THEN 308 END AS status,
+       |         WHEN doc_id % 19 = 11 THEN 308
+       |         WHEN doc_id % 19 = 15 THEN 404
+       |         WHEN doc_id % 19 = 17 THEN 503 END AS status,
        |    CASE WHEN doc_id % 19 IN (1, 2)
        |         THEN ${messyUrlSqlExprFor("(doc_id + 1)")}
        |         WHEN doc_id % 19 = 5 THEN '/landing/page'
@@ -1369,6 +1397,86 @@ object CorpusOps {
        |LEFT JOIN rf1 rf ON p.doc_id = rf.doc_id
        |LEFT JOIN tc4 ON p.doc_id = tc4.doc_id
        |LEFT JOIN cx4 ON p.doc_id = cx4.doc_id""".stripMargin
+  }
+
+  // ------------------- q180 index-eligibility screen (r19)
+
+  /** q180 (r19, beyond plan): the INDEX-ELIGIBILITY verdict — the
+    * screen a corpus build applies per capture BEFORE content flows
+    * downstream, with documented reason precedence:
+    *
+    *   1. `error`    — the capture's own status is 4xx/5xx: the body
+    *      is an error page even when it reads like content (the
+    *      fixture's 404/503 classes carry ordinary page bodies — a
+    *      screen that trusts bodies keeps them and hash-mismatches);
+    *   2. `redirect` — the capture's own status is 3xx, or its
+    *      canonical URL resolves through the redirect relation
+    *      (hops > 0, loops included): the content lives elsewhere;
+    *   3. `noindex`  — the robots directive channels remove it
+    *      (q174's meta ∪ scoped-header union);
+    *   4. `ok`       — eligible.
+    *
+    * Output: (doc_id, self_canon, eligible, reason) — the relation
+    * q177's consolidation keys and the dedup chain consume. Map-only
+    * over the chunk survivors plus ONE canon-keyed join against the
+    * resolved redirect relation. */
+  def q180IndexEligibility(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    val (pages, resolved) = redirectResolved(s, dir)
+    val flagged = pages
+      .withColumn("__x", xRobotsBodiesCol(col("__xl")))
+      .withColumn("__c", HtmlExtract.metaRobotsContents(col("payload")))
+      .withColumn("__noidx",
+        HtmlExtract.metaDirective(col("__c"), "noindex") ||
+          HtmlExtract.metaDirective(col("__c"), "none") ||
+          hdrHas(col("__x"), "noindex") || hdrHas(col("__x"), "none"))
+    val reason = when(col("status").between(400L, 599L), lit("error"))
+      .when(col("status").between(300L, 399L) || col("hops") > 0,
+        lit("redirect"))
+      .when(col("__noidx"), lit("noindex"))
+      .otherwise(lit("ok"))
+    flagged.join(resolved, col("self_canon") === col("node"))
+      .select(col("doc_id"), col("self_canon"), reason.as("reason"))
+      .withColumn("eligible", col("reason") === "ok")
+      .select(col("doc_id"), col("self_canon"), col("eligible"),
+        col("reason"))
+  }
+
+  val q180Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${graft.text.HtmlExtract.duckEntmapCte},
+       |$messyUrlMkCte,
+       |${graft.text.UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |${duckRedirectCtes(idn)},
+       |el0 AS (
+       |  SELECT doc_id, $htmlSqlExpr AS html, $duckXrtList AS xl
+       |  FROM documents
+       |  WHERE doc_id % ${graft.sources.Warc.TruncMod} <> 0
+       |    AND doc_id % ${graft.sources.Warc.NoLenMod} <> 0
+       |    AND doc_id % ${graft.sources.Warc.MagicQuoteMod} <> 0),
+       |el1 AS (
+       |  SELECT e0.doc_id, p.status, p.self_canon,
+       |    ${graft.text.HtmlExtract.duckMetaRobotsContents("html")} AS c,
+       |    ${duckXBodies("xl")} AS x
+       |  FROM el0 e0 JOIN rsp p ON e0.doc_id = p.doc_id, entmap)
+       |SELECT e.doc_id, e.self_canon,
+       |  (CASE WHEN e.status BETWEEN 400 AND 599 THEN 'error'
+       |        WHEN e.status BETWEEN 300 AND 399 OR r.hops > 0
+       |        THEN 'redirect'
+       |        WHEN (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
+       |              OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}
+       |              OR ${duckHdrHas("x", "noindex")}
+       |              OR ${duckHdrHas("x", "none")}) THEN 'noindex'
+       |        ELSE 'ok' END) AS reason,
+       |  ((CASE WHEN e.status BETWEEN 400 AND 599 THEN 'error'
+       |        WHEN e.status BETWEEN 300 AND 399 OR r.hops > 0
+       |        THEN 'redirect'
+       |        WHEN (${graft.text.HtmlExtract.duckMetaDirective("c", "noindex")}
+       |              OR ${graft.text.HtmlExtract.duckMetaDirective("c", "none")}
+       |              OR ${duckHdrHas("x", "noindex")}
+       |              OR ${duckHdrHas("x", "none")}) THEN 'noindex'
+       |        ELSE 'ok' END) = 'ok') AS eligible
+       |FROM el1 e JOIN rres r ON e.self_canon = r.node""".stripMargin
   }
 
   // ----------------------------- q143 end-to-end curation composition
@@ -1618,6 +1726,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q176_redirect_chains" -> q176RedirectChains,
     "q177_consolidation_key" -> q177ConsolidationKey,
+    "q180_index_eligibility" -> q180IndexEligibility,
     "q166_wet_roundtrip" -> q166WetRoundtrip,
     "q170_meta_robots" -> q170MetaRobots,
     "q174_robots_directives" -> q174RobotsDirectives,
@@ -1645,6 +1754,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q176_redirect_chains" -> q176Sql,
     "q177_consolidation_key" -> q177Sql,
+    "q180_index_eligibility" -> q180Sql,
     "q166_wet_roundtrip" -> q166Sql,
     "q170_meta_robots" -> q170Sql,
     "q174_robots_directives" -> q174Sql,

@@ -110,6 +110,51 @@ object WebGraphOps {
        |FROM lf JOIN s4 ON lf.doc_id = s4.doc_id
        |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx""".stripMargin
 
+  // ---------------------- q181 redirect-aware host edges (r19)
+
+  /** q181 (r19, beyond plan): the link graph with server redirects
+    * COLLAPSED — an edge to a URL whose capture 3xx-redirects credits
+    * the chain's FINAL target (the classic link-graph canonicalization:
+    * a page linking `http://a/old` endorses whatever `/old` now IS;
+    * ranking the redirect source splits authority across aliases).
+    * q150's outlink edges left-join the resolved redirect relation
+    * (q176's machinery — settled, non-looping chains only; a loop
+    * credits nobody reachable, so the edge keeps its literal target),
+    * then collapse to distinct host→host edges, self-loops out — the
+    * drop-in replacement for q151's input. One canon-keyed join (the
+    * redirect relation is the 3xx slice) on top of the map-only q150
+    * chain + the same host-distinct exchange. */
+  def q181RedirectAwareEdges(s: SparkSession, dir: String): DataFrame = {
+    val (_, resolved) = CorpusOps.redirectResolved(s, dir)
+    val rmap = resolved
+      .filter(col("hops") > 0 && !col("is_loop") && col("settled"))
+      .select(col("node"), col("final_node"))
+    outlinkEdges(s, dir)
+      .join(graft.operators.AdaptiveJoin.broadcastIfSmall(rmap),
+        col("dst_canon") === col("node"), "left")
+      .select(UrlCanonical.hostOfCanon(col("src_canon")).as("src_host"),
+        UrlCanonical.hostOfCanon(
+          coalesce(col("final_node"), col("dst_canon"))).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .distinct()
+  }
+
+  val q181Sql: String = {
+    val hostDst =
+      UrlCanonical.duckHostOf("coalesce(m.final_canon, d4.canon)")
+    val hostSrc = UrlCanonical.duckHostOf("s4.canon")
+    s"""WITH $outlinkCtePrefix,
+       |${CorpusOps.duckRedirectCtes(Seq("bücher" -> "xn--bcher-kva"))},
+       |rmap AS (
+       |  SELECT node, final_canon FROM rres
+       |  WHERE hops > 0 AND NOT is_loop AND settled)
+       |SELECT DISTINCT $hostSrc AS src_host, $hostDst AS dst_host
+       |FROM lf JOIN s4 ON lf.doc_id = s4.doc_id
+       |        JOIN d4 ON lf.doc_id = d4.doc_id AND lf.link_idx = d4.link_idx
+       |LEFT JOIN rmap m ON d4.canon = m.node
+       |WHERE $hostSrc <> $hostDst""".stripMargin
+  }
+
   // ------------------------------------------------ q151 host PageRank
 
   private val Iterations = 3
@@ -1816,6 +1861,7 @@ object WebGraphOps {
        |FROM hn WHERE n <> 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q181_redirect_aware_edges" -> q181RedirectAwareEdges,
     "q178_anchor_terms" -> q178AnchorTerms,
     "q179_robots_fetch_status" -> q179RobotsFetchStatus,
     "q167_zone_frontier" -> q167ZoneFrontier,
@@ -1838,6 +1884,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_redirect_aware_edges" -> q181Sql,
     "q178_anchor_terms" -> q178Sql,
     "q179_robots_fetch_status" -> q179Sql,
     "q173_followed_rank" -> q173Sql,
