@@ -530,6 +530,22 @@ object CorpusOps {
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(9)) === 7,
         lit("<link href='/canon2' rel='CANONICAL'>")).otherwise(lit("")),
+      // r19 hreflang classes (doc_id % 11): a case-variant region tag
+      // (DE-at — BCP 47 is case-insensitive, keyed de-at) plus a
+      // RELATIVE alternate (the effective base composes); an x-default
+      // with swapped attributes + an RSS alternate decoy WITHOUT
+      // hreflang (must not count); a rel="alternatexx" substring trap
+      when(pmod(col("doc_id"), lit(11)) === 2,
+        lit("<link rel=\"alternate\" hreflang=\"DE-at\" href=\"/alt/de\">" +
+          "<link hreflang=\"en\" rel=\"alternate\" href=\"alt/en\">"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 3,
+        lit("<link hreflang=\"x-default\" rel=\"ALTERNATE\" href=\"/\">" +
+          "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\">"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 5,
+        lit("<link rel=\"alternatexx\" hreflang=\"fr\" href=\"/alt/fr\">"))
+        .otherwise(lit("")),
       // r18 meta-refresh classes (doc_id % 12): a ZERO-delay redirect
       // (relative target), a delayed refresh with NO target
       // (attr-order-swapped, shouting http-equiv), and a delayed
@@ -620,6 +636,10 @@ object CorpusOps {
       |      THEN '<link rel="canonical" href="' || ($messyUrlSqlExpr) || '">'
       |      WHEN doc_id % 9 = 4 THEN '<link rel="canonical" href="/canonical/page">'
       |      WHEN doc_id % 9 = 7 THEN '<link href=''/canon2'' rel=''CANONICAL''>'
+      |      ELSE '' END) ||
+      |(CASE WHEN doc_id % 11 = 2 THEN '<link rel="alternate" hreflang="DE-at" href="/alt/de"><link hreflang="en" rel="alternate" href="alt/en">'
+      |      WHEN doc_id % 11 = 3 THEN '<link hreflang="x-default" rel="ALTERNATE" href="/"><link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+      |      WHEN doc_id % 11 = 5 THEN '<link rel="alternatexx" hreflang="fr" href="/alt/fr">'
       |      ELSE '' END) ||
       |(CASE WHEN doc_id % 12 = 1 THEN '<meta http-equiv="refresh" content="0; url=/moved/here">'
       |      WHEN doc_id % 12 = 5 THEN '<meta content="30" http-equiv="REFRESH">'

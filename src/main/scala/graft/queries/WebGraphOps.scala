@@ -548,6 +548,69 @@ object WebGraphOps {
        |$rankSweepCtes
        |SELECT node AS host, pr FROM r$Iterations""".stripMargin
 
+  // ---------------------- q182 hreflang alternate clusters (r19)
+
+  /** q182 (r19, beyond plan): the hreflang ALTERNATE relation — the
+    * signal a multilingual corpus build clusters parallel documents on
+    * (translation variants declare each other via
+    * `<link rel=alternate hreflang>`). One row per declaring tag in
+    * document order: the BCP 47 tag lowercased (RFC 5646 §2.1.1 —
+    * case-insensitive, so `DE-at` keys as `de-at`; `x-default` passes
+    * through), the raw href, and the target decoded + resolved against
+    * the page's EFFECTIVE base (a relative alternate composes with
+    * `<base href>`) and canonicalized into the engine's key space.
+    * Fixture traps: case-variant region tag, relative href, swapped
+    * attribute order, an RSS alternate WITHOUT hreflang (never
+    * counts), and a `rel="alternatexx"` substring trap. Map-only
+    * after the zone read. */
+  def q182HreflangAlternates(s: SparkSession, dir: String): DataFrame =
+    pagesWithBase(s, dir)
+      .select(col("doc_id"), col("__base"),
+        posexplode_outer(HtmlExtract.alternateLinks(col("payload")))
+          .as(Seq("alt_idx", "__t")))
+      .filter(col("__t").isNotNull)
+      .withColumn("hreflang", HtmlExtract.linkHreflang(col("__t")))
+      .withColumn("href",
+        HtmlExtract.decodeEntities(HtmlExtract.linkHref(col("__t"))))
+      .filter(col("href") =!= "" && hierarchicalOnly(col("href")))
+      .select(col("doc_id"), col("alt_idx").cast("long").as("alt_idx"),
+        col("hreflang"), col("href"),
+        UrlCanonical.canonicalize(
+          UrlCanonical.resolve(col("__base"), col("href"))).as("alt_canon"))
+
+  val q182Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |${CorpusOps.htmlInCtes},
+       |${CorpusOps.messyUrlMkCte},
+       |$duckEbaseCtes,
+       |hl2 AS (
+       |  SELECT doc_id, ${HtmlExtract.duckAlternateLinks("html")} AS l
+       |  FROM hin),
+       |hx2 AS (
+       |  SELECT doc_id, unnest(range(len(l))) AS alt_idx, unnest(l) AS t
+       |  FROM hl2),
+       |hf2 AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, alt_idx,
+       |      ${HtmlExtract.duckLinkHreflang("t")} AS hreflang,
+       |      ${HtmlExtract.duckEntities(HtmlExtract.duckLinkHref("t"))} AS href
+       |    FROM hx2, entmap)
+       |  WHERE href <> ''
+       |    AND NOT (regexp_matches(href, '$SchemeLike')
+       |             AND NOT regexp_matches(href, '$Hierarchical'))),
+       |rin AS (
+       |  SELECT hf2.doc_id, hf2.alt_idx, e.url AS base, hf2.href AS ref
+       |  FROM hf2 JOIN ebase e ON hf2.doc_id = e.doc_id),
+       |${UrlCanonical.duckResolveCtes("rin", "doc_id, alt_idx", "rv")},
+       |tin AS (SELECT doc_id, alt_idx, target AS url FROM rv4),
+       |${UrlCanonical.duckCanonCtes("tin", "doc_id, alt_idx", idn, "d")}
+       |SELECT hf2.doc_id, hf2.alt_idx, hf2.hreflang, hf2.href,
+       |  d4.canon AS alt_canon
+       |FROM hf2 JOIN d4 ON hf2.doc_id = d4.doc_id
+       |                AND hf2.alt_idx = d4.alt_idx""".stripMargin
+  }
+
   // --------------------------------- q172 canonical-link consolidation
 
   /** q172 (r18, beyond plan): the `<link rel="canonical">` signal —
@@ -1861,6 +1924,7 @@ object WebGraphOps {
        |FROM hn WHERE n <> 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q182_hreflang_alternates" -> q182HreflangAlternates,
     "q181_redirect_aware_edges" -> q181RedirectAwareEdges,
     "q178_anchor_terms" -> q178AnchorTerms,
     "q179_robots_fetch_status" -> q179RobotsFetchStatus,
@@ -1884,6 +1948,7 @@ object WebGraphOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_hreflang_alternates" -> q182Sql,
     "q181_redirect_aware_edges" -> q181Sql,
     "q178_anchor_terms" -> q178Sql,
     "q179_robots_fetch_status" -> q179Sql,

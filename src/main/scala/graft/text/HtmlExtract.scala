@@ -274,6 +274,52 @@ object HtmlExtract {
        |                THEN regexp_extract(t, '(?is)\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)
        |           END), c -> c IS NOT NULL))[1]""".stripMargin
 
+  private val HreflangAttrPat =
+    "(?is)\\shreflang\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** ALL `<link rel~=alternate hreflang=…>` tags of the document (r19)
+    * — the multilingual cluster signal (the hreflang convention:
+    * translation variants declare each other, and a multilingual
+    * corpus build clusters parallel documents on exactly this
+    * relation). rel is matched as a TOKEN (`rel="alternatexx"` never
+    * counts), attribute order is free, and an alternate link WITHOUT
+    * an hreflang attribute (RSS/feed alternates) never counts.
+    * Document order preserved; callers read the attributes off each
+    * tag with [[linkHreflang]]/[[linkHref]]. */
+  def alternateLinks(html: Column): Column = {
+    val deScripted = DropPats.foldLeft(html)(
+      (acc, pat) => regexp_replace(acc, pat, " "))
+    val tags = regexp_extract_all(deScripted, lit(LinkTagPat), lit(0))
+    filter(tags, t =>
+      lower(regexp_extract(t, RelAttrPat, 1))
+        .rlike("(^|\\s)alternate(\\s|$)") &&
+        regexp_extract(t, HreflangAttrPat, 1) =!= "")
+  }
+
+  /** The hreflang of one [[alternateLinks]] tag, LOWERCASED — BCP 47
+    * (RFC 5646 §2.1.1) says language tags are case-insensitive, so the
+    * engine keys clusters on the lowercase form (`DE-at` ≡ `de-at`);
+    * the reserved `x-default` value passes through. */
+  def linkHreflang(t: Column): Column =
+    lower(regexp_extract(t, HreflangAttrPat, 1))
+
+  /** The href of one [[alternateLinks]] tag (raw attribute text). */
+  def linkHref(t: Column): Column =
+    regexp_extract(t, "(?is)\\shref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+
+  /** DuckDB twins of the hreflang machinery. */
+  def duckAlternateLinks(e: String): String =
+    s"""list_filter(
+       |      regexp_extract_all(${duckDescript(e)}, '(?is)<link\\b[^>]*>', 0),
+       |      t -> regexp_matches(
+       |             lower(regexp_extract(t, '(?is)\\srel\\s*=\\s*["'']([^"'']*)["'']', 1)),
+       |             '(^|\\s)alternate(\\s|$$)')
+       |           AND regexp_extract(t, '(?is)\\shreflang\\s*=\\s*["'']([^"'']*)["'']', 1) <> '')""".stripMargin
+  def duckLinkHreflang(t: String): String =
+    s"""lower(regexp_extract($t, '(?is)\\shreflang\\s*=\\s*["'']([^"'']*)["'']', 1))"""
+  def duckLinkHref(t: String): String =
+    s"""regexp_extract($t, '(?is)\\shref\\s*=\\s*["'']([^"'']*)["'']', 1)"""
+
   /** Whether any robots-meta content carries `token` — directives are
     * a comma-separated list with free whitespace, matched as TOKENS
     * (inputs already lowercased by [[metaRobotsContents]]). */

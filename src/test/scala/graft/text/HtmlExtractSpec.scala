@@ -181,6 +181,27 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(got(4L).isEmpty, s"got ${got(4L)}")
   }
 
+  test("alternateLinks: rel token match, hreflang required, case-insensitive BCP 47 keying, document order") {
+    val df = Seq(
+      (1L, "<html><head>" +
+        "<link rel=\"alternate\" hreflang=\"DE-at\" href=\"/de\">" +
+        "<link hreflang=\"en\" rel=\"alternate\" href=\"en/rel\">" + // attr order
+        "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">" + // no hreflang
+        "<link rel=\"alternatexx\" hreflang=\"fr\" href=\"/fr\">" + // substring trap
+        "<link rel=\"stylesheet\" href=\"/css\">" +
+        "<link hreflang=\"x-default\" rel=\"ALTERNATE\" href=\"/\">" +
+        "</head><body><a hreflang=\"sv\" href=\"/a\">anchor, not a link tag</a>" +
+        "</body></html>"))
+      .toDF("doc_id", "html")
+    val got = df.select(posexplode(HtmlExtract.alternateLinks(col("html"))))
+      .select(col("pos"),
+        HtmlExtract.linkHreflang(col("col")),
+        HtmlExtract.linkHref(col("col")))
+      .as[(Int, String, String)].collect().toSeq
+    assert(got == Seq((0, "de-at", "/de"), (1, "en", "en/rel"),
+      (2, "x-default", "/")), s"got $got")
+  }
+
   test("the block plan is map-only: one generator, zero exchanges") {
     val df = HtmlExtract.blocks(
       Seq((1L, "<p>x</p>")).toDF("doc_id", "html"), "doc_id", col("html"))
