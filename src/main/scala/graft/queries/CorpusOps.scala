@@ -1499,6 +1499,186 @@ object CorpusOps {
        |FROM el1 e JOIN rres r ON e.self_canon = r.node""".stripMargin
   }
 
+  // ------------------- q183 consolidated corpus rollup (r19)
+
+  /** q183 (r19, beyond plan): the relation the whole HTTP-spine chain
+    * exists to produce — the ELIGIBLE corpus grouped by its unified
+    * consolidation key: one row per key with the representative
+    * capture (smallest doc_id — the q139 first-doc discipline), the
+    * member count, and how many distinct channels routed members onto
+    * the key. Eligibility (q180's screen) composes with consolidation
+    * (q177's precedence) in ONE zone pass — the signals share the page
+    * frame and the one canon-keyed resolved join (the r18 fusion
+    * lesson: two builders = two zone scans). By construction an
+    * ELIGIBLE doc's channel is never 'redirect' (redirect sources are
+    * ineligible), so keys consolidate via refresh/canonical/self only
+    * — the corpus-build invariant this entry pins. Exchanges: the one
+    * key-partitioned aggregate every consolidation pays. */
+  def q183ConsolidatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlExtract, UrlCanonical}
+    val SchemeLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+    val Hierarchical = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+    val (pages, resolved) = redirectResolved(s, dir)
+    val sig = pages
+      .withColumn("__base", UrlCanonical.let(
+          HtmlExtract.decodeEntities(HtmlExtract.baseHref(col("payload")))) { bh =>
+        UrlCanonical.let(col("__url")) { u =>
+          when(bh.isNull || bh === "" ||
+              (bh.rlike(SchemeLike) && !bh.rlike(Hierarchical)), u)
+            .otherwise(UrlCanonical.resolve(u, bh))
+        }
+      })
+      .withColumn("__rc", HtmlExtract.metaRefreshContent(col("payload")))
+      // extract with the Column API, cast via expr on the extracted
+      // column — regex literals inside expr() hit SQL string escaping
+      .withColumn("__secs", regexp_extract(col("__rc"), "^\\s*([0-9]{1,7})", 1))
+      .withColumn("refresh_secs", expr("try_cast(__secs AS BIGINT)"))
+      .withColumn("__t", HtmlExtract.decodeEntities(trim(
+        regexp_extract(col("__rc"), "(?is)[;,]\\s*url\\s*=\\s*(.+)$", 1))))
+      .withColumn("__rt",
+        UrlCanonical.let(col("__t")) { t =>
+          when(t.isNull || t === "" ||
+              (t.rlike(SchemeLike) && !t.rlike(Hierarchical)), lit(null))
+            .otherwise(UrlCanonical.canonicalize(
+              UrlCanonical.resolve(col("__base"), t)))
+        })
+      .withColumn("__ch",
+        HtmlExtract.decodeEntities(HtmlExtract.canonicalHref(col("payload"))))
+      .withColumn("__cc",
+        UrlCanonical.let(col("__ch")) { ch =>
+          when(ch.isNull || ch === "" ||
+              (ch.rlike(SchemeLike) && !ch.rlike(Hierarchical)), lit(null))
+            .otherwise(UrlCanonical.canonicalize(
+              UrlCanonical.resolve(col("__base"), ch)))
+        })
+      .withColumn("__x", xRobotsBodiesCol(col("__xl")))
+      .withColumn("__c", HtmlExtract.metaRobotsContents(col("payload")))
+      .withColumn("__noidx",
+        HtmlExtract.metaDirective(col("__c"), "noindex") ||
+          HtmlExtract.metaDirective(col("__c"), "none") ||
+          hdrHas(col("__x"), "noindex") || hdrHas(col("__x"), "none"))
+    val isRedirect = col("hops") > 0 && !col("is_loop") && col("settled")
+    val isRefresh = coalesce(col("refresh_secs") === 0L, lit(false)) &&
+      col("__rt").isNotNull
+    // a NULL status (no channel = 200-class) must stay eligible — a
+    // bare !between(...) is NULL there and a filter drops NULLs
+    val eligible = !coalesce(col("status").between(300L, 599L), lit(false)) &&
+      !(col("hops") > 0) && !col("__noidx")
+    sig.join(resolved, col("self_canon") === col("node"))
+      .filter(eligible)
+      .select(col("doc_id"),
+        when(isRedirect, lit("redirect"))
+          .when(isRefresh, lit("refresh"))
+          .when(col("__cc").isNotNull, lit("canonical"))
+          .otherwise(lit("self")).as("channel"),
+        when(isRedirect, col("final_node"))
+          .when(isRefresh, col("__rt"))
+          .when(col("__cc").isNotNull, col("__cc"))
+          .otherwise(col("self_canon")).as("consolidation_key"))
+      .groupBy(col("consolidation_key"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("channel")).as("n_channels"))
+  }
+
+  val q183Sql: String = {
+    val idn = Seq("bücher" -> "xn--bcher-kva")
+    import graft.text.{HtmlExtract, UrlCanonical}
+    import graft.sources.Warc.{TruncMod, NoLenMod, MagicQuoteMod}
+    val SchemeLike = "^[A-Za-z][A-Za-z0-9+.\\-]*:"
+    val Hierarchical = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+    val noidx =
+      s"""(${HtmlExtract.duckMetaDirective("c", "noindex")}
+         |        OR ${HtmlExtract.duckMetaDirective("c", "none")}
+         |        OR ${duckHdrHas("x", "noindex")}
+         |        OR ${duckHdrHas("x", "none")})""".stripMargin
+    s"""WITH ${HtmlExtract.duckEntmapCte},
+       |$messyUrlMkCte,
+       |${UrlCanonical.duckCanonCtes("mk", "doc_id", idn, "s")},
+       |hin AS (
+       |  SELECT doc_id, $htmlSqlExpr AS html
+       |  FROM documents
+       |  WHERE doc_id % $TruncMod <> 0 AND doc_id % $NoLenMod <> 0
+       |    AND doc_id % $MagicQuoteMod <> 0),
+       |bh1 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckEntities(HtmlExtract.duckBaseHref("html"))} AS bh
+       |  FROM hin, entmap),
+       |bri AS (
+       |  SELECT b.doc_id, mk.url AS base, b.bh AS ref
+       |  FROM bh1 b JOIN mk ON b.doc_id = mk.doc_id
+       |  WHERE b.bh IS NOT NULL AND b.bh <> ''
+       |    AND NOT (regexp_matches(b.bh, '$SchemeLike')
+       |             AND NOT regexp_matches(b.bh, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("bri", "doc_id", "eb")},
+       |ebase AS (
+       |  SELECT mk.doc_id, coalesce(eb4.target, mk.url) AS url
+       |  FROM mk LEFT JOIN eb4 ON mk.doc_id = eb4.doc_id),
+       |rf0 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckMetaRefreshContent("html")} AS rc
+       |  FROM hin),
+       |rf1 AS (
+       |  SELECT r.doc_id,
+       |    try_cast(regexp_extract(r.rc, '^\\s*([0-9]{1,7})', 1) AS BIGINT)
+       |      AS refresh_secs,
+       |    ${HtmlExtract.duckEntities(
+            "trim(regexp_extract(r.rc, '(?is)[;,]\\s*url\\s*=\\s*(.+)$', 1))")} AS t
+       |  FROM rf0 r, entmap),
+       |tri AS (
+       |  SELECT r.doc_id, e.url AS base, r.t AS ref
+       |  FROM rf1 r JOIN ebase e ON r.doc_id = e.doc_id
+       |  WHERE r.t IS NOT NULL AND r.t <> ''
+       |    AND NOT (regexp_matches(r.t, '$SchemeLike')
+       |             AND NOT regexp_matches(r.t, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("tri", "doc_id", "tv")},
+       |ttin AS (SELECT doc_id, target AS url FROM tv4),
+       |${UrlCanonical.duckCanonCtes("ttin", "doc_id", idn, "tc")},
+       |ch0 AS (
+       |  SELECT doc_id,
+       |    ${HtmlExtract.duckEntities(HtmlExtract.duckCanonicalHref("html"))} AS ch
+       |  FROM hin, entmap),
+       |cri AS (
+       |  SELECT c.doc_id, e.url AS base, c.ch AS ref
+       |  FROM ch0 c JOIN ebase e ON c.doc_id = e.doc_id
+       |  WHERE c.ch IS NOT NULL AND c.ch <> ''
+       |    AND NOT (regexp_matches(c.ch, '$SchemeLike')
+       |             AND NOT regexp_matches(c.ch, '$Hierarchical'))),
+       |${UrlCanonical.duckResolveCtes("cri", "doc_id", "cn")},
+       |ctin AS (SELECT doc_id, target AS url FROM cn4),
+       |${UrlCanonical.duckCanonCtes("ctin", "doc_id", idn, "cx")},
+       |${duckRedirectCtes(idn)},
+       |el0 AS (
+       |  SELECT doc_id, $duckXrtList AS xl FROM hin),
+       |el1 AS (
+       |  SELECT e0.doc_id,
+       |    ${HtmlExtract.duckMetaRobotsContents("h.html")} AS c,
+       |    ${duckXBodies("xl")} AS x
+       |  FROM el0 e0 JOIN hin h ON e0.doc_id = h.doc_id, entmap),
+       |cbase AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN coalesce(rf.refresh_secs = 0, false)
+       |              AND tc4.canon IS NOT NULL THEN 'refresh'
+       |         WHEN cx4.canon IS NOT NULL THEN 'canonical'
+       |         ELSE 'self' END AS channel,
+       |    CASE WHEN coalesce(rf.refresh_secs = 0, false)
+       |              AND tc4.canon IS NOT NULL THEN tc4.canon
+       |         WHEN cx4.canon IS NOT NULL THEN cx4.canon
+       |         ELSE p.self_canon END AS consolidation_key
+       |  FROM rsp p
+       |  JOIN rres r ON p.self_canon = r.node
+       |  JOIN el1 e ON p.doc_id = e.doc_id
+       |  LEFT JOIN rf1 rf ON p.doc_id = rf.doc_id
+       |  LEFT JOIN tc4 ON p.doc_id = tc4.doc_id
+       |  LEFT JOIN cx4 ON p.doc_id = cx4.doc_id
+       |  WHERE NOT coalesce(p.status BETWEEN 300 AND 599, false)
+       |    AND NOT (r.hops > 0)
+       |    AND NOT $noidx)
+       |SELECT consolidation_key, min(doc_id) AS rep_doc_id,
+       |  count(*) AS n_members, count(DISTINCT channel) AS n_channels
+       |FROM cbase GROUP BY consolidation_key""".stripMargin
+  }
+
   // ----------------------------- q143 end-to-end curation composition
 
   /** q143: the composed entry path a web-corpus user actually runs —
@@ -1747,6 +1927,7 @@ object CorpusOps {
     "q176_redirect_chains" -> q176RedirectChains,
     "q177_consolidation_key" -> q177ConsolidationKey,
     "q180_index_eligibility" -> q180IndexEligibility,
+    "q183_consolidated_corpus" -> q183ConsolidatedCorpus,
     "q166_wet_roundtrip" -> q166WetRoundtrip,
     "q170_meta_robots" -> q170MetaRobots,
     "q174_robots_directives" -> q174RobotsDirectives,
@@ -1775,6 +1956,7 @@ object CorpusOps {
     "q176_redirect_chains" -> q176Sql,
     "q177_consolidation_key" -> q177Sql,
     "q180_index_eligibility" -> q180Sql,
+    "q183_consolidated_corpus" -> q183Sql,
     "q166_wet_roundtrip" -> q166Sql,
     "q170_meta_robots" -> q170Sql,
     "q174_robots_directives" -> q174Sql,
