@@ -1139,8 +1139,14 @@ object WebGraphOps {
     * zone is single-chunk by construction, and host 5's corrupt one
     * fails validity at this level exactly as under the exact reader)
     * with `X-Crawl-Status` / `Location` surfaced off the capture
-    * record. Restricted to robots-path URLs, so the relation stays
-    * host-cardinality. */
+    * record. Restricted to robots-path URLs (`/robots` substring), so
+    * the relation stays host-cardinality — the deliberate scale
+    * trade-off: a robots.txt that redirects to a URL OUTSIDE this
+    * slice resolves as unreachable → allow-all (§2.3.1.3's fail-open),
+    * which is the conservative-open reading; widening the candidate
+    * relation to every capture would make the hop joins
+    * corpus-cardinality for a signal that is host-cardinality by
+    * nature. */
   private def zoneRobotsCaptures(s: SparkSession, dir: String): DataFrame =
     graft.sources.Warc.parseChunksWith(
         s.read.option("lineSep", graft.sources.Warc.Magic)
