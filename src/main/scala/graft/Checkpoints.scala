@@ -58,11 +58,34 @@ object Checkpoints {
       case _ => None
     }
 
+  /** Dev-only plan archiving (PlanDump): when the system property
+    * `graft.plandump.dir` is set, every plan [[eager]] is about to
+    * materialize is ALSO written (formatted) to a numbered file under
+    * that directory — checkpoint-materialized queries otherwise show
+    * only a LogicalRDD scan to explain(), hiding the machinery the
+    * optimization evidence needs. Never set by Bench/Verify/driver. */
+  val PlanDumpProp = "graft.plandump.dir"
+  private val planDumpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def dumpPlan(df: DataFrame): Unit =
+    Option(System.getProperty(PlanDumpProp)).filter(_.nonEmpty).foreach { d =>
+      val n = planDumpSeq.incrementAndGet()
+      val w = new java.io.PrintWriter(f"$d/ck$n%02d.txt")
+      try w.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      finally w.close()
+    }
+
   /** Eagerly materialize `df`, truncating lineage: reliable
     * `checkpoint` when [[DirKey]] is set, `localCheckpoint` otherwise.
     * The SparkContext checkpoint dir follows the conf value, including
     * mid-session changes. */
-  def eager(df: DataFrame): DataFrame =
+  def eager(df: DataFrame): DataFrame = {
+    dumpPlan(df)
+    eagerImpl(df)
+  }
+
+  private def eagerImpl(df: DataFrame): DataFrame =
     configuredDir(df.sparkSession) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext

@@ -127,7 +127,10 @@ object CorpusOps {
   /** Mean corpus bigram frequency per document (text.Fluency — the
     * statistical-LM quality-filter shape; integer-exact scores). */
   def q98Fluency(s: SparkSession, dir: String): DataFrame =
-    Fluency.scoreByCorpusFrequency(Tables.documents(s, dir), "doc_id", col("text"))
+    // spread: the bigram explode is ~10² the scan bytes, single-task
+    // off the one-row-group parquet otherwise (r19 optimization)
+    Fluency.scoreByCorpusFrequency(
+      Tables.spread(s, Tables.documents(s, dir)), "doc_id", col("text"))
 
   val q98Sql: String = toksCte +
     """, s AS (
@@ -145,7 +148,9 @@ object CorpusOps {
     * exact across engines. */
   def q120Pmi(s: SparkSession, dir: String): DataFrame =
     graft.text.Collocations.pmi(
-      Tables.documents(s, dir), col("text"), minPairCount = 5L)
+      // spread: token/bigram explode off a one-row-group scan (see q98)
+      Tables.spread(s, Tables.documents(s, dir)), col("text"),
+      minPairCount = 5L)
 
   val q120Sql: String =
     s"""WITH toks_t AS (
@@ -1756,7 +1761,9 @@ object CorpusOps {
 
   private[graft] def qualityFixture(s: SparkSession, dir: String): DataFrame = {
     val bad = pmod(col("doc_id"), lit(BadMod)) === 0
-    Tables.documents(s, dir).select(
+    // spread: the hashed-trigram explode (q141's fit+score) runs
+    // single-task off the one-row-group scan otherwise
+    Tables.spread(s, Tables.documents(s, dir)).select(
       col("doc_id"),
       when(bad, lit("bad")).otherwise(lit("good")).as("label"),
       when(bad, concat(lower(col("text")), repeat(lit(SpamTemplate), 3)))

@@ -828,7 +828,11 @@ object TextOps {
     * char 3-grams, fit on the h60-80% slice, scoring the held-out 20%.
     * Integer-exact Q20 fixed-point log2 — see LangIdNB's scaladoc. */
   def q131LangIdNb(s: SparkSession, dir: String): DataFrame =
-    graft.text.LangIdNB.predictions(Tables.documents(s, dir))
+    // spread: the trigram explode+aggregate is ~10³ the scan bytes, and
+    // the testdata's single-row-group parquet pins it to ONE task
+    // otherwise (r19 optimization — measured 4 single-task stages of
+    // 3–6 s each in the q153 profile)
+    graft.text.LangIdNB.predictions(Tables.spread(s, Tables.documents(s, dir)))
 
   /** The full NB replay: same split hash, same trigram extraction, same
     * fixed-point integer log2 (LangIdNB.ilogDuckSql — `bin`/`length`/
@@ -922,7 +926,9 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   def q135LangIdCorr(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: see q131 — the NB explode runs single-task off the
+    // one-row-group scan otherwise
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     // loud fixture-soundness gate: distinct langs must map to distinct
     // rotations (tiny: |langs| rows; memoized per dir)
     val (nl, nr) = q135Soundness.computeIfAbsent(dir, { _ =>
@@ -967,7 +973,7 @@ object TextOps {
     * broadcast back — nothing new corpus-sized. */
   def q153LangRouting(s: SparkSession, dir: String): DataFrame = {
     val scored = graft.text.LangIdNB.scoreAll(
-      correlatedText(Tables.documents(s, dir)))
+      correlatedText(Tables.spread(s, Tables.documents(s, dir))))
     val scope = graft.CacheScope.scoped()
     val sc = scope.cache(scored)
     val thr = sc.groupBy(col("lang_pred"))
@@ -1007,7 +1013,7 @@ object TextOps {
     * (per-language rank + count) beyond the LID machinery. */
   def q157PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     val scored = graft.text.LangIdNB.scoreAll(
-      correlatedText(Tables.documents(s, dir)))
+      correlatedText(Tables.spread(s, Tables.documents(s, dir))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang_pred"))
       .orderBy(col("norm_fp").desc, col("doc_id"))
