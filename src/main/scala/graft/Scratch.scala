@@ -25,14 +25,29 @@ object Scratch {
     if (sys.env.contains("SPARK_GRAFT_STAGES"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
+          // per-stage max/sum task durations — straggler visibility
+          private val maxMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val sumMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val d = te.taskInfo.duration
+            maxMs.merge(te.stageId, d, math.max(_, _)): Unit
+            sumMs.merge(te.stageId, d, _ + _): Unit
+            if (d > 2000)
+              println(f"    TASK stage=${te.stageId} idx=${te.taskInfo.index} " +
+                f"${d / 1e3}%.1fs records=${Option(te.taskMetrics).map(_.inputMetrics.recordsRead).getOrElse(-1L)}")
+          }
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val i = sc.stageInfo
             val wall = (i.completionTime.getOrElse(0L) -
               i.submissionTime.getOrElse(0L)) / 1e3
+            val mx = maxMs.getOrDefault(i.stageId, 0L) / 1e3
+            val sm = sumMs.getOrDefault(i.stageId, 0L) / 1e3
             if (wall > 1.0)
               println(f"  STAGE ${i.stageId}%4d ${i.numTasks}%5d tasks " +
-                f"wall=$wall%7.1fs  ${i.name.takeWhile(_ != '\n').take(90)}")
+                f"wall=$wall%7.1fs maxTask=$mx%6.1fs sumTask=$sm%7.1fs  " +
+                i.name.takeWhile(_ != '\n').take(80))
           }
         })
     val sel = SparkEntry.queries.filter { case (k, _) =>

@@ -689,7 +689,10 @@ object WebGraphOps {
     * pays). */
   def q156RankQuota(s: SparkSession, dir: String): DataFrame = {
     val (ranks, nNames) = hostRanksCounted(s, dir)
-    val docs = Tables.documents(s, dir).select(col("doc_id"),
+    // spread: the per-doc canonicalization below is expression-heavy
+    // and the testdata's one-row-group parquet pins it to ONE task
+    // otherwise (r19 optimization; no-op on multi-split corpora)
+    val docs = Tables.spread(s, Tables.documents(s, dir)).select(col("doc_id"),
       UrlCanonical.hostOfCanon(
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("host"))
     val mx = ranks.agg(max(col("pr")).as("mp"))
@@ -722,7 +725,10 @@ object WebGraphOps {
     * PlanAuditSpec asserts the WindowGroupLimit is in the plan. */
   def q168QuotaKept(s: SparkSession, dir: String): DataFrame = {
     val (ranks, nNames) = hostRanksCounted(s, dir)
-    val docs = Tables.documents(s, dir).select(col("doc_id"),
+    // spread: the per-doc canonicalization below is expression-heavy
+    // and the testdata's one-row-group parquet pins it to ONE task
+    // otherwise (r19 optimization; no-op on multi-split corpora)
+    val docs = Tables.spread(s, Tables.documents(s, dir)).select(col("doc_id"),
       UrlCanonical.hostOfCanon(
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol)).as("host"))
     val mx = ranks.agg(max(col("pr")).as("mp"))

@@ -456,6 +456,26 @@ object Warc {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", Magic)
+    // r19 optimization: size input splits to the CORES, not the file
+    // count. The per-byte work downstream of this scan is huge (header
+    // parse + HTML string algebra run fused into the scan stage), and
+    // zones land as a handful of files, so the default block-size
+    // splits pinned the whole chain at file-count parallelism
+    // (measured: the q151 parse stage ran 5 tasks / 3.3 s on 32 cores).
+    // Scale-adaptive, never a local-only constant: the target is
+    // bytes/(4x parallelism) with a 256 KB floor, so at real corpus
+    // sizes the computed value exceeds the HDFS block size and Hadoop's
+    // split logic keeps block-granularity splits; gzip members stay
+    // unsplittable (codec isSplitable=false) exactly as before.
+    // TextInputFormat handles records straddling split boundaries for
+    // uncompressed input, so the record set is identical.
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bytes = p.getFileSystem(conf).getContentSummary(p).getLength
+      val target = math.max(256L << 10,
+        bytes / (4L * spark.sparkContext.defaultParallelism))
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", target)
+    } catch { case _: java.io.IOException => () } // unsized path: defaults
     val raw = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
@@ -505,6 +525,16 @@ object Warc {
         assemble(it.map(_._4))
       }
       .toDF()
+      // r19 optimization: spread the reassembled records BEFORE the
+      // caller's per-row work. The group walk necessarily runs one task
+      // per suspect file, and Spark fuses all downstream map-side
+      // algebra (header/HTML/canonicalization chains) into that task —
+      // measured as a 3–11 s straggler on every zone query while 31
+      // cores idled (suspect records deliberately CONCENTRATE in one
+      // file in the synthesized zones; a real crawl's damage clusters
+      // the same way). One small exchange of the suspect slice only —
+      // the clean majority path is untouched.
+      .repartition(spark.sparkContext.defaultParallelism)
     cleanParsed.unionByName(
       dirtyParsed.select(cleanParsed.columns.toIndexedSeq.map(col): _*))
   }
