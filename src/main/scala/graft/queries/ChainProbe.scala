@@ -30,7 +30,37 @@ object ChainProbe {
         regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("payload"))
 
+    // parse-cost breakdown over the raw chunk relation
+    val chunks = spark.read.option("lineSep", graft.sources.Warc.Magic)
+      .text(zone).filter(length(col("value")) > 0)
+    val hdrs = substring_index(col("value"), "\r\n\r\n", 1)
+    def names(l: org.apache.spark.sql.Column) =
+      transform(split(l, "\r\n"), x => lower(substring_index(x, ":", 1)))
     val layers: Seq[(String, () => DataFrame)] = Seq(
+      "0a raw chunks" -> (() => chunks),
+      "0b +headers" -> (() => chunks.select(hdrs.as("h"))),
+      "0c +dup check" -> (() => chunks.select(hdrs.as("h"))
+        .select((size(names(col("h"))) ===
+          size(array_distinct(names(col("h"))))).as("nodup"))),
+      "0d +map(firstwins)" -> (() => {
+        // private firstWinsHeaders replica (the hot-path shape)
+        val lines = split(col("h"), "\r\n")
+        def nm(l: org.apache.spark.sql.Column) = lower(substring_index(l, ":", 1))
+        val nms = transform(lines, nm(_))
+        val fw = when(size(nms) === size(array_distinct(nms)), col("h"))
+          .otherwise(array_join(
+            filter(lines, (l, i) =>
+              size(filter(slice(lines, lit(1), i), p => nm(p) === nm(l))) === 0),
+            "\r\n"))
+        chunks.select(hdrs.as("h"))
+          .select(str_to_map(fw, lit("\r\n"), lit(": ")).as("m"))
+      }),
+      "0e +rest substr" -> (() => chunks.select(expr(
+        raw"substr(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)")
+        .as("rest"))),
+      "0f parseChunks" -> (() => graft.sources.Warc.parseChunks(chunks)),
+      "0g +cl regex" -> (() => chunks.select(regexp_extract_all(hdrs,
+        lit("(?mi)^content-length:[ \\t]*([0-9]+)[ \\t]*\r?$"), lit(1)).as("cls"))),
       "1 zone read" -> (() => pages),
       "2 +messyUrl" -> (() => pages.select(col("doc_id"), col("payload"),
         CorpusOps.messyUrlCol.as("__url"))),

@@ -1123,6 +1123,12 @@ object CorpusOps {
         col("payload"),
         expr("try_cast(__status AS BIGINT)").as("status"),
         col("__location").as("location"), col("__xl"))
+      // spread BEFORE the canonicalization algebra: the lineSep text
+      // scan yields one partition per small zone file (openCost floor),
+      // pinning the whole q176/q177/q180/q183 chain's per-doc string
+      // work at file-count parallelism (r19 optimization; no-op on
+      // multi-split corpora)
+      .transform(df => graft.Tables.spread(s, df))
       .withColumn("__url", messyUrlCol)
       .withColumn("self_canon",
         graft.text.UrlCanonical.canonicalize(col("__url")))

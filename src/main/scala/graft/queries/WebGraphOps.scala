@@ -883,7 +883,9 @@ object WebGraphOps {
     * group selection and longest-match end to end
     * (text.Robots.duckRobotsCtes). */
   def q158RobotsGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: full-corpus canonicalization off a one-row-group scan
+    // (r19 optimization; no-op on multi-split corpora)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("__c"),
         pmod(pmod(col("doc_id"), lit(13)), lit(2)).as("__par"))
@@ -934,7 +936,8 @@ object WebGraphOps {
     * are map-only; the only exchanges are the fixture's own per-host
     * build and the membership join against the distinct corpus keys. */
   def q159SitemapFrontier(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: see q158 (r19 optimization)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("canon"))
       .withColumn("host", UrlCanonical.hostOfCanon(col("canon")))
@@ -1219,7 +1222,8 @@ object WebGraphOps {
   def q160ZoneRobotsGate(s: SparkSession, dir: String): DataFrame = {
     val (pol, nHosts) = zoneRobotsPoliciesCounted(s, dir)
     val rs = graft.text.Robots.ruleSet(rulesTexts(pol), col("host"), col("txt"))
-    val docs = Tables.documents(s, dir)
+    // spread: see q158 (r19 optimization)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("__c"))
       .select(col("doc_id"),
@@ -1466,7 +1470,8 @@ object WebGraphOps {
   def q161SitemapRecursion(s: SparkSession, dir: String): DataFrame = {
     val children = childSitemaps(s, dir)
     val locs = graft.text.Sitemaps.locs(children, col("cxml")).drop("cxml")
-    val corpus = Tables.documents(s, dir)
+    // spread: see q158 (r19 optimization)
+    val corpus = Tables.spread(s, Tables.documents(s, dir))
       .select(UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("loc_canon"))
       .distinct().withColumn("__in", lit(true))
     locs.join(corpus, Seq("loc_canon"), "left")
@@ -1841,7 +1846,8 @@ object WebGraphOps {
     }
     val leaves = graft.text.SitemapTree.walk(seeds, fetch, maxDepth = 3)
     val locs = graft.text.Sitemaps.locs(leaves, col("xml")).drop("xml")
-    val corpus = Tables.documents(s, dir)
+    // spread: see q158 (r19 optimization)
+    val corpus = Tables.spread(s, Tables.documents(s, dir))
       .select(UrlCanonical.canonicalize(CorpusOps.messyUrlCol).as("loc_canon"))
       .distinct().withColumn("__in", lit(true))
     locs.join(corpus, Seq("loc_canon"), "left")

@@ -501,15 +501,32 @@ object Warc {
     // quoting 'WARC/1.0\r\nWARC/1.0\r\n' (ADVICE r15). assemble skips
     // them as record HEADS; parseChunks filters them on the clean path.
 
-    // first-wins line dedupe before the map: a repeated header (or a
-    // quoting payload's colliding text lines) must not throw
-    val hmap = str_to_map(
-      firstWinsHeaders(substring_index(col("value"), HdrSep, 1)),
-      lit("\r\n"), lit(": "))
-    val cl = hmap.getItem("Content-Length").cast("long")
-    val rest = expr(
-      raw"substr(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)")
-    val suspect = cl.isNotNull && (cl > octet_length(rest) - 4)
+    // Suspect flag via a cheap OVER-approximation (r19 optimization):
+    // the old flag rebuilt the first-wins header map and a full payload
+    // substring per chunk just to compare ONE number — measured as the
+    // single most expensive piece of the suspect pass. A chunk is now
+    // suspect when ANY full-line Content-Length value exceeds the
+    // chunk's own payload bytes (computed by octet arithmetic — no
+    // payload copy). Any-line ≥ the parse-side first-wins value, so
+    // every reassembly-needing record still flags (under-flagging is
+    // the only correctness hazard); the rare extra flagged file just
+    // takes the exact path, which emits identical rows for intact
+    // records (the assemble ≡ parseChunks contract, spec'd).
+    // restBytes mirrors parseChunks' validity arithmetic EXACTLY:
+    // rest = chunk minus headers minus the 4-byte header separator,
+    // and the record-final "\r\n\r\n" (4 more bytes) is not payload —
+    // so the flag threshold is rest_len - 4, the same margin the old
+    // first-wins flag used. Without the second -4 a record truncated
+    // 1–4 bytes short of its terminator (the %97 off-by-one corruption
+    // class) would slip onto the clean path instead of assemble.
+    val hdrsBlock = substring_index(col("value"), HdrSep, 1)
+    val restBytes = octet_length(col("value")) - octet_length(hdrsBlock) - lit(8)
+    // \+? : cast('+12') parses on the map side, so the superset needs it
+    val clAny = array_max(transform(
+      regexp_extract_all(hdrsBlock,
+        lit("(?mi)^content-length:[ \\t]*\\+?([0-9]+)[ \\t]*\\r?$"), lit(1)),
+      v => v.cast("long")))
+    val suspect = clAny.isNotNull && (clAny > restBytes)
     val tagged = chunks.withColumn("__susp", suspect)
     val suspFiles = tagged.groupBy(col("file"))
       .agg(max(col("__susp")).as("__s")).filter(col("__s")).select("file")
