@@ -25,16 +25,25 @@ import org.apache.spark.sql.functions._
   * preserves partitioning AND ordering) — so every sweep's edge⋈rate
   * sort-merge join needs no exchange and no sort on the E-row side.
   * The rank-dependent contribution rate is computed per SOURCE on the
-  * V-row degree relation first, so only (src, c) pairs of V rows ship
+  * V-row node relation first, so only (src, c) pairs of V rows ship
   * into the sweep; the E-row relation pays exactly ONE shuffle per
   * sweep — the per-destination aggregation, which IS PageRank's
   * irreducible data movement. Per-round lineage is truncated through
   * [[graft.Checkpoints.eager]] (localCheckpoint by default, reliable
-  * checkpoint under `spark.graft.checkpoint.dir` for multi-hour jobs),
-  * and round N's checkpoint is released as soon as round N+1
-  * materializes — the same hygiene as
-  * [[graft.dedup.ConnectedComponents]]. No driver-side graph state
-  * ever exists: the only driver values are loop counters.
+  * checkpoint under `spark.graft.checkpoint.dir` for multi-hour jobs)
+  * every `checkpointEvery` rounds plus ALWAYS the final round, and a
+  * superseded checkpoint is released as soon as the next materializes —
+  * the same hygiene as [[graft.dedup.ConnectedComponents]]. Rounds
+  * between checkpoints chain lazily: each round's output is consumed
+  * exactly once by the next (rate is the only reader of `ranks`), so
+  * the un-truncated stretch evaluates every sweep exactly once — unlike
+  * the CC star transforms (which read their input 2–3× and measured 3×
+  * slower unmaterialized), there is no multiplicative re-execution to
+  * guard against, only plan depth and the executor-loss recompute
+  * window, both bounded by `checkpointEvery`. Measured r19: each eager
+  * round cost one scheduler round-trip of fixed overhead per sweep,
+  * which dominated the host-graph rank queries. No driver-side graph
+  * state ever exists: the only driver values are loop counters.
   */
 object PageRank {
 
@@ -44,14 +53,29 @@ object PageRank {
     * @param scope     register the final round's checkpoint with a
     *                  [[graft.CacheScope.Scoped]] so
     *                  `materializeAndRelease` reclaims it.
+    * @param checkpointEvery truncate sweep lineage every this many
+    *                  rounds (the final round ALWAYS materializes, so
+    *                  the early release of the edge/node checkpoints
+    *                  below stays safe). The result is
+    *                  interval-independent — pure integer math over the
+    *                  same row sets — so this only trades scheduler
+    *                  round-trips (one eager job per truncation) against
+    *                  plan depth and the recompute window on executor
+    *                  loss; 4 chained sweeps is a modest plan and the
+    *                  standard k≈10–20 production run keeps a bounded
+    *                  failure-recovery cost. PageRankSpec pins
+    *                  interval-independence on a graph with dangling
+    *                  nodes, a cycle, and parallel edge dedupe upstream.
     * @return (node, pr) for every node appearing as a source or a
     *         destination; pr in `scale` fixed-point units. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, scale: Long = 1000000L,
           dampNum: Long = 85L, dampDen: Long = 100L,
-          scope: Option[graft.CacheScope.Scoped] = None): DataFrame = {
+          scope: Option[graft.CacheScope.Scoped] = None,
+          checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampDen > dampNum && dampNum > 0, "damping must be in (0,1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val base = scale * (dampDen - dampNum) / dampDen
 
     // The loop-invariant edge LAYOUT, materialized ONCE: hash-partition
@@ -65,39 +89,49 @@ object PageRank {
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
         .repartition(col("src")).sortWithinPartitions(col("src")))
-    // degree relation: V rows; groupBy(src) reuses e's partitioning —
-    // no exchange. Checkpointed: consumed every sweep.
-    val deg = graft.Checkpoints.eager(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val nodes = graft.Checkpoints.eager(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
+    // node relation WITH out-degree (0 for pure-destination/dangling
+    // nodes) — one aggregation and ONE checkpoint where r18 paid two
+    // (a degree agg job plus a distinct-nodes job): the map-side
+    // partial agg collapses the union to ~2V rows before its exchange,
+    // so the shuffle bytes match the old nodes-distinct alone.
+    // Consumed every sweep (the rate join needs outdeg, the dangling
+    // left join needs the full node set).
+    val nodeInfo = graft.Checkpoints.eager(
+      e.select(col("src").as("node"), lit(1L).as("__out"))
+        .unionByName(e.select(col("dst").as("node"), lit(0L).as("__out")))
+        .groupBy(col("node")).agg(sum(col("__out")).as("outdeg")))
+    val nodes = nodeInfo.select(col("node"))
 
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
     var prevCk: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // rank-dependent per-SOURCE rate — V-row join, so the E-row side
       // of the sweep never carries outdeg and the rate join ships V
-      // rows, not E
-      val rate = deg
-        .join(ranks.select(col("node").as("src"), col("pr")), Seq("src"))
-        .select(col("src"), call_function("div",
+      // rows, not E. outdeg > 0 keeps exactly the source set (a src has
+      // outdeg >= 1 by construction) — same inner-join row set as the
+      // old deg relation, and the integer div never sees a zero.
+      val rate = nodeInfo.filter(col("outdeg") > 0)
+        .join(ranks, Seq("node"))
+        .select(col("node").as("src"), call_function("div",
           lit(dampNum) * col("pr"), lit(dampDen) * col("outdeg")).as("c"))
       val next = nodes
         .join(e.join(rate, Seq("src"))
             .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_c")),
           Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("in_c"), lit(0L))).as("pr"))
-      val ck = graft.Checkpoints.eager(next)
-      prevCk.foreach(graft.Checkpoints.release)
-      prevCk = Some(ck)
-      ranks = ck
+      ranks =
+        if (i == iterations || i % checkpointEvery == 0) {
+          val ck = graft.Checkpoints.eager(next)
+          prevCk.foreach(graft.Checkpoints.release)
+          prevCk = Some(ck)
+          ck
+        } else next
     }
-    // e/deg/nodes are superseded once the last round lands; the final
-    // ranks checkpoint is the caller's to release (via scope).
+    // e/nodeInfo are superseded once the last round lands (the final
+    // round is always checkpointed above); the final ranks checkpoint
+    // is the caller's to release (via scope).
     graft.Checkpoints.release(e)
-    graft.Checkpoints.release(deg)
-    graft.Checkpoints.release(nodes)
+    graft.Checkpoints.release(nodeInfo)
     scope.foreach(_.trackIntermediate(ranks))
     ranks
   }

@@ -31,6 +31,20 @@ class PageRankSpec extends SparkTestBase {
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("result is independent of the checkpoint interval") {
+    // k=5 crosses the default interval (4), so the default path exercises
+    // an INTERMEDIATE checkpoint + the always-final one; every-round (1)
+    // and never-within-budget (9) must agree bit-for-bit — the interval
+    // only moves lineage truncation, never the integer math.
+    val expected = PageRank.run(triangle, "src", "dst", 5, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (every <- Seq(2, 4, 9)) {
+      val got = PageRank.run(triangle, "src", "dst", 5, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"checkpointEvery=$every diverged")
+    }
+  }
+
   test("result is independent of input partitioning") {
     val base = PageRank.run(triangle, "src", "dst", 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
